@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Training CLI: `python -m cdlnet_tpu.cli.train path/to/args.json`.
+
+Accepts the reference's args.json schema verbatim (README.md:11-16) and
+replaces all four reference trainers: train.py (2D), train3d.py (video),
+trainmri.py (fastMRI), traincsr.py's volumetric path. Workload selection:
+  - 2D models (CDLNet/GDLNet/DnCNN/FFDNet)        -> image-dir loaders
+  - CDLNetVideo with PDFS in loader args          -> fastMRI loaders
+  - CDLNetVideo otherwise                         -> video clip loaders
+    (this fixes the reference's train3d.py:10 loader mis-wire, which imported
+    the fastMRI loader for the DAVIS workflow)
+  - CSR models                                    -> frame-recurrent trainer
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pprint import pprint
+
+from cdlnet_tpu.utils import setup_compilation_cache
+
+
+def make_loaders(args: dict):
+    loaders_args = dict(args["train"]["loaders"])
+    mtype = args["type"]
+    if mtype in ("CDLNet", "GDLNet", "DnCNN", "FFDNet", "JDD_CDLNet"):
+        from cdlnet_tpu.data.images import get_fit_loaders
+
+        loaders_args.pop("depth", None)
+        loaders_args.pop("PDFS", None)
+        return get_fit_loaders(**loaders_args), "2d"
+    if "PDFS" in loaders_args or mtype in ("CDLNet_CSR", "CDLNet_CSRf2"):
+        from cdlnet_tpu.data.fastmri import get_fastmri_fit_loaders
+
+        return get_fastmri_fit_loaders(**loaders_args), "mri"
+    from cdlnet_tpu.data.video import get_video_fit_loaders
+
+    return get_video_fit_loaders(**loaders_args), "3d"
+
+
+def main(args: dict):
+    setup_compilation_cache()
+    from cdlnet_tpu.train.checkpoint import save_args
+    from cdlnet_tpu.train.fit import fit, init_model
+
+    model, params, opt, opt_state, epoch0, lr = init_model(args)
+    loaders, workload = make_loaders(args)
+
+    mtype = args["type"]
+    fit_args = dict(args["train"].get("fit", {}))
+    fit_args.pop("clip_grad", None)  # consumed by init_model's optimizer
+    loss_type = fit_args.pop("loss", "mse")
+    if fit_args.pop("combmse", False):  # train3d.py:65-66 flag spelling
+        loss_type = "combmse"
+    sched = args["train"].get("sched")
+    save_dir = args["paths"]["save"]
+
+    if mtype in ("CDLNet_CSR", "CDLNet_CSRf2"):
+        from cdlnet_tpu.train.fit_csr import fit_csr
+
+        return fit_csr(
+            model,
+            params,
+            opt,
+            opt_state,
+            loaders,
+            save_dir=save_dir,
+            start_epoch=epoch0 + 1,
+            sched=sched,
+            epoch_fun=lambda ep: save_args(args, save_dir),
+            **fit_args,
+        )
+
+    return fit(
+        model,
+        params,
+        opt,
+        opt_state,
+        loaders,
+        save_dir=save_dir,
+        start_epoch=epoch0 + 1,
+        workload=workload,
+        loss_type=loss_type,
+        sched=sched,
+        epoch_fun=lambda ep: save_args(args, save_dir),
+        **fit_args,
+    )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 2:
+        print("ERROR: usage: python -m cdlnet_tpu.cli.train [path/to/arg_file.json]")
+        sys.exit(1)
+    with open(sys.argv[1]) as f:
+        args = json.load(f)
+    pprint(args)
+    main(args)

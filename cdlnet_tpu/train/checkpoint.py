@@ -1,0 +1,97 @@
+"""Checkpointing: native .npz bundles (params + optimizer state + epoch/lr)
+with exact restore for the backtracking policy, plus reference-format torch
+export via compat.
+
+Format: single .npz with path-flattened pytree leaves under 'p::' (params),
+'o::' (opt state leaves), and a json-encoded meta blob (epoch, lr, tree
+structure is reconstructed from the live templates on load — load_ckpt
+requires matching shapes, same as torch load_state_dict).
+
+Reference counterpart: train.py:221-247 ({epoch, net/opt/sched state dicts},
+partial loading allowed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _flatten(prefix: str, tree) -> dict:
+    leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
+    out = {}
+    for path, leaf in leaves_with_paths:
+        key = prefix + jax.tree_util.keystr(path)
+        out[key] = np.asarray(leaf)
+    return out
+
+
+def _unflatten(prefix: str, template, data: dict):
+    paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, leaf in paths:
+        key = prefix + jax.tree_util.keystr(path)
+        if key in data:
+            arr = jnp.asarray(data[key])
+            if hasattr(leaf, "dtype"):
+                arr = arr.astype(leaf.dtype)
+            leaves.append(arr)
+        else:
+            leaves.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, [leaf for _, leaf in paths]) if False else (
+        jax.tree_util.tree_unflatten(treedef, leaves)
+    )
+
+
+def save_ckpt(path: str, params, epoch: int = 0, opt_state=None, lr: float = None, extra: dict = None):
+    """Save params (+optimizer state) to an .npz bundle."""
+    data = _flatten("p::", params)
+    if opt_state is not None:
+        data.update(_flatten("o::", opt_state))
+    meta = {"epoch": epoch, "lr": lr}
+    if extra:
+        meta.update(extra)
+    data["meta::json"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path if path.endswith(".npz") else path + ".npz", **data)
+
+
+def _resolve(path: str) -> str:
+    if os.path.exists(path):
+        return path
+    if os.path.exists(path + ".npz"):
+        return path + ".npz"
+    raise FileNotFoundError(path)
+
+
+def load_ckpt(path: str, params_template, opt_state_template=None):
+    """Restore (params, opt_state, epoch, lr) from an .npz bundle (or, for
+    reference .ckpt torch files, import the net state only)."""
+    path = _resolve(path)
+    if path.endswith(".ckpt") or path.endswith(".pt") or path.endswith(".pth"):
+        raise ValueError(
+            "torch checkpoints are imported via compat.import_net_state with a "
+            "model config; load_ckpt handles native .npz bundles"
+        )
+    with np.load(path) as data:
+        data = dict(data)
+    meta = json.loads(bytes(data.pop("meta::json"))) if "meta::json" in data else {}
+    params = _unflatten("p::", params_template, data)
+    opt_state = None
+    if opt_state_template is not None:
+        opt_state = _unflatten("o::", opt_state_template, data)
+    return params, opt_state, meta.get("epoch", 0), meta.get("lr")
+
+
+def save_args(args: dict, save_dir: str, ckpt_name: str = "net.ckpt.npz"):
+    """Re-serialize the args.json into the save dir with the ckpt path patched
+    in, sorted keys (reference train.py:249-258)."""
+    args = json.loads(json.dumps(args))  # deep copy
+    args.setdefault("paths", {})["ckpt"] = os.path.join(save_dir, ckpt_name)
+    os.makedirs(save_dir, exist_ok=True)
+    with open(os.path.join(save_dir, "args.json"), "w") as f:
+        f.write(json.dumps(args, indent=4, sort_keys=True))

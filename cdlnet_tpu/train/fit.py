@@ -1,0 +1,272 @@
+"""Generic training loop — one fit() covering the reference's four clone
+trainers (train.py / train3d.py / trainmri.py / traincsr.py's volumetric
+path), parameterized by workload.
+
+Structure (reference train.py:32-158):
+  - epoch loop on host, per-epoch phases train/val/test ('test' only on the
+    final epoch, 'val' every val_freq);
+  - the per-batch step (noise injection -> forward -> loss -> clipped Adam
+    update -> constraint projection) is a single jitted function; noise is
+    generated on device from a threaded PRNG key;
+  - PSNR bookkeeping as -10*log10(batch loss), appended to {phase}.txt;
+  - divergence backtracking: if a phase's PSNR drops more than
+    backtrack_thresh below its best (or loss is NaN/Inf), restore the last
+    checkpoint (params AND optimizer state), scale lr by 0.8, rewind the
+    epoch counter (train.py:113-142), log to backtrack.txt.
+
+The reference's 3D trainers dropped both the projection step and the
+backtracking restore (train3d.py); here they are uniform policy — disable
+with project=False / backtrack_thresh=None for strict parity experiments.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cdlnet_tpu.data.noise import awgn, awgn3d, gen_bayer_mask, gen_bayer_mask3d
+from cdlnet_tpu.data.prefetch import device_prefetch
+from cdlnet_tpu.models.base import build_model
+from cdlnet_tpu.train.checkpoint import load_ckpt, save_ckpt, save_args
+from cdlnet_tpu.train.losses import combined_loss, mse_loss
+from cdlnet_tpu.train.optim import get_lr, make_optimizer, set_lr, steplr_value
+
+
+def init_model(args: dict, seed: int = 0):
+    """Reference init_model (train.py:180-219): build model + optimizer from
+    an args dict; power-method init only when no checkpoint is given; load
+    checkpoint (native .npz or reference torch .ckpt) when present.
+
+    Returns (model, params, opt, opt_state, epoch0, lr0).
+    """
+    model_args = dict(args["model"])
+    want_init = model_args.pop("init", True)
+    model = build_model(args["type"], model_args)
+    paths = args.get("paths", {})
+    ckpt_path = paths.get("ckpt")
+    train_args = args.get("train", {})
+    lr = float(train_args.get("opt", {}).get("lr", 1e-3))
+    clip_grad = train_args.get("fit", {}).get("clip_grad", 1)
+
+    params = model.init(jax.random.PRNGKey(seed), init=want_init and ckpt_path is None)
+    state = None
+    if isinstance(params, tuple):  # DnCNN-style (params, state)
+        params, state = params
+
+    opt = make_optimizer(lr, clip_grad=clip_grad)
+    trainable = params
+    opt_state = opt.init(trainable)
+    epoch0 = 0
+
+    if ckpt_path is not None and os.path.exists(ckpt_path) or (
+        ckpt_path is not None and os.path.exists(str(ckpt_path) + ".npz")
+    ):
+        if str(ckpt_path).endswith((".npz",)) or os.path.exists(str(ckpt_path) + ".npz"):
+            params, opt_state, epoch0, lr_saved = load_ckpt(ckpt_path, params, opt_state)
+            if lr_saved is not None:
+                opt_state = set_lr(opt_state, lr_saved)
+        else:  # reference torch checkpoint
+            from cdlnet_tpu.compat import import_net_state, load_torch_checkpoint
+
+            ckpt = load_torch_checkpoint(ckpt_path)
+            imported = import_net_state(model, ckpt["net_state_dict"])
+            if isinstance(imported, tuple):
+                params, state = imported
+            else:
+                params = imported
+            epoch0 = ckpt.get("epoch") or 0
+            opt_state = opt.init(params)
+
+    if state is not None:
+        return model, (params, state), opt, opt_state, epoch0, lr
+    return model, params, opt, opt_state, epoch0, lr
+
+
+def _model_forward(model, params, y, sigma, mask):
+    """Uniform forward signature across model families."""
+    out = model.apply(params, y, sigma, mask=mask)
+    if isinstance(out, tuple) and isinstance(out[0], tuple):
+        # DnCNN-style ((xhat, n), state) — eval-mode state passthrough
+        return out[0][0]
+    return out[0]
+
+
+def make_train_step(model, opt, *, workload="2d", noise_std=(25, 25), demosaic=False,
+                    mcsure=False, loss_type="mse", project=True):
+    """Build the jitted per-batch train step:
+    (params, opt_state, batch, key) -> (params, opt_state, loss)."""
+    is3d = workload in ("3d", "mri")
+    noiser = awgn3d if is3d else awgn
+    bayer = gen_bayer_mask3d if is3d else gen_bayer_mask
+    nstd = tuple(noise_std) if isinstance(noise_std, (list, tuple)) else noise_std
+
+    def loss_fn(params, batch, key):
+        noisy, sigma = noiser(key, batch, nstd)
+        mask = bayer(batch) if demosaic else None
+        obsrv = mask * noisy if mask is not None else noisy
+
+        if mcsure:
+            h = 1e-3
+            kb = jax.random.fold_in(key, 1)
+            b = jax.random.normal(kb, obsrv.shape, obsrv.dtype)
+            xhat = _model_forward(model, params, obsrv, sigma, mask)
+            xhat_b = _model_forward(model, params, obsrv + h * b, sigma, mask)
+            sig = jnp.asarray(sigma, obsrv.dtype) / 255.0
+            div = 2.0 * jnp.mean((sig**2) * b * (xhat_b - xhat)) / h
+            return jnp.mean((obsrv - xhat) ** 2) + div
+
+        xhat = _model_forward(model, params, obsrv, sigma, mask)
+        if loss_type == "combmse":
+            return combined_loss(xhat, batch)
+        return mse_loss(xhat, batch)
+
+    @jax.jit
+    def train_step(params, opt_state, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        if project:
+            params = model.project(params)
+        return params, opt_state, loss
+
+    @jax.jit
+    def eval_step(params, batch, key):
+        noisy, sigma = noiser(key, batch, nstd if not isinstance(nstd, tuple) else None or nstd)
+        mask = bayer(batch) if demosaic else None
+        obsrv = mask * noisy if mask is not None else noisy
+        xhat = _model_forward(model, params, obsrv, sigma, mask)
+        return mse_loss(xhat, batch)
+
+    return train_step, eval_step
+
+
+def fit(
+    model,
+    params,
+    opt,
+    opt_state,
+    loaders,
+    *,
+    save_dir,
+    epochs=1,
+    start_epoch=1,
+    noise_std=25,
+    val_freq=1,
+    save_freq=1,
+    backtrack_thresh=1,
+    demosaic=False,
+    mcsure=False,
+    loss_type="mse",
+    workload="2d",
+    sched=None,  # dict(step_size=..., gamma=...)
+    verbose=True,
+    epoch_fun=None,
+    seed=0,
+    project=True,
+):
+    """Fit model to data. Returns (params, opt_state, history)."""
+    os.makedirs(save_dir, exist_ok=True)
+    if not isinstance(noise_std, (list, tuple)):
+        noise_std = (noise_std, noise_std)
+
+    train_step, _ = make_train_step(
+        model, opt, workload=workload, noise_std=noise_std, demosaic=demosaic,
+        mcsure=mcsure, loss_type=loss_type, project=project,
+    )
+    # val/test use the midpoint sigma (train.py:69-72)
+    mid = (noise_std[0] + noise_std[1]) / 2.0
+    _, eval_step = make_train_step(
+        model, opt, workload=workload, noise_std=mid, demosaic=demosaic,
+        mcsure=False, loss_type="mse", project=project,
+    )
+
+    ckpt0 = os.path.join(save_dir, "0.ckpt")
+    save_ckpt(ckpt0, params, 0, opt_state, get_lr(opt_state))
+
+    top_psnr = {"train": 0.0, "val": 0.0, "test": 0.0}
+    history = []
+    key = jax.random.PRNGKey(seed)
+    epoch = start_epoch
+    base_lr = get_lr(opt_state)
+
+    while epoch < start_epoch + epochs:
+        diverged = False
+        psnr = 0.0
+        phase = "train"
+        for phase in ["train", "val", "test"]:
+            if epoch != epochs and phase == "test":
+                continue
+            if phase == "val" and epoch % val_freq != 0:
+                continue
+            psnr, count, last_loss = 0.0, 0, 0.0
+            t_start = time.time()
+            for batch in device_prefetch(loaders[phase]):
+                key, sub = jax.random.split(key)
+                if phase == "train":
+                    params, opt_state, loss = train_step(params, opt_state, batch, sub)
+                else:
+                    loss = eval_step(params, batch, sub)
+                last_loss = float(loss)
+                psnr += -10.0 * math.log10(max(last_loss, 1e-30))
+                count += 1
+            psnr /= max(count, 1)
+            if verbose:
+                print(
+                    f"{phase.upper()}-E{epoch} PSNR: {psnr:.3f} dB "
+                    f"({time.time() - t_start:.1f}s, lr={get_lr(opt_state):.2e})"
+                )
+            history.append((epoch, phase, psnr))
+
+            bad = math.isnan(last_loss) or math.isinf(last_loss)
+            if psnr > top_psnr[phase]:
+                top_psnr[phase] = psnr
+            elif backtrack_thresh is not None and (
+                psnr + backtrack_thresh < top_psnr[phase] or bad
+            ):
+                diverged = True
+                break  # phase loop — mirror train.py:116-117
+
+            with open(os.path.join(save_dir, f"{phase}.txt"), "a") as f:
+                f.write(f"{psnr:.3f}, ")
+
+        if diverged:
+            ckpt_path = os.path.join(save_dir, "net.ckpt")
+            if epoch <= save_freq:
+                ckpt_path = ckpt0
+            print(f"Loss has diverged. Backtracking to {ckpt_path} ...")
+            with open(os.path.join(save_dir, "backtrack.txt"), "a") as f:
+                f.write(f"{epoch}  ")
+            if epoch % save_freq == 0:
+                epoch = epoch - save_freq
+            else:
+                epoch = epoch - epoch % save_freq
+            old_lr = get_lr(opt_state)
+            params, opt_state, _, _ = load_ckpt(ckpt_path, params, opt_state)
+            opt_state = set_lr(opt_state, old_lr * 0.8)
+            base_lr = base_lr * 0.8
+            print(f"Updated Learning Rate(s): {get_lr(opt_state):.3e}")
+            epoch += 1
+            continue
+
+        if sched is not None:
+            # StepLR semantics: decay lr every step_size epochs (train.py:144-148)
+            step_size, gamma = sched["step_size"], sched["gamma"]
+            if epoch % step_size == 0:
+                opt_state = set_lr(opt_state, get_lr(opt_state) * gamma)
+                print(f"Updated Learning Rate(s): {get_lr(opt_state):.3e}")
+
+        if epoch % save_freq == 0:
+            ckpt_path = os.path.join(save_dir, "net.ckpt")
+            save_ckpt(ckpt_path, params, epoch, opt_state, get_lr(opt_state))
+            if epoch_fun is not None:
+                epoch_fun(epoch)
+
+        epoch += 1
+
+    return params, opt_state, history

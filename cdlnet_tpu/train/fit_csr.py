@@ -1,0 +1,156 @@
+"""Frame-recurrent (CSR) trainer.
+
+Reference: traincsr.py:149-277 train_model. Per batch of (B, C, D, H, W)
+volumes:
+  - CDLNet_CSR (D>=2): two rounds of alternating prev/curr recurrence with
+    code handoff — net(prev, z_curr) -> z_prev, net(curr, z_prev) -> z_curr —
+    loss = MSE(prev) + MSE(curr) (traincsr.py:192-217);
+  - CDLNet_CSRf2 (D>=3): forward sweep over frames 0,1,2 then two-sided
+    refinement passes; loss = sum of the three frame MSEs
+    (traincsr.py:247-273). The reference's line 259 uses `after_denoised`
+    before assignment (a NameError at runtime); here the third frame's first
+    pass correctly consumes the noisy after-frame — documented fix.
+
+No constraint projection after steps (the reference CSR trainer never calls
+net.project()); pass project=True to enable it as a policy improvement.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from cdlnet_tpu.data.noise import awgn
+from cdlnet_tpu.data.prefetch import device_prefetch
+from cdlnet_tpu.models import CDLNetCSR, CDLNetCSRf2
+from cdlnet_tpu.train.checkpoint import load_ckpt, save_ckpt
+from cdlnet_tpu.train.optim import get_lr, set_lr
+
+
+def make_csr_train_step(model, opt, *, noise_std, project=False):
+    nstd = tuple(noise_std) if isinstance(noise_std, (list, tuple)) else noise_std
+    is_f2 = isinstance(model, CDLNetCSRf2)
+
+    def loss_fn(params, batch, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        prev = batch[:, :, 0]
+        curr = batch[:, :, 1]
+        prev_hat, s1 = awgn(k1, prev, nstd)
+        curr_hat, s2 = awgn(k2, curr, nstd)
+
+        if not is_f2:
+            z_curr = None
+            # round 1: first-frame bank, then recurrence
+            prev_d, z_prev = model.apply(params, prev_hat, z_curr, s1)
+            curr_d, z_curr = model.apply(params, curr_hat, z_prev, s2)
+            # round 2: now both carry codes
+            prev_d, z_prev = model.apply(params, prev_hat, z_curr, s1)
+            curr_d, z_curr = model.apply(params, curr_hat, z_prev, s2)
+            return jnp.mean((prev_d - prev) ** 2) + jnp.mean((curr_d - curr) ** 2)
+
+        after = batch[:, :, 2]
+        after_hat, s3 = awgn(k3, after, nstd)
+        prev_d, z_prev = model.apply(params, prev_hat, None, None, s1)
+        curr_d, z_curr = model.apply(params, curr_hat, z_prev, None, s2)
+        after_d, z_after = model.apply(params, after_hat, z_prev, None, s3)
+        curr_d, z_curr = model.apply(params, curr_hat, z_prev, z_after, s2)
+        prev_d, z_prev = model.apply(params, prev_hat, None, z_after, s1)
+        return (
+            jnp.mean((prev_d - prev) ** 2)
+            + jnp.mean((curr_d - curr) ** 2)
+            + jnp.mean((after_d - after) ** 2)
+        )
+
+    @jax.jit
+    def train_step(params, opt_state, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        if project:
+            params = model.project(params)
+        return params, opt_state, loss
+
+    @jax.jit
+    def eval_step(params, batch, key):
+        return loss_fn(params, batch, key)
+
+    return train_step, eval_step
+
+
+def fit_csr(
+    model,
+    params,
+    opt,
+    opt_state,
+    loaders,
+    *,
+    save_dir,
+    epochs=1,
+    start_epoch=1,
+    noise_std=25,
+    val_freq=1,
+    save_freq=1,
+    backtrack_thresh=None,
+    sched=None,
+    verbose=True,
+    epoch_fun=None,
+    seed=0,
+    project=False,
+    mcsure=False,  # accepted for schema parity; CSR has no MC-SURE path
+    demosaic=False,
+    **_ignored,
+):
+    os.makedirs(save_dir, exist_ok=True)
+    if not isinstance(noise_std, (list, tuple)):
+        noise_std = (noise_std, noise_std)
+    train_step, _ = make_csr_train_step(model, opt, noise_std=noise_std, project=project)
+    mid = (noise_std[0] + noise_std[1]) / 2.0
+    _, eval_step = make_csr_train_step(model, opt, noise_std=mid, project=project)
+
+    save_ckpt(os.path.join(save_dir, "0.ckpt"), params, 0, opt_state, get_lr(opt_state))
+    top_psnr = {"train": 0.0, "val": 0.0, "test": 0.0}
+    history = []
+    key = jax.random.PRNGKey(seed)
+    epoch = start_epoch
+
+    while epoch < start_epoch + epochs:
+        for phase in ["train", "val", "test"]:
+            if epoch != epochs and phase == "test":
+                continue
+            if phase == "val" and epoch % val_freq != 0:
+                continue
+            psnr, count = 0.0, 0
+            t0 = time.time()
+            for batch in device_prefetch(loaders[phase]):
+                key, sub = jax.random.split(key)
+                if phase == "train":
+                    params, opt_state, loss = train_step(params, opt_state, batch, sub)
+                else:
+                    loss = eval_step(params, batch, sub)
+                psnr += -10.0 * math.log10(max(float(loss), 1e-30))
+                count += 1
+            psnr /= max(count, 1)
+            history.append((epoch, phase, psnr))
+            if verbose:
+                print(f"{phase.upper()}-E{epoch} PSNR: {psnr:.3f} dB ({time.time()-t0:.1f}s)")
+            top_psnr[phase] = max(top_psnr[phase], psnr)
+            with open(os.path.join(save_dir, f"{phase}.txt"), "a") as f:
+                f.write(f"{psnr:.3f}, ")
+
+        if sched is not None and epoch % sched["step_size"] == 0:
+            opt_state = set_lr(opt_state, get_lr(opt_state) * sched["gamma"])
+        if epoch % save_freq == 0:
+            save_ckpt(
+                os.path.join(save_dir, f"net_epoch_{epoch}.ckpt"),
+                params, epoch, opt_state, get_lr(opt_state),
+            )
+            save_ckpt(os.path.join(save_dir, "net.ckpt"), params, epoch, opt_state, get_lr(opt_state))
+            if epoch_fun is not None:
+                epoch_fun(epoch)
+        epoch += 1
+
+    return params, opt_state, history

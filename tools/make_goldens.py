@@ -203,6 +203,34 @@ def main():
         xhat, nm = net(torch.from_numpy(x), 25.0)
     save_case(args.out, "ffdnet", sd_np(net), dict(x=x, sigma=np.float32(25.0), xhat=xhat.numpy()))
 
+    # ---- NLE (MAD + PCA) on a noisy synthetic image ----------------------
+    # pywt is not installed; stub Wavelet('bior4.4') with the same constants
+    # our wavelet module inlines (independently validated by the perfect-
+    # reconstruction identity test in tests/test_core_misc.py). The golden
+    # then checks the conv/median/eigen pipeline math against the reference.
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+    from cdlnet_tpu.core.wavelet import _BANKS
+
+    pywt_stub = types.ModuleType("pywt")
+
+    class _W:
+        def __init__(self, name):
+            self.filter_bank = tuple(np.asarray(b) for b in _BANKS[name])
+
+    pywt_stub.Wavelet = _W
+    sys.modules.setdefault("pywt", pywt_stub)
+
+    import model.nle as ref_nle
+
+    clean = 0.5 + 0.2 * np.sin(np.linspace(0, 8, 128))[None, None, None, :]
+    clean = np.broadcast_to(clean, (1, 1, 128, 128)).astype(np.float32)
+    y = clean + (25.0 / 255.0) * rng.standard_normal((1, 1, 128, 128)).astype(np.float32)
+    with torch.no_grad():
+        mad = ref_nle.nle_mad(torch.from_numpy(y)).numpy()
+        pca = ref_nle.nle_pca(torch.from_numpy(y))[0]
+    np.savez(os.path.join(args.out, "nle.npz"), y=y, mad=mad, pca=np.float32(pca))
+    print("wrote nle.npz")
+
     print("all goldens written.")
 
 
