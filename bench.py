@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Benchmark harness: denoised frames/sec/chip for the flagship 3D video
+denoiser (the SURVEY.md §3.4 north-star loop — CDLNetVideo K=30 M=169
+P=(7,7,5) s=2 on 16x128x128 grayscale clips @ sigma=25).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+
+vs_baseline compares against the PyTorch-CPU reference throughput measured
+by running /root/reference's CDLNetVideo eval loop on this machine (see
+BASELINE.md "measured" table; tools/measure_torch_baseline.py regenerates).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+# PyTorch-CPU reference: 16-frame clip / measured s-per-clip (BASELINE.md)
+TORCH_CPU_BASELINE_FPS = float(os.environ.get("CDLNET_BASELINE_FPS", "0.410"))
+
+FLAGSHIP = {"K": 30, "M": 169, "P": (7, 7, 5), "s": 2, "C": 1,
+            "adaptive": True, "depth": 16}
+CLIP = (1, 1, 16, 128, 128)
+SIGMA = 25.0
+
+
+def main():
+    from cdlnet_tpu.utils import setup_compilation_cache
+
+    setup_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from cdlnet_tpu.models import build_model
+
+    model = build_model("CDLNetVideo", dict(FLAGSHIP))
+    params = model.init(jax.random.PRNGKey(0), init=False)
+    # spectral scale stand-in so activations stay finite without running the
+    # full power method (throughput is weight-value independent)
+    params["A"] = params["A"] * 0.02
+    params["B"] = params["B"] * 0.02
+    params["t"] = jnp.abs(params["t"]) + 1e-3
+
+    key = jax.random.PRNGKey(1)
+    clean = jax.random.uniform(key, CLIP, jnp.float32)
+    noisy = clean + (SIGMA / 255.0) * jax.random.normal(jax.random.fold_in(key, 1), CLIP)
+
+    fwd = jax.jit(lambda p, y: model.apply(p, y, SIGMA)[0])
+
+    t0 = time.time()
+    out = fwd(params, noisy)
+    _ = float(jnp.sum(out))  # force execution (block_until_ready is
+    # unreliable over tunneled backends)
+    compile_s = time.time() - t0
+
+    # steady state with per-iteration readback
+    n_warm, n_iter = 2, 10
+    for _ in range(n_warm):
+        _ = float(jnp.sum(fwd(params, noisy)))
+    t0 = time.time()
+    for _ in range(n_iter):
+        _ = float(jnp.sum(fwd(params, noisy)))
+    dt = (time.time() - t0) / n_iter
+
+    frames = CLIP[0] * CLIP[2]
+    fps = frames / dt
+    result = {
+        "metric": "denoised_frames_per_sec_per_chip (3D CDLNet K30 M169 s2, 16x128x128 gray, sigma=25)",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / TORCH_CPU_BASELINE_FPS, 2),
+    }
+    print(json.dumps(result))
+    # diagnostics to stderr-adjacent line (driver parses the last JSON line;
+    # keep diagnostics in the JSON-free preamble instead)
+    return result
+
+
+if __name__ == "__main__":
+    main()

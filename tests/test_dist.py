@@ -1,0 +1,91 @@
+"""Distributed paths on the 8-device CPU mesh: DP train step, depth-sharded
+3D LISTA parity vs the unsharded forward."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cdlnet_tpu.dist.mesh import make_mesh
+from cdlnet_tpu.dist.sharding import batch_sharding, make_dp_train_step
+from cdlnet_tpu.dist.halo import sharded_lista_3d_forward
+from cdlnet_tpu.models import CDLNet, CDLNetVideo
+from cdlnet_tpu.train.optim import make_optimizer
+
+
+def test_make_mesh_specs():
+    mesh = make_mesh()
+    assert mesh.shape == {"data": 8}
+    mesh = make_mesh({"data": 2, "depth": 4})
+    assert mesh.shape == {"data": 2, "depth": 4}
+    mesh = make_mesh({"data": -1, "depth": 2})
+    assert mesh.shape == {"data": 4, "depth": 2}
+    with pytest.raises(ValueError):
+        make_mesh({"data": 3})
+
+
+def test_dp_train_step_matches_single_device():
+    """Gradients psum'd over the mesh must equal the single-device step."""
+    model = CDLNet(K=2, M=4, P=3, s=1)
+    params = model.init(jax.random.PRNGKey(0), init=False)
+    opt = make_optimizer(1e-3, clip_grad=1.0)
+    opt_state = opt.init(params)
+
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(rng.random((8, 1, 16, 16)).astype(np.float32))
+    key = jax.random.PRNGKey(1)
+
+    def loss_fn(p, b, k):
+        noisy = b + 0.1 * jax.random.normal(k, b.shape)
+        xhat, _ = model.apply(p, noisy, 25.0)
+        return jnp.mean((xhat - b) ** 2)
+
+    # single-device reference
+    loss_ref, grads_ref = jax.value_and_grad(loss_fn)(params, batch, key)
+
+    mesh = make_mesh({"data": 8})
+    step, prepare = make_dp_train_step(model, opt, loss_fn, mesh)
+    p_d, o_d, b_d = prepare(params, opt_state, batch)
+    p2, o2, loss = step(p_d, o_d, b_d, key)
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-5)
+
+    # apply the same update locally and compare params
+    up_ref, _ = opt.update(grads_ref, opt_state, params)
+    p_ref = jax.tree_util.tree_map(lambda p, u: p + u, params, up_ref)
+    p_ref = model.project(p_ref)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("s,P,residual", [(1, (3, 3, 3), False), (2, (7, 7, 5), False), (1, (3, 3, 3), True)])
+def test_depth_sharded_forward_parity(s, P, residual):
+    """Depth-sharded forward == unsharded forward (halo math exactness)."""
+    model = CDLNetVideo(K=3, M=6, P=P, s=s, adaptive=True, residual=residual)
+    params = model.init(jax.random.PRNGKey(0), init=False)
+    # scale weights down so the unnormalized LISTA doesn't blow up
+    params = jax.tree_util.tree_map(lambda x: x * 0.2 if x.ndim > 4 else x, params)
+    params["t"] = jnp.abs(0.01 * jax.random.normal(jax.random.PRNGKey(2), params["t"].shape))
+
+    rng = np.random.default_rng(3)
+    D = 16
+    y = jnp.asarray(rng.random((1, 1, D, 16, 16)).astype(np.float32))
+
+    # unsharded reference (mean-subtract then LISTA, H/W already divisible)
+    xhat_ref, z_ref = model.apply(params, y, 25.0)
+
+    mesh = make_mesh({"depth": 4}, devices=jax.devices()[:4])
+    xhat, z = sharded_lista_3d_forward(model, params, y, 25.0, mesh=mesh)
+    # The halo math is exact (1e-11 in float64); fp32 accumulation-order
+    # differences get amplified by near-threshold soft-threshold crossings,
+    # so allow a few 1e-3-level outliers.
+    np.testing.assert_allclose(np.asarray(xhat), np.asarray(xhat_ref), rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref), rtol=5e-3, atol=5e-3)
+
+
+def test_depth_sharded_rejects_bad_depth():
+    model = CDLNetVideo(K=2, M=4, P=(3, 3, 3), s=2)
+    params = model.init(jax.random.PRNGKey(0), init=False)
+    mesh = make_mesh({"depth": 4}, devices=jax.devices()[:4])
+    y = jnp.zeros((1, 1, 12, 16, 16))  # 12 % (4*2) != 0
+    with pytest.raises(ValueError):
+        sharded_lista_3d_forward(model, params, y, 25.0, mesh=mesh)
