@@ -63,7 +63,8 @@ def get_filters_for(model, params):
 
     if isinstance(model, GDLNet):
         return model.get_filters(params)
-    if isinstance(model, CDLNet):
+    if isinstance(model, CDLNet) or ("A" in params and "B" in params):
+        # CDLNet and the CSR variants all keep stacked (K, M, C, P, P) banks
         return np.asarray(params["A"]), np.asarray(params["B"])
     raise NotImplementedError(type(model))
 
@@ -75,8 +76,9 @@ def test(model, params, loader, noise_levels, blind, save_dir, save, demosaic):
     from cdlnet_tpu.data.noise import awgn, gen_bayer_mask
     from cdlnet_tpu import nle as nle_mod
 
-    dset = os.path.basename(os.path.dirname(loader.dataset.root_dirs[0])) or \
-        os.path.basename(loader.dataset.root_dirs[0])
+    # dataset name = the test dir itself (reference: basename(dirname(img_path)),
+    # analyze.py:72, where img_path is a file directly inside the dir)
+    dset = os.path.basename(os.path.normpath(loader.dataset.root_dirs[0]))
     fn = os.path.join(save_dir, f"test_{dset}_{blind}.txt")
 
     if save:

@@ -204,3 +204,71 @@ class CDLNetCSRf2:
 
         xphat = convT(z, B[0])
         return post_process(xphat, prm), z
+
+
+# ---------------------------------------------------------------------------
+# Sequential video inference
+# ---------------------------------------------------------------------------
+
+
+def csr_video_denoise(model: CDLNetCSR, params: dict, noisy, sigma=None, mask=None):
+    """Frame-recurrent denoising of a noisy clip (B, C, D, H, W).
+
+    Reference semantics (analyzemri.py:87-156, csr_inference_loop): a warm-up
+    bidirectional handshake on frames 0/1 — f0 with no code, f1 carrying z0,
+    f0 again carrying z1 (its output is the frame-0 result) — then a forward
+    recurrence over frames 1..D-1 carrying the previous frame's sparse code.
+    Expressed as a lax.scan over the depth axis (the dependency chain is
+    inherently sequential, O(1) code memory per step), so the whole clip is
+    one compiled program regardless of length. Unlike the reference we do not
+    re-draw fresh noise for frames already noised during warm-up; callers
+    provide one noisy realization per frame.
+
+    Returns (denoised (B, C, D, H, W), final code z).
+    """
+    frames = jnp.moveaxis(noisy, 2, 0)  # (D, B, C, H, W)
+    _, z0 = model.apply(params, frames[0], None, sigma, mask=mask)
+    _, z1 = model.apply(params, frames[1], z0, sigma, mask=mask)
+    x0, z = model.apply(params, frames[0], z1, sigma, mask=mask)
+
+    def body(z, y_t):
+        xhat, z = model.apply(params, y_t, z, sigma, mask=mask)
+        return z, xhat
+
+    z, xs = lax.scan(body, z, frames[1:])
+    out = jnp.concatenate([x0[None], xs], axis=0)  # (D, B, C, H, W)
+    return jnp.moveaxis(out, 0, 2), z
+
+
+def csrf2_video_denoise(model: CDLNetCSRf2, params: dict, noisy, sigma=None, mask=None):
+    """Two-pass bidirectional-context denoising of a clip (B, C, D, H, W).
+
+    Reference semantics (analyzemri.py:161-182, csr_inference_v2): a forward
+    sweep collects every frame's sparse code, then each frame is re-denoised
+    with (z[t-1], z[t]) as (prev, after) context. (As committed, the
+    reference's second pass hands the frame's *own* first-pass code as
+    `z_after` — z_prev_list[t+1] is assigned from frame t — rather than the
+    commented-out backward sweep; we match the committed behavior for
+    parity.) Pass 1 is a lax.scan (sequential chain); pass 2 is a vmap over
+    frames (embarrassingly parallel — the reference's Python loop becomes one
+    batched program).
+
+    Returns (denoised (B, C, D, H, W), code stack (D, B, M, H/s, W/s)).
+    """
+    frames = jnp.moveaxis(noisy, 2, 0)  # (D, B, C, H, W)
+    _, z0 = model.apply(params, frames[0], None, None, sigma, mask=mask)
+
+    def body(z, y_t):
+        _, z = model.apply(params, y_t, z, None, sigma, mask=mask)
+        return z, z
+
+    _, z_rest = lax.scan(body, z0, frames[1:])
+    z_all = jnp.concatenate([z0[None], z_rest], axis=0)  # (D, ...)
+
+    x0, _ = model.apply(params, frames[0], None, z_all[0], sigma, mask=mask)
+    refine = jax.vmap(
+        lambda y_t, zp, za: model.apply(params, y_t, zp, za, sigma, mask=mask)[0]
+    )
+    xs = refine(frames[1:], z_all[:-1], z_all[1:])
+    out = jnp.concatenate([x0[None], xs], axis=0)
+    return jnp.moveaxis(out, 0, 2), z_all
