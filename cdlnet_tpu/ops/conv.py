@@ -14,15 +14,26 @@ in 3D) and op=s-1, giving exact sx upsampling (model/net.py:33,141).
 
 Everything lowers to lax.conv_general_dilated, which XLA tiles onto the MXU;
 the fused Pallas path lives in kernels/.
+
+Strided calls are transparently rewritten into the polyphase domain
+(ops/polyphase.py) whenever the shapes permit: stride-s conv and
+conv-transpose become stride-1 convs over space-to-depth phases, which (a)
+removes the lhs_dilation zero-stuffing that makes the synthesis ~5x slower
+than the analysis on TPU, and (b) multiplies the MXU contraction depth by
+s^nd. Exact rewrite — same outputs to fp32 tolerance. Disable with
+CDLNET_NO_POLYPHASE=1.
 """
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+from cdlnet_tpu.ops import polyphase as pp
 
 _DIMNUMS = {
     2: ("NCHW", "OIHW", "NCHW"),
@@ -34,8 +45,46 @@ def _tup(v, n):
     return tuple(v) if isinstance(v, (tuple, list)) else (v,) * n
 
 
+def _use_polyphase(x, w, stride, padding, nd, output_padding=None):
+    """True when the strided op can be rewritten exactly in phase domain:
+    uniform stride s>1, symmetric integer padding, spatial dims divisible by
+    s, and the direct op's output size equals S/s (conv) / S*s (convT)."""
+    if os.environ.get("CDLNET_NO_POLYPHASE"):
+        return False
+    s = stride[0]
+    if s == 1 or any(st != s for st in stride):
+        return False
+    P = w.shape[-nd:]
+    S = x.shape[-nd:]
+    for i in range(nd):
+        p, k, d = padding[i], P[i], S[i]
+        if output_padding is None:  # analysis conv: out = (d + 2p - k)//s + 1
+            if d % s != 0 or (d + 2 * p - k) // s + 1 != d // s:
+                return False
+        else:  # convT: out = (d-1)*s - 2p + k + op (torch ConvTranspose)
+            if output_padding[i] != s - 1 or (d - 1) * s - 2 * p + k + (s - 1) != d * s:
+                return False
+    return True
+
+
+def _sym(padding, nd):
+    """Normalize padding to a per-dim int tuple (all call sites use symmetric
+    integer padding; asymmetric specs bypass the polyphase path)."""
+    if isinstance(padding, int):
+        return (padding,) * nd
+    if padding and isinstance(padding[0], int):
+        return tuple(padding)
+    return None
+
+
 def _convnd(x, w, stride, padding, nd):
     stride = _tup(stride, nd)
+    pad_int = _sym(padding, nd)
+    if pad_int is not None and _use_polyphase(x, w, stride, pad_int, nd):
+        s = stride[0]
+        A2, _, pad_a, _ = pp.polyphase_weights(w, s, pad_int, nd)
+        x2 = pp.space_to_depth(x, s, nd)
+        return pp.conv_polyphase(x2, A2, pad_a, nd)
     if isinstance(padding, int):
         padding = [(padding, padding)] * nd
     elif padding and isinstance(padding[0], int):
@@ -54,6 +103,11 @@ def _conv_transpose_nd(x, w, stride, padding, output_padding, nd):
     stride = _tup(stride, nd)
     padding = _tup(padding, nd)
     output_padding = _tup(output_padding, nd)
+    if _use_polyphase(x, w, stride, padding, nd, output_padding=output_padding):
+        s = stride[0]
+        _, B2t, _, pad_s = pp.polyphase_weights(w, s, padding, nd)
+        out2 = pp.conv_transpose_polyphase(x, B2t, pad_s, nd)
+        return pp.depth_to_space(out2, s, nd, w.shape[1])
     k = w.shape[2:]
     # swap in/out channels, flip spatial dims
     w_t = jnp.swapaxes(w, 0, 1)[(slice(None), slice(None)) + (slice(None, None, -1),) * nd]
