@@ -76,13 +76,6 @@ class CDLNet:
         return out
 
     def _lista(self, params, yp, c, mask, return_codes=False):
-        if self.backend == "pallas":
-            from cdlnet_tpu.kernels.lista_pallas import lista_2d_fused
-
-            if not return_codes:
-                return lista_2d_fused(
-                    yp, params["A"], params["B"], params["t"], c, mask=mask, stride=self.s
-                )
         return lista_2d(
             yp,
             params["A"],
@@ -95,10 +88,35 @@ class CDLNet:
             return_codes=return_codes,
         )
 
-    def apply(self, params: dict, y, sigma=None, mask=None):
-        """Denoise batch y (N, C, H, W). Returns (xhat, z)."""
+    def _use_pallas(self, yp, return_z):
+        if self.backend != "pallas":
+            return False
+        from cdlnet_tpu.kernels.lista2d import lista2d_fused_supported
+
+        return lista2d_fused_supported(
+            self.M, self.C, self.P, self.s, self.K, yp.shape[-2], yp.shape[-1],
+            return_z=return_z,
+        )
+
+    def apply(self, params: dict, y, sigma=None, mask=None, return_z=True):
+        """Denoise batch y (N, C, H, W). Returns (xhat, z).
+
+        backend="pallas" (inference only — no VJP) runs the whole K-loop as
+        one fused kernel with the codes resident in VMEM (kernels/lista2d),
+        falling back to the XLA scan when the shape exceeds VMEM. With
+        return_z=False the pallas path skips writing the code tensor, its
+        largest VMEM block; z comes back as None.
+        """
         yp, prm, mask = pre_process(y, self.s, mask=mask)
         c = sigma_scale(sigma, self.adaptive, 4)
+        if self._use_pallas(yp, return_z):
+            from cdlnet_tpu.kernels.lista2d import lista2d_fused
+
+            xphat, z = lista2d_fused(
+                yp, params["A"], params["B"], params["t"], c,
+                stride=self.s, mask=mask, return_z=return_z,
+            )
+            return post_process(xphat, prm), z
         z = self._lista(params, yp, c, mask)
         xphat = conv_transpose2d(
             z, params["B"][0], stride=self.s, padding=self.pad, output_padding=self.s - 1

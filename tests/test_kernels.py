@@ -1,0 +1,88 @@
+"""Fused Pallas LISTA kernel (kernels/lista2d.py): interpret-mode parity vs
+the XLA scan path, VMEM-fit predicate, and the CDLNet pallas backend."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cdlnet_tpu.kernels.lista2d import lista2d_fused, lista2d_fused_supported
+from cdlnet_tpu.models import build_model
+from cdlnet_tpu.ops.conv import conv_transpose2d
+from cdlnet_tpu.ops.lista import lista_2d
+
+
+def _mk(s, P, C, M, K, H=16, W=16, seed=0):
+    key = jax.random.PRNGKey(seed)
+    yp = jax.random.normal(key, (2, C, H, W), jnp.float32) * 0.3
+    A = 0.1 * jax.random.normal(jax.random.fold_in(key, 1), (K, M, C, P, P), jnp.float32)
+    B = 0.1 * jax.random.normal(jax.random.fold_in(key, 2), (K, M, C, P, P), jnp.float32)
+    t = 0.02 * jnp.abs(jax.random.normal(jax.random.fold_in(key, 3), (K, 2, M, 1, 1)))
+    return yp, A, B, t
+
+
+@pytest.mark.parametrize(
+    "s,P,C,M,K,use_mask",
+    [(2, 7, 1, 13, 4, False), (1, 5, 1, 6, 3, False),
+     (2, 7, 3, 8, 3, True), (2, 5, 2, 6, 2, False)],
+)
+def test_fused_matches_scan_interpret(s, P, C, M, K, use_mask):
+    yp, A, B, t = _mk(s, P, C, M, K)
+    c = jnp.asarray([0.1, 0.2]).reshape(2, 1, 1, 1)  # per-sample sigma scale
+    mask = (
+        (jax.random.uniform(jax.random.PRNGKey(9), yp.shape) > 0.5).astype(jnp.float32)
+        if use_mask
+        else None
+    )
+    z_ref = lista_2d(yp, A, B, t, c, mask=mask, stride=s)
+    x_ref = conv_transpose2d(
+        z_ref, B[0], stride=s, padding=(P - 1) // 2, output_padding=s - 1
+    )
+    x_got, z_got = lista2d_fused(
+        yp, A, B, t, c, stride=s, mask=mask, return_z=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(z_got), np.asarray(z_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x_got), np.asarray(x_ref), atol=1e-5)
+
+
+def test_fused_return_z_false():
+    yp, A, B, t = _mk(2, 7, 1, 8, 2)
+    x1, z = lista2d_fused(yp, A, B, t, 0.1, stride=2, return_z=True, interpret=True)
+    x2, none = lista2d_fused(yp, A, B, t, 0.1, stride=2, return_z=False, interpret=True)
+    assert none is None and z is not None
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-6)
+
+
+def test_supported_predicate():
+    # flagship 2D config on a 128x128 training patch: fits, with and without z
+    assert lista2d_fused_supported(169, 1, 7, 2, 30, 128, 128, return_z=False)
+    assert lista2d_fused_supported(169, 1, 7, 2, 30, 128, 128, return_z=True)
+    # 512x512 eval image: does not fit -> XLA fallback
+    assert not lista2d_fused_supported(169, 1, 7, 2, 30, 512, 512)
+    # odd size: polyphase premise broken
+    assert not lista2d_fused_supported(169, 1, 7, 2, 30, 127, 128)
+
+
+def test_cdlnet_pallas_backend_interpret(monkeypatch):
+    """backend='pallas' routes apply() through the fused kernel and falls
+    back to XLA on unsupported shapes; outputs match the XLA backend."""
+    import cdlnet_tpu.kernels.lista2d as k2d
+
+    # force interpret mode so the test runs on CPU
+    orig = k2d.lista2d_fused
+    monkeypatch.setattr(
+        k2d, "lista2d_fused", lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    )
+    cfg = {"K": 3, "M": 8, "P": 7, "s": 2, "C": 1, "adaptive": True}
+    mx = build_model("CDLNet", dict(cfg))
+    mp = build_model("CDLNet", dict(cfg, backend="pallas"))
+    params = mx.init(jax.random.PRNGKey(0), init=True)
+    y = jax.random.uniform(jax.random.PRNGKey(1), (1, 1, 32, 32), jnp.float32)
+    x_ref, z_ref = mx.apply(params, y, 25.0)
+    x_got, z_got = mp.apply(params, y, 25.0, return_z=True)
+    np.testing.assert_allclose(np.asarray(x_got), np.asarray(x_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(z_got), np.asarray(z_ref), atol=1e-5)
+    # odd input size exercises pre_process padding then the kernel
+    y_odd = y[:, :, :31, :29]
+    x_odd, _ = mp.apply(params, y_odd, 25.0, return_z=False)
+    assert x_odd.shape == y_odd.shape
