@@ -21,7 +21,10 @@ import time
 TORCH_CPU_BASELINE_FPS = float(os.environ.get("CDLNET_BASELINE_FPS", "0.410"))
 
 FLAGSHIP = {"K": 30, "M": 169, "P": (7, 7, 5), "s": 2, "C": 1,
-            "adaptive": True, "depth": 16}
+            "adaptive": True, "depth": 16,
+            # fused per-iteration Pallas kernels (kernels/lista3d);
+            # CDLNET_BENCH_BACKEND=xla benches the XLA scan path instead
+            "backend": os.environ.get("CDLNET_BENCH_BACKEND", "pallas")}
 CLIP = (1, 1, 16, 128, 128)
 SIGMA = 25.0
 
@@ -57,7 +60,7 @@ def main():
     @jax.jit
     def run(p, y):
         def body(c, _):
-            out = model.apply(p, c, SIGMA)[0]
+            out = model.apply(p, c, SIGMA, return_z=False)[0]
             # feed output stats back into the carry so iterations can't be
             # collapsed or reordered by the compiler
             return y + 0.0 * jnp.mean(out), jnp.mean(out)

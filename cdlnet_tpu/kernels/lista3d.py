@@ -1,0 +1,321 @@
+"""Fused Pallas TPU kernels for the 3D (video) LISTA iteration.
+
+The 3D flagship's code tensor (M=169 subbands over a Dc x Hc x Wc code
+grid) is ~22 MB fp32 — too big to keep VMEM-resident across all K
+iterations like the 2D kernel (kernels/lista2d.py). Instead each iteration
+runs as two Pallas calls under a lax.scan, gridded over (batch, depth
+slice), so z streams through HBM exactly once per iteration in bf16:
+
+  kernel A (synthesis+residual): r[d] = mask * (B_k z)[d] - y2[d]
+  kernel B (analysis+threshold):  z[d] = ST(z[d] - (A_k r)[d], tau_k)
+
+Depth taps are NOT rolled: each program receives Qd clamped views of the
+depth axis via BlockSpec index maps (z[d+dq] for every depth offset dq),
+with out-of-range contributions zeroed by a per-(d, dq) validity factor —
+the zero-padding semantics of the reference's Conv3d/ConvTranspose3d
+(model/net.py:137-144). In-plane taps reuse the 2D machinery: factored
+row/column lane-rolls over the flattened (Hc*Wc) axis with border masks,
+and per-tap matmuls (analysis stacks its windows to a T*Cp-deep MXU
+contraction — 384 for the flagship).
+
+z is carried in bfloat16 (dots accumulate fp32 via preferred_element_type;
+ST and the residual run fp32). Measured deviation vs the fp32 XLA path is
+~1e-3 absolute on O(1) codes — well under 0.05 dB on denoising PSNR.
+Inference-only (no custom VJP); CDLNetVideo falls back to the XLA scan for
+training, residual-block variants, and shapes that do not fit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+from cdlnet_tpu.kernels.lista2d import _axis_masks
+from cdlnet_tpu.ops import polyphase as pp
+
+_VMEM_BUDGET = int(15.0 * 1024 * 1024)
+
+
+def _geom(P, pads, s):
+    """Per-dim (q_lo, q_hi) tap ranges: dims ordered (D, H, W)."""
+    return [pp._tap_ranges(P[i], pads[i], s) for i in range(3)]
+
+
+def lista3d_fused_supported(M, C, P, s, K, D, H, W, residual=None) -> bool:
+    """VMEM-fit and applicability check for the fused 3D iteration."""
+    if residual is not None:
+        return False  # per-iteration ResidualBlocks take the XLA path
+    if D % s or H % s or W % s:
+        return False
+    P = (P,) * 3 if isinstance(P, int) else tuple(P)
+    pads = tuple(p // 2 for p in P)
+    (dlo, dhi), (hlo, hhi), (wlo, whi) = _geom(P, pads, s)
+    Qd, Qh, Qw = dhi - dlo + 1, hhi - hlo + 1, whi - wlo + 1
+    Cp = C * s**3
+    Lhw = (H // s) * (W // s)
+    T = Qd * Qh * Qw
+    # kernel A (grid N, Dc, Qd): one z view (bf16, double-buffered) + its
+    # f32 upcast + one rolled f32 copy + per-tap weights
+    a = 2 * M * Lhw * 2 + 2 * M * Lhw * 4 + Qh * Qw * Cp * M * 4
+    # kernel B (grid N, Dc): stack + Qd r views + z block + u transient + weights
+    b = T * Cp * Lhw * 2 + Qd * 2 * Cp * Lhw * 4 + 2 * M * Lhw * 2 \
+        + M * Lhw * 4 + M * T * Cp * 2
+    masks = 4 * (Qh + Qw) * Lhw * 4
+    return max(a, b) + masks < _VMEM_BUDGET
+
+
+def _kernel_syn(z_ref, y2_ref, m2_ref, B2m_ref, scol_ref, srow_ref, r_ref,
+                *, Qd, Qh, Qw, Cp, Wc, dlo, hlo, wlo, use_mask, sub_y):
+    """r[d] <- [mask *] (B_k z)[d] [- y2[d]], reduced over depth taps.
+
+    Grid (N, Dc, Qd), depth tap j innermost: the output block r[d] is
+    revisited across the Qd steps (index map independent of j) and
+    accumulates one depth tap's in-plane contribution per step — so only a
+    single (M, Lhw) z view is VMEM-resident at a time. The view is upcast
+    to f32 before the lane rolls (Mosaic has no bf16 rotate).
+
+    z view block (1,1,M,Lhw) = z[clip(d + dq)] with dq = j - (Qd-1) - dlo;
+    B2m block (1, Qh*Qw, Cp, M) f32; in-plane offsets
+    (qi - (Qh-1) - hlo, ri - (Qw-1) - wlo).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    d = pl.program_id(1)
+    Dc = pl.num_programs(1)
+    j = pl.program_id(2)
+    Lhw = y2_ref.shape[-1]
+
+    def roll(buf, off):
+        return pltpu.roll(buf, (-off) % Lhw, 1) if off % Lhw else buf
+
+    @pl.when(j == 0)
+    def _init():
+        r_ref[0, 0] = jnp.zeros_like(r_ref[0, 0])
+
+    dq = j - (Qd - 1) - dlo
+    valid = jnp.logical_and(d + dq >= 0, d + dq < Dc)
+    zj = z_ref[0, 0].astype(jnp.float32)
+    part = jnp.zeros(r_ref.shape[-2:], jnp.float32)
+    for ri in range(Qw):
+        zc = roll(zj, ri - (Qw - 1) - wlo) * scol_ref[ri][None, :]
+        for qi in range(Qh):
+            dmat = jax.lax.dot_general(
+                B2m_ref[0, qi * Qw + ri], zc,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            part += roll(dmat, (qi - (Qh - 1) - hlo) * Wc) * srow_ref[qi][None, :]
+    r_ref[0, 0] += jnp.where(valid, 1.0, 0.0) * part
+
+    @pl.when(j == Qd - 1)
+    def _finalize():
+        if sub_y:  # residual: mask * Bz - y2; final synthesis is plain Bz
+            acc = r_ref[0, 0]
+            if use_mask:
+                acc = m2_ref[0, 0] * acc
+            r_ref[0, 0] = acc - y2_ref[0, 0]
+
+
+def _kernel_ana(*refs, Qd, Qh, Qw, Cp, Wc, dlo, hlo, wlo):
+    """z[d] <- ST(z[d] - (A_k r)[d], tau_k).
+
+    refs: Qd r views (1,1,Cp,Lhw) f32, z_old (1,1,M,Lhw) bf16, A2m
+    (M, T*Cp), tau (1, M), acol (Qw, Lhw), arow (Qh, Lhw),
+    out z_new (1,1,M,Lhw) bf16; scratch stack (T*Cp, Lhw) bf16.
+    Analysis offsets: depth dq = dlo + j; in-plane (hlo + qi, wlo + ri).
+    Stack row order (j, qi, ri, cp) matches A2m's tap-major layout.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    rviews = refs[:Qd]
+    z_ref, A2m_ref, tau_ref, acol_ref, arow_ref, zout_ref, stack_ref = refs[Qd:]
+    d = pl.program_id(1)
+    Dc = pl.num_programs(1)
+    Lhw = z_ref.shape[-1]
+
+    def roll(buf, off):
+        return pltpu.roll(buf, (-off) % Lhw, 1) if off % Lhw else buf
+
+    for j in range(Qd):
+        dq = dlo + j
+        valid = jnp.where(jnp.logical_and(d + dq >= 0, d + dq < Dc), 1.0, 0.0)
+        rj = rviews[j][0, 0] * valid
+        for qi in range(Qh):
+            rowed = roll(rj, (hlo + qi) * Wc) * arow_ref[qi][None, :]
+            for ri in range(Qw):
+                t = (j * Qh + qi) * Qw + ri
+                stack_ref[t * Cp : (t + 1) * Cp] = (
+                    roll(rowed, wlo + ri) * acol_ref[ri][None, :]
+                ).astype(stack_ref.dtype)
+
+    u = jax.lax.dot_general(
+        A2m_ref[:], stack_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    zn = z_ref[0, 0].astype(jnp.float32) - u
+    tau = tau_ref[0][:, None]
+    zout_ref[0, 0] = (jnp.sign(zn) * jnp.maximum(jnp.abs(zn) - tau, 0.0)).astype(
+        zout_ref.dtype
+    )
+
+
+def _depth_view_specs(Qd, offs, block, Dc, pltpu):
+    """Qd BlockSpecs over a (N, Dc, ch, Lhw) array: view j maps grid (n, d)
+    to slice (n, clip(d + offs[j], 0, Dc-1), :, :). The clamped duplicate at
+    the boundary is zeroed in-kernel by the validity factor."""
+    specs = []
+    for j in range(Qd):
+        dq = offs[j]
+        specs.append(
+            pl.BlockSpec(
+                (1, 1) + block,
+                lambda n, d, dq=dq: (n, jnp.clip(d + dq, 0, Dc - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    return specs
+
+
+def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
+                  z_dtype=jnp.bfloat16, interpret=False):
+    """Fused per-iteration 3D LISTA + final dictionary synthesis.
+
+    yp: (N, C, D, H, W) pre-processed clip batch; A, B: (K, M, C, Pd, Ph,
+    Pw); t: (K, 2, M, 1, 1, 1); c: scalar or (N, 1, 1, 1, 1). Returns
+    (xphat (N, C, D, H, W) fp32, z (N, M, Dc, Hc, Wc) fp32 or None) —
+    matching ops.lista.lista_3d + conv_transpose3d(B[0]) to z_dtype-carry
+    tolerance (~0.5% relative for the default bfloat16 carry; pass
+    z_dtype=jnp.float32 for exactness at ~2x the z HBM traffic and VMEM,
+    which shrinks the supported shape set).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, C, D, H, W = yp.shape
+    K, M = A.shape[0], A.shape[1]
+    P = A.shape[-3:]
+    s = stride
+    pads = tuple(p // 2 for p in P)
+    Dc, Hc, Wc = D // s, H // s, W // s
+    Lhw = Hc * Wc
+    Cp = C * s**3
+
+    (dlo, dhi), (hlo, hhi), (wlo, whi) = _geom(P, pads, s)
+    Qd, Qh, Qw = dhi - dlo + 1, hhi - hlo + 1, whi - wlo + 1
+    T = Qd * Qh * Qw
+
+    # --- weight prep (host/XLA): polyphase banks in kernel layouts ---
+    A2, _, _, _ = pp.polyphase_weights(A, s, pads, 3)   # (K, M, Cp, Qd, Qh, Qw)
+    _, B2t, _, _ = pp.polyphase_weights(B, s, pads, 3)
+    # analysis: (K, M, T*Cp), tap-major (dq, qi, ri, cp)
+    A2m = A2.transpose(0, 1, 3, 4, 5, 2).reshape(K, M, T * Cp).astype(z_dtype)
+    # synthesis: (K, Qd, Qh*Qw, Cp, M), flipped-tap layout from B2t
+    B2m = B2t.transpose(0, 3, 4, 5, 2, 1).reshape(K, Qd, Qh * Qw, Cp, M)
+
+    # data in (N, Dc, ch, Lhw) layout, z carried bf16
+    y5 = pp.space_to_depth(yp, s, 3)  # (N, Cp, Dc, Hc, Wc)
+    y2 = y5.transpose(0, 2, 1, 3, 4).reshape(N, Dc, Cp, Lhw)
+    use_mask = mask is not None
+    m2 = (
+        pp.space_to_depth(jnp.broadcast_to(mask, yp.shape), s, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(N, Dc, Cp, Lhw)
+        if use_mask
+        else jnp.zeros((N, 1, 1, 1), yp.dtype)
+    )
+
+    c_arr = jnp.asarray(c, yp.dtype).reshape(-1)
+    if c_arr.size == 1:
+        c_arr = jnp.broadcast_to(c_arr, (N,))
+    tau = (
+        t[None, :, 0, :, 0, 0, 0] + c_arr[:, None, None] * t[None, :, 1, :, 0, 0, 0]
+    )  # (N, K, M)
+
+    acol = jnp.asarray(_axis_masks([wlo + ri for ri in range(Qw)], Hc, Wc, 1))
+    arow = jnp.asarray(_axis_masks([hlo + qi for qi in range(Qh)], Hc, Wc, 0))
+    scol = jnp.asarray(
+        _axis_masks([ri - (Qw - 1) - wlo for ri in range(Qw)], Hc, Wc, 1)
+    )
+    srow = jnp.asarray(
+        _axis_masks([qi - (Qh - 1) - hlo for qi in range(Qh)], Hc, Wc, 0)
+    )
+
+    geom = dict(Qd=Qd, Qh=Qh, Qw=Qw, Cp=Cp, Wc=Wc, dlo=dlo, hlo=hlo, wlo=wlo)
+    grid = (N, Dc)
+    bspec = lambda ch: pl.BlockSpec(
+        (1, 1, ch, Lhw), lambda n, d: (n, d, 0, 0), memory_space=pltpu.VMEM
+    )
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    syn_offs = [j - (Qd - 1) - dlo for j in range(Qd)]
+    ana_offs = [dlo + j for j in range(Qd)]
+
+    def synthesize(z, B2m_k, sub_y):
+        kern = functools.partial(_kernel_syn, **geom, use_mask=use_mask, sub_y=sub_y)
+        bs = lambda ch: pl.BlockSpec(
+            (1, 1, ch, Lhw), lambda n, d, j: (n, d, 0, 0), memory_space=pltpu.VMEM
+        )
+        zview = pl.BlockSpec(
+            (1, 1, M, Lhw),
+            lambda n, d, j: (n, jnp.clip(d + j - (Qd - 1) - dlo, 0, Dc - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            kern,
+            grid=(N, Dc, Qd),
+            in_specs=[zview,
+                      bs(Cp),
+                      bs(Cp) if use_mask else pl.BlockSpec(
+                          (1, 1, 1, 1), lambda n, d, j: (0, 0, 0, 0),
+                          memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, Qh * Qw, Cp, M), lambda n, d, j: (j, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      full, full],
+            out_specs=bs(Cp),
+            out_shape=jax.ShapeDtypeStruct((N, Dc, Cp, Lhw), jnp.float32),
+            interpret=interpret,
+        )(z, y2, m2, B2m_k, scol, srow)
+
+    def analyze(r, z, A2m_k, tau_k):
+        kern = functools.partial(_kernel_ana, **geom)
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[*_depth_view_specs(Qd, ana_offs, (Cp, Lhw), Dc, pltpu),
+                      bspec(M),
+                      full,
+                      pl.BlockSpec((1, M), lambda n, d: (n, 0),
+                                   memory_space=pltpu.VMEM),
+                      full, full],
+            out_specs=bspec(M),
+            out_shape=jax.ShapeDtypeStruct((N, Dc, M, Lhw), z_dtype),
+            scratch_shapes=[pltpu.VMEM((T * Cp, Lhw), z_dtype)],
+            interpret=interpret,
+        )(*([r] * Qd), z, A2m_k, tau_k, acol, arow)
+
+    # --- k = 0: z = ST(A0 y2, tau0) via analyze(r=-y2, z=0) ---
+    z0 = jnp.zeros((N, Dc, M, Lhw), z_dtype)
+    z = analyze(-y2.astype(jnp.float32), z0, A2m[0], tau[:, 0])
+
+    # --- k = 1..K-1 ---
+    def body(z, xs):
+        A2m_k, B2m_k, tau_k = xs
+        r = synthesize(z, B2m_k, sub_y=True)
+        z = analyze(r, z, A2m_k, tau_k)
+        return z, None
+
+    z, _ = lax.scan(body, z, (A2m[1:], B2m[1:], tau.transpose(1, 0, 2)[1:]))
+
+    # --- final dictionary synthesis with B[0] ---
+    x2 = synthesize(z, B2m[0], sub_y=False)  # (N, Dc, Cp, Lhw) fp32
+    x5 = x2.reshape(N, Dc, Cp, Hc, Wc).transpose(0, 2, 1, 3, 4)
+    xphat = pp.depth_to_space(x5, s, 3, C)
+    z_out = (
+        z.reshape(N, Dc, M, Hc, Wc).transpose(0, 2, 1, 3, 4).astype(jnp.float32)
+        if return_z
+        else None
+    )
+    return xphat, z_out

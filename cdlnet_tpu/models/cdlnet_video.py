@@ -108,10 +108,36 @@ class CDLNetVideo:
             return_codes=return_codes,
         )
 
-    def apply(self, params: dict, y, sigma=None, mask=None):
-        """Denoise clip batch y (N, C, D, H, W). Returns (xhat, z)."""
+    def _use_pallas(self, params, yp, return_z):
+        if self.backend != "pallas":
+            return False
+        from cdlnet_tpu.kernels.lista3d import lista3d_fused_supported
+
+        return lista3d_fused_supported(
+            self.M, self.C, self.P, self.s, self.K,
+            yp.shape[-3], yp.shape[-2], yp.shape[-1],
+            residual=params.get("residual"),
+        )
+
+    def apply(self, params: dict, y, sigma=None, mask=None, return_z=True):
+        """Denoise clip batch y (N, C, D, H, W). Returns (xhat, z).
+
+        backend="pallas" (inference only) runs each iteration as fused
+        synthesis-residual / analysis-threshold kernels with the code
+        carried in bfloat16 (kernels/lista3d; ~0.5% code deviation,
+        <0.05 dB PSNR), falling back to the XLA scan for residual-block
+        variants and unsupported shapes.
+        """
         yp, prm, mask = pre_process_3d(y, self.s, mask=mask)
         c = sigma_scale(sigma, self.adaptive, 5)
+        if self._use_pallas(params, yp, return_z):
+            from cdlnet_tpu.kernels.lista3d import lista3d_fused
+
+            xphat, z = lista3d_fused(
+                yp, params["A"], params["B"], params["t"], c,
+                stride=self.s, mask=mask, return_z=return_z,
+            )
+            return post_process_3d(xphat, prm), z
         z = self._lista(params, yp, c, mask)
         xphat = conv_transpose3d(
             z, params["B"][0], stride=self.s, padding=self.pad, output_padding=self.s - 1

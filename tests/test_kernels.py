@@ -86,3 +86,94 @@ def test_cdlnet_pallas_backend_interpret(monkeypatch):
     y_odd = y[:, :, :31, :29]
     x_odd, _ = mp.apply(params, y_odd, 25.0, return_z=False)
     assert x_odd.shape == y_odd.shape
+
+
+# ---------------------------------------------------------------------------
+# 3D fused per-iteration kernels (kernels/lista3d.py)
+# ---------------------------------------------------------------------------
+
+from cdlnet_tpu.kernels.lista3d import lista3d_fused, lista3d_fused_supported
+from cdlnet_tpu.ops.conv import conv_transpose3d
+from cdlnet_tpu.ops.lista import lista_3d
+
+
+def _mk3d(s, P, C, M, K, shape, seed=0):
+    key = jax.random.PRNGKey(seed)
+    yp = jax.random.normal(key, shape, jnp.float32) * 0.3
+    A = 0.1 * jax.random.normal(jax.random.fold_in(key, 1), (K, M, C, *P), jnp.float32)
+    B = 0.1 * jax.random.normal(jax.random.fold_in(key, 2), (K, M, C, *P), jnp.float32)
+    t = 0.02 * jnp.abs(jax.random.normal(jax.random.fold_in(key, 3), (K, 2, M, 1, 1, 1)))
+    return yp, A, B, t
+
+
+@pytest.mark.parametrize("use_mask", [False, True])
+def test_fused3d_fp32_matches_scan_interpret(use_mask):
+    s, P, C, M, K = 2, (7, 7, 5), 1, 13, 3
+    shape = (2, 1, 8, 16, 16)
+    yp, A, B, t = _mk3d(s, P, C, M, K, shape)
+    c = jnp.asarray([0.1, 0.2]).reshape(2, 1, 1, 1, 1)
+    mask = (
+        (jax.random.uniform(jax.random.PRNGKey(9), shape) > 0.5).astype(jnp.float32)
+        if use_mask
+        else None
+    )
+    z_ref = lista_3d(yp, A, B, t, c, mask=mask, stride=s)
+    x_ref = conv_transpose3d(
+        z_ref, B[0], stride=s, padding=(3, 3, 2), output_padding=s - 1
+    )
+    x_got, z_got = lista3d_fused(
+        yp, A, B, t, c, stride=s, mask=mask, z_dtype=jnp.float32, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(z_got), np.asarray(z_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(x_got), np.asarray(x_ref), atol=1e-4)
+
+
+def test_fused3d_bf16_carry_tolerance():
+    """bf16 code carry stays within ~1% relative of the fp32 scan."""
+    s, P, C, M, K = 2, (5, 5, 5), 1, 9, 3
+    shape = (1, 1, 8, 16, 16)
+    yp, A, B, t = _mk3d(s, P, C, M, K, shape)
+    z_ref = lista_3d(yp, A, B, t, 0.1, stride=s)
+    x_ref = conv_transpose3d(
+        z_ref, B[0], stride=s, padding=(2, 2, 2), output_padding=s - 1
+    )
+    x_got, _ = lista3d_fused(yp, A, B, t, 0.1, stride=s, interpret=True)
+    rel = float(jnp.abs(x_got - x_ref).max() / (jnp.abs(x_ref).max() + 1e-9))
+    assert rel < 0.01, rel
+
+
+def test_fused3d_supported_predicate():
+    assert lista3d_fused_supported(169, 1, (7, 7, 5), 2, 30, 16, 128, 128)
+    # residual-block variant takes the XLA path
+    assert not lista3d_fused_supported(
+        169, 1, (7, 7, 5), 2, 30, 16, 128, 128, residual={"conv1": None}
+    )
+    # stride-indivisible depth
+    assert not lista3d_fused_supported(169, 1, (7, 7, 5), 2, 30, 15, 128, 128)
+
+
+def test_cdlnet_video_pallas_backend_interpret(monkeypatch):
+    import cdlnet_tpu.kernels.lista3d as k3d
+
+    orig = k3d.lista3d_fused
+    monkeypatch.setattr(
+        k3d, "lista3d_fused", lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    )
+    cfg = {"K": 2, "M": 6, "P": (5, 5, 3), "s": 2, "C": 1, "adaptive": True, "depth": 8}
+    mx = build_model("CDLNetVideo", dict(cfg))
+    mp = build_model("CDLNetVideo", dict(cfg, backend="pallas"))
+    params = mx.init(jax.random.PRNGKey(0), init=False)
+    params["A"] = params["A"] * 0.05
+    params["B"] = params["B"] * 0.05
+    params["t"] = jnp.abs(params["t"]) * 0.05 + 1e-3
+    y = jax.random.uniform(jax.random.PRNGKey(1), (1, 1, 8, 16, 16), jnp.float32)
+    x_ref, z_ref = mx.apply(params, y, 25.0)
+    x_got, z_got = mp.apply(params, y, 25.0)
+    assert z_got.shape == z_ref.shape
+    np.testing.assert_allclose(np.asarray(x_got), np.asarray(x_ref), atol=5e-3)
+    # residual variant falls back to XLA identically
+    cfgr = dict(cfg, residual=True, backend="pallas")
+    mr = build_model("CDLNetVideo", cfgr)
+    pr = mr.init(jax.random.PRNGKey(0), init=False)
+    xr, _ = mr.apply(pr, y, 25.0)
+    assert xr.shape == y.shape
