@@ -49,6 +49,7 @@ class GDLNet:
     adaptive: bool = False
     shared: str = ""
     scan_unroll: int = 1
+    backend: str = "xla"  # "xla" | "pallas" (inference; same kernel as CDLNet)
 
     @property
     def pad(self) -> int:
@@ -125,11 +126,30 @@ class GDLNet:
             out.append(jax.vmap(synth)(*args))
         return tuple(out)
 
-    def apply(self, params: dict, y, sigma=None, mask=None):
-        """Denoise batch y (N, C, H, W). Returns (xhat, z)."""
+    def apply(self, params: dict, y, sigma=None, mask=None, return_z=True):
+        """Denoise batch y (N, C, H, W). Returns (xhat, z).
+
+        backend="pallas": the Gabor banks are synthesized on device as
+        usual, then the unrolled loop runs in the fused 2D LISTA kernel
+        (kernels/lista2d), codes VMEM-resident across all K iterations."""
         A_f, B_f = self.get_filters(params)
         yp, prm, mask = pre_process(y, self.s, mask=mask)
         c = sigma_scale(sigma, self.adaptive, 4)
+        if self.backend == "pallas":
+            from cdlnet_tpu.kernels.lista2d import (
+                lista2d_fused,
+                lista2d_fused_supported,
+            )
+
+            if lista2d_fused_supported(
+                self.M, self.C, self.P, self.s, self.K,
+                yp.shape[-2], yp.shape[-1], return_z=return_z,
+            ):
+                xphat, z = lista2d_fused(
+                    yp, A_f, B_f, params["t"], c,
+                    stride=self.s, mask=mask, return_z=return_z,
+                )
+                return post_process(xphat, prm), z
         z = lista_2d(
             yp, A_f, B_f, params["t"], c, mask=mask, stride=self.s, unroll=self.scan_unroll
         )

@@ -42,9 +42,27 @@ def _unflatten(prefix: str, template, data: dict):
             leaves.append(arr)
         else:
             leaves.append(leaf)
-    return jax.tree_util.tree_unflatten(treedef, [leaf for _, leaf in paths]) if False else (
-        jax.tree_util.tree_unflatten(treedef, leaves)
-    )
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# --- orbax async backend (SURVEY.md §5: preemption-safe checkpointing) ---
+_ORBAX = None
+
+
+def _orbax_ckptr():
+    global _ORBAX
+    if _ORBAX is None:
+        import orbax.checkpoint as ocp
+
+        _ORBAX = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ORBAX
+
+
+def wait_for_checkpoints():
+    """Block until any in-flight async (orbax) checkpoint save completes.
+    Call before process exit or before restoring the same path."""
+    if _ORBAX is not None:
+        _ORBAX.wait_until_finished()
 
 
 def save_ckpt(path: str, params, epoch: int = 0, opt_state=None, lr: float = None, extra: dict = None):
@@ -56,6 +74,15 @@ def save_ckpt(path: str, params, epoch: int = 0, opt_state=None, lr: float = Non
     if extra:
         meta.update(extra)
     data["meta::json"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    if path.endswith(".orbax"):
+        # async: returns as soon as arrays are snapshotted off the live
+        # buffers; the write completes in a background thread (safe against
+        # preemption between epochs — a torn write never replaces the
+        # previous complete checkpoint directory)
+        ckptr = _orbax_ckptr()
+        ckptr.wait_until_finished()
+        ckptr.save(os.path.abspath(path), data, force=True)
+        return
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez(path if path.endswith(".npz") else path + ".npz", **data)
 
@@ -65,6 +92,8 @@ def _resolve(path: str) -> str:
         return path
     if os.path.exists(path + ".npz"):
         return path + ".npz"
+    if os.path.exists(path + ".orbax"):
+        return path + ".orbax"
     raise FileNotFoundError(path)
 
 
@@ -77,8 +106,13 @@ def load_ckpt(path: str, params_template, opt_state_template=None):
             "torch checkpoints are imported via compat.import_net_state with a "
             "model config; load_ckpt handles native .npz bundles"
         )
-    with np.load(path) as data:
-        data = dict(data)
+    if path.endswith(".orbax"):
+        ckptr = _orbax_ckptr()
+        ckptr.wait_until_finished()
+        data = {k: np.asarray(v) for k, v in ckptr.restore(os.path.abspath(path)).items()}
+    else:
+        with np.load(path) as data:
+            data = dict(data)
     meta = json.loads(bytes(data.pop("meta::json"))) if "meta::json" in data else {}
     params = _unflatten("p::", params_template, data)
     opt_state = None

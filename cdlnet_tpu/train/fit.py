@@ -34,6 +34,7 @@ from cdlnet_tpu.data.noise import awgn, awgn3d, gen_bayer_mask, gen_bayer_mask3d
 from cdlnet_tpu.data.prefetch import device_prefetch
 from cdlnet_tpu.models.base import build_model
 from cdlnet_tpu.train.checkpoint import load_ckpt, save_ckpt, save_args
+from cdlnet_tpu.utils import maybe_start_trace, stop_trace, trace_span
 from cdlnet_tpu.train.losses import combined_loss, mse_loss
 from cdlnet_tpu.train.optim import get_lr, make_optimizer, set_lr, steplr_value
 
@@ -64,10 +65,17 @@ def init_model(args: dict, seed: int = 0):
     opt_state = opt.init(trainable)
     epoch0 = 0
 
-    if ckpt_path is not None and os.path.exists(ckpt_path) or (
-        ckpt_path is not None and os.path.exists(str(ckpt_path) + ".npz")
+    if ckpt_path is not None and (
+        os.path.exists(ckpt_path)
+        or os.path.exists(str(ckpt_path) + ".npz")
+        or os.path.exists(str(ckpt_path) + ".orbax")
     ):
-        if str(ckpt_path).endswith((".npz",)) or os.path.exists(str(ckpt_path) + ".npz"):
+        native = (
+            str(ckpt_path).endswith((".npz", ".orbax"))
+            or os.path.exists(str(ckpt_path) + ".npz")
+            or os.path.exists(str(ckpt_path) + ".orbax")
+        )
+        if native:
             params, opt_state, epoch0, lr_saved = load_ckpt(ckpt_path, params, opt_state)
             if lr_saved is not None:
                 opt_state = set_lr(opt_state, lr_saved)
@@ -169,9 +177,11 @@ def fit(
     epoch_fun=None,
     seed=0,
     project=True,
+    ckpt_format="npz",  # "npz" | "orbax" (async, preemption-safe)
 ):
     """Fit model to data. Returns (params, opt_state, history)."""
     os.makedirs(save_dir, exist_ok=True)
+    ckpt_ext = ".orbax" if ckpt_format == "orbax" else ""
     if not isinstance(noise_std, (list, tuple)):
         noise_std = (noise_std, noise_std)
 
@@ -186,7 +196,7 @@ def fit(
         mcsure=False, loss_type="mse", project=project,
     )
 
-    ckpt0 = os.path.join(save_dir, "0.ckpt")
+    ckpt0 = os.path.join(save_dir, "0.ckpt" + ckpt_ext)
     save_ckpt(ckpt0, params, 0, opt_state, get_lr(opt_state))
 
     top_psnr = {"train": 0.0, "val": 0.0, "test": 0.0}
@@ -206,15 +216,22 @@ def fit(
                 continue
             psnr, count, last_loss = 0.0, 0, 0.0
             t_start = time.time()
+            # first trained epoch goes to $CDLNET_PROFILE_DIR when set
+            tracing = (
+                phase == "train" and epoch == start_epoch and maybe_start_trace()
+            )
             for batch in device_prefetch(loaders[phase]):
                 key, sub = jax.random.split(key)
-                if phase == "train":
-                    params, opt_state, loss = train_step(params, opt_state, batch, sub)
-                else:
-                    loss = eval_step(params, batch, sub)
-                last_loss = float(loss)
+                with trace_span(f"{phase}_step"):
+                    if phase == "train":
+                        params, opt_state, loss = train_step(params, opt_state, batch, sub)
+                    else:
+                        loss = eval_step(params, batch, sub)
+                    last_loss = float(loss)
                 psnr += -10.0 * math.log10(max(last_loss, 1e-30))
                 count += 1
+            if tracing:
+                stop_trace()
             psnr /= max(count, 1)
             if verbose:
                 print(
@@ -236,7 +253,7 @@ def fit(
                 f.write(f"{psnr:.3f}, ")
 
         if diverged:
-            ckpt_path = os.path.join(save_dir, "net.ckpt")
+            ckpt_path = os.path.join(save_dir, "net.ckpt" + ckpt_ext)
             if epoch <= save_freq:
                 ckpt_path = ckpt0
             print(f"Loss has diverged. Backtracking to {ckpt_path} ...")
@@ -262,11 +279,14 @@ def fit(
                 print(f"Updated Learning Rate(s): {get_lr(opt_state):.3e}")
 
         if epoch % save_freq == 0:
-            ckpt_path = os.path.join(save_dir, "net.ckpt")
+            ckpt_path = os.path.join(save_dir, "net.ckpt" + ckpt_ext)
             save_ckpt(ckpt_path, params, epoch, opt_state, get_lr(opt_state))
             if epoch_fun is not None:
                 epoch_fun(epoch)
 
         epoch += 1
 
+    from cdlnet_tpu.train.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()
     return params, opt_state, history

@@ -30,6 +30,53 @@ def setup_compilation_cache(path: str | None = None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    setup_debug()
+
+
+def setup_debug():
+    """Debug/observability switches (reference has none; SURVEY.md §5):
+
+    CDLNET_DEBUG_NANS=1   jax.config.debug_nans — fail loudly at the op that
+                          produced a NaN instead of training through it
+    CDLNET_LOG_COMPILES=1 log every XLA compilation (recompile hunting)
+    """
+    import jax
+
+    if os.environ.get("CDLNET_DEBUG_NANS"):
+        jax.config.update("jax_debug_nans", True)
+    if os.environ.get("CDLNET_LOG_COMPILES"):
+        jax.config.update("jax_log_compiles", True)
+
+
+def trace_span(name: str):
+    """jax.profiler trace annotation (shows up as a named span in the
+    xplane/tensorboard trace). No-op context manager if unavailable."""
+    import jax
+
+    try:
+        return jax.profiler.TraceAnnotation(name)
+    except Exception:  # pragma: no cover - profiler always present in jax
+        import contextlib
+
+        return contextlib.nullcontext()
+
+
+def maybe_start_trace() -> bool:
+    """Start a jax.profiler trace into $CDLNET_PROFILE_DIR, if set."""
+    import jax
+
+    d = os.environ.get("CDLNET_PROFILE_DIR")
+    if not d:
+        return False
+    os.makedirs(d, exist_ok=True)
+    jax.profiler.start_trace(d)
+    return True
+
+
+def stop_trace():
+    import jax
+
+    jax.profiler.stop_trace()
 
 
 def psnr(a, b, data_range: float = 1.0) -> float:

@@ -177,3 +177,21 @@ def test_cdlnet_video_pallas_backend_interpret(monkeypatch):
     pr = mr.init(jax.random.PRNGKey(0), init=False)
     xr, _ = mr.apply(pr, y, 25.0)
     assert xr.shape == y.shape
+
+
+def test_gdlnet_pallas_backend_interpret(monkeypatch):
+    """GDLNet's gabor-synthesized banks run through the same fused kernel."""
+    import cdlnet_tpu.kernels.lista2d as k2d
+
+    orig = k2d.lista2d_fused
+    monkeypatch.setattr(
+        k2d, "lista2d_fused", lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    )
+    cfg = {"K": 2, "M": 8, "P": 7, "s": 2, "C": 1, "adaptive": True, "order": 1}
+    mx = build_model("GDLNet", dict(cfg))
+    mp = build_model("GDLNet", dict(cfg, backend="pallas"))
+    params = mx.init(jax.random.PRNGKey(0), init=True)
+    y = jax.random.uniform(jax.random.PRNGKey(1), (1, 1, 32, 32), jnp.float32)
+    x_ref, _ = mx.apply(params, y, 25.0)
+    x_got, _ = mp.apply(params, y, 25.0)
+    np.testing.assert_allclose(np.asarray(x_got), np.asarray(x_ref), atol=1e-5)

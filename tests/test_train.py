@@ -182,3 +182,36 @@ def test_fit_csr_runs(tmp_path):
     assert len(history) >= 2
     assert os.path.exists(tmp_path / "net_epoch_1.ckpt.npz")
     assert np.isfinite(np.asarray(params["A"])).all()
+
+
+def test_orbax_ckpt_roundtrip(tmp_path):
+    """Async orbax checkpoints restore params + optimizer state exactly."""
+    from cdlnet_tpu.train.checkpoint import wait_for_checkpoints
+
+    model = CDLNet(K=2, M=4, P=5, s=1, adaptive=True)
+    params = model.init(jax.random.PRNGKey(0), init=False)
+    opt = make_optimizer(1e-3, clip_grad=1.0)
+    opt_state = opt.init(params)
+    path = str(tmp_path / "net.ckpt.orbax")
+    save_ckpt(path, params, epoch=7, opt_state=opt_state, lr=3e-4)
+    wait_for_checkpoints()
+
+    p2 = jax.tree_util.tree_map(jnp.zeros_like, params)
+    o2 = opt.init(p2)
+    p2, o2, epoch, lr = load_ckpt(path, p2, o2)
+    assert epoch == 7 and abs(lr - 3e-4) < 1e-12
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_orbax_format(tmp_path):
+    model = CDLNet(K=2, M=4, P=5, s=1, adaptive=True)
+    params = model.init(jax.random.PRNGKey(0), init=True)
+    opt = make_optimizer(1e-3, clip_grad=0.05)
+    opt_state = opt.init(params)
+    loaders = make_loaders(n=4)
+    fit(model, params, opt, opt_state, loaders, save_dir=str(tmp_path),
+        epochs=2, noise_std=25, val_freq=2, save_freq=1, verbose=False,
+        ckpt_format="orbax")
+    import os
+    assert os.path.isdir(os.path.join(str(tmp_path), "net.ckpt.orbax"))
