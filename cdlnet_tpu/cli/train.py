@@ -55,6 +55,9 @@ def main(args: dict):
         loss_type = "combmse"
     sched = args["train"].get("sched")
     save_dir = args["paths"]["save"]
+    # optional scale-out block (not in the reference schema):
+    #   "dist": {"mesh": {"data": -1}}
+    mesh = args.get("dist", {}).get("mesh")
 
     if mtype in ("CDLNet_CSR", "CDLNet_CSRf2"):
         from cdlnet_tpu.train.fit_csr import fit_csr
@@ -83,6 +86,7 @@ def main(args: dict):
         workload=workload,
         loss_type=loss_type,
         sched=sched,
+        mesh=mesh,
         epoch_fun=lambda ep: save_args(args, save_dir),
         **fit_args,
     )

@@ -178,10 +178,40 @@ def fit(
     seed=0,
     project=True,
     ckpt_format="npz",  # "npz" | "orbax" (async, preemption-safe)
+    mesh=None,  # dict mesh spec (e.g. {"data": -1}) or jax.sharding.Mesh
 ):
-    """Fit model to data. Returns (params, opt_state, history)."""
+    """Fit model to data. Returns (params, opt_state, history).
+
+    mesh: enables data-parallel training — params/optimizer state are
+    replicated, every batch is sharded on dim 0 across the mesh's "data"
+    axis, and XLA inserts the gradient all-reduce over ICI from the
+    shardings (SURVEY.md §2.5). Batch sizes must be divisible by the data
+    axis size. The reference is single-device (train.py:15-16).
+    """
     os.makedirs(save_dir, exist_ok=True)
     ckpt_ext = ".orbax" if ckpt_format == "orbax" else ""
+
+    shard_batch = None
+    if mesh is not None:
+        from cdlnet_tpu.dist.mesh import make_mesh
+        from cdlnet_tpu.dist.sharding import batch_sharding, replicate_sharding
+
+        if isinstance(mesh, dict):
+            mesh = make_mesh(mesh)
+        repl = replicate_sharding(mesh)
+        bsh = batch_sharding(mesh)
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+        ndata = mesh.shape["data"]
+
+        def shard_batch(b):
+            b = jnp.asarray(b)
+            if b.shape[0] % ndata:
+                raise ValueError(
+                    f"batch size {b.shape[0]} not divisible by data-parallel "
+                    f"axis size {ndata} — adjust train.loaders.batch_size"
+                )
+            return jax.device_put(b, bsh)
     if not isinstance(noise_std, (list, tuple)):
         noise_std = (noise_std, noise_std)
 
@@ -222,6 +252,8 @@ def fit(
             )
             for batch in device_prefetch(loaders[phase]):
                 key, sub = jax.random.split(key)
+                if shard_batch is not None and phase == "train":
+                    batch = shard_batch(batch)
                 with trace_span(f"{phase}_step"):
                     if phase == "train":
                         params, opt_state, loss = train_step(params, opt_state, batch, sub)

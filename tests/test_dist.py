@@ -89,3 +89,39 @@ def test_depth_sharded_rejects_bad_depth():
     y = jnp.zeros((1, 1, 12, 16, 16))  # 12 % (4*2) != 0
     with pytest.raises(ValueError):
         sharded_lista_3d_forward(model, params, y, 25.0, mesh=mesh)
+
+
+def test_fit_with_mesh_runs_and_improves(tmp_path):
+    """fit(mesh={"data": -1}) trains data-parallel over the 8 virtual CPU
+    devices: runs, improves PSNR, and keeps checkpoints restorable."""
+    from tests.test_train import make_loaders
+    from cdlnet_tpu.models import CDLNet
+    from cdlnet_tpu.train.fit import fit
+    from cdlnet_tpu.train.optim import make_optimizer
+
+    model = CDLNet(K=2, M=6, P=5, s=1, adaptive=True)
+    params = model.init(jax.random.PRNGKey(0), init=True)
+    opt = make_optimizer(1e-3, clip_grad=0.05)
+    opt_state = opt.init(params)
+    loaders = make_loaders(n=8, bs=8)  # divisible by the 8-device data axis
+    params, opt_state, history = fit(
+        model, params, opt, opt_state, loaders, save_dir=str(tmp_path),
+        epochs=4, noise_std=25, val_freq=4, save_freq=1, verbose=False,
+        mesh={"data": -1},
+    )
+    train_psnrs = [p for e, ph, p in history if ph == "train"]
+    assert train_psnrs[-1] > train_psnrs[0], train_psnrs
+
+
+def test_fit_with_mesh_rejects_indivisible_batch(tmp_path):
+    from tests.test_train import make_loaders
+    from cdlnet_tpu.models import CDLNet
+    from cdlnet_tpu.train.fit import fit
+    from cdlnet_tpu.train.optim import make_optimizer
+
+    model = CDLNet(K=2, M=4, P=5, s=1)
+    params = model.init(jax.random.PRNGKey(0), init=False)
+    opt = make_optimizer(1e-3)
+    with pytest.raises(ValueError, match="not divisible"):
+        fit(model, params, opt, opt.init(params), make_loaders(n=6, bs=3),
+            save_dir=str(tmp_path), epochs=1, verbose=False, mesh={"data": -1})
