@@ -20,6 +20,38 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def subband_shardings(params: dict, mesh: Mesh, axis: str = "model") -> dict:
+    """Tensor parallelism over the M (subband) dimension: each device holds
+    a slice of every filter bank and threshold bank. SURVEY.md §2.5 marks
+    this optional at M<=169; it becomes useful for wider dictionaries.
+
+    The per-iteration math is TP-clean: the analysis conv's OUTPUT channels
+    are M (sharded, no comm), ST/thresholds are per-subband (no comm), and
+    the synthesis conv contracts over M — GSPMD inserts the one psum per
+    iteration there. Returns a NamedSharding pytree matching `params`:
+    banks stacked (K, M, ...) shard dim 1; threshold banks (K, 2, M, ...)
+    shard dim 2.
+    """
+    out = {}
+    for k, v in params.items():
+        if isinstance(v, dict):  # residual blocks: convs (K, M, M, 3, 3, 3)
+            out[k] = {
+                kk: NamedSharding(mesh, P(None, axis)) for kk in v
+            }
+            continue
+        if v is None or not hasattr(v, "ndim"):
+            out[k] = v
+            continue
+        if k in ("A", "B", "A2", "B2"):
+            spec = P(None, axis)
+        elif k in ("t", "t2", "g", "g1", "g2"):
+            spec = P(None, None, axis)
+        else:
+            spec = P()
+        out[k] = NamedSharding(mesh, spec)
+    return out
+
+
 def make_dp_train_step(model, opt, loss_fn, mesh: Mesh, axis: str = "data"):
     """Build a jitted data-parallel train step.
 

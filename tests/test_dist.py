@@ -125,3 +125,31 @@ def test_fit_with_mesh_rejects_indivisible_batch(tmp_path):
     with pytest.raises(ValueError, match="not divisible"):
         fit(model, params, opt, opt.init(params), make_loaders(n=6, bs=3),
             save_dir=str(tmp_path), epochs=1, verbose=False, mesh={"data": -1})
+
+
+def test_subband_tp_forward_parity():
+    """M-sharded (tensor-parallel) CDLNet forward matches the replicated
+    forward — GSPMD inserts the synthesis psum from the shardings alone."""
+    from cdlnet_tpu.dist.sharding import replicate_sharding, subband_shardings
+
+    mesh = make_mesh({"model": 8})
+    model = CDLNet(K=3, M=16, P=5, s=2, adaptive=True)
+    params = model.init(jax.random.PRNGKey(0), init=True)
+    y = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 32, 32), jnp.float32)
+
+    fwd = jax.jit(lambda p, y: model.apply(p, y, 25.0)[0])
+    x_ref = fwd(params, y)
+
+    shardings = subband_shardings(params, mesh, axis="model")
+    params_tp = jax.device_put(params, shardings)
+    y_tp = jax.device_put(y, replicate_sharding(mesh))
+    x_tp = fwd(params_tp, y_tp)
+    np.testing.assert_allclose(np.asarray(x_tp), np.asarray(x_ref), atol=2e-5)
+
+
+def test_make_hybrid_mesh_single_slice():
+    from cdlnet_tpu.dist.init import initialize_distributed, make_hybrid_mesh
+
+    assert initialize_distributed() is False  # single-process no-op
+    mesh = make_hybrid_mesh({"data": 2, "depth": -1})
+    assert dict(mesh.shape) == {"replica": 1, "data": 2, "depth": 4}
