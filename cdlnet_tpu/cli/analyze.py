@@ -86,6 +86,10 @@ def test(model, params, loader, noise_levels, blind, save_dir, save, demosaic):
         os.makedirs(os.path.join(save_dir, "test_output"), exist_ok=True)
 
     adaptive = getattr(model, "adaptive", False)
+    # jit per input shape (cached across the sigma sweep; datasets with
+    # uniform image sizes compile once)
+    fwd = jax.jit(lambda p, y, s, m: model.apply(p, y, s, mask=m))
+    fwd_nos = jax.jit(lambda p, y, m: model.apply(p, y, None, mask=m))
 
     for sigma in noise_levels:
         total, count = 0.0, 0
@@ -103,7 +107,7 @@ def test(model, params, loader, noise_levels, blind, save_dir, save, demosaic):
                     s = jnp.asarray(s).reshape(-1, 1, 1, 1) if jnp.ndim(s) else s
             else:
                 s = None
-            out = model.apply(params, y, s, mask=mask)
+            out = fwd(params, y, s, mask) if s is not None else fwd_nos(params, y, mask)
             xhat = out[0] if not isinstance(out[0], tuple) else out[0][0]
             total += psnr_fn(np.asarray(x), np.asarray(xhat))
             count += 1

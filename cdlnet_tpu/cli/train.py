@@ -71,6 +71,7 @@ def main(args: dict):
             save_dir=save_dir,
             start_epoch=epoch0 + 1,
             sched=sched,
+            mesh=mesh,
             epoch_fun=lambda ep: save_args(args, save_dir),
             **fit_args,
         )

@@ -102,9 +102,29 @@ def fit_csr(
     project=False,
     mcsure=False,  # accepted for schema parity; CSR has no MC-SURE path
     demosaic=False,
+    mesh=None,  # data-parallel mesh spec or Mesh (see fit())
     **_ignored,
 ):
     os.makedirs(save_dir, exist_ok=True)
+    shard_batch = None
+    if mesh is not None:
+        from cdlnet_tpu.dist.mesh import make_mesh
+        from cdlnet_tpu.dist.sharding import batch_sharding, replicate_sharding
+
+        if isinstance(mesh, dict):
+            mesh = make_mesh(mesh)
+        params = jax.device_put(params, replicate_sharding(mesh))
+        opt_state = jax.device_put(opt_state, replicate_sharding(mesh))
+        bsh = batch_sharding(mesh)
+        ndata = mesh.shape["data"]
+
+        def shard_batch(b):
+            b = jnp.asarray(b)
+            if b.shape[0] % ndata:
+                raise ValueError(
+                    f"batch size {b.shape[0]} not divisible by data axis {ndata}"
+                )
+            return jax.device_put(b, bsh)
     if not isinstance(noise_std, (list, tuple)):
         noise_std = (noise_std, noise_std)
     train_step, _ = make_csr_train_step(model, opt, noise_std=noise_std, project=project)
@@ -128,6 +148,8 @@ def fit_csr(
             for batch in device_prefetch(loaders[phase]):
                 key, sub = jax.random.split(key)
                 if phase == "train":
+                    if shard_batch is not None:
+                        batch = shard_batch(batch)
                     params, opt_state, loss = train_step(params, opt_state, batch, sub)
                 else:
                     loss = eval_step(params, batch, sub)

@@ -131,6 +131,27 @@ def img_save(path: str, arr, clamp: bool = True):
         Image.fromarray(a.transpose(1, 2, 0), mode="RGB").save(path)
 
 
+def save_gif(path: str, frames, fps: int = 8, clamp: bool = True):
+    """Write a (D, H, W) or (C, D, H, W) [0,1] array as an animated GIF
+    (reference syn_data/visual.py:9-31 counterpart)."""
+    from PIL import Image
+
+    a = np.asarray(frames, np.float32)
+    if a.ndim == 4:  # (C, D, H, W) -> (D, H, W[, C])
+        a = a.transpose(1, 2, 3, 0)
+        if a.shape[-1] == 1:
+            a = a[..., 0]
+    if clamp:
+        a = np.clip(a, 0.0, 1.0)
+    a = (a * 255).round().astype(np.uint8)
+    mode = "L" if a.ndim == 3 else "RGB"
+    imgs = [Image.fromarray(f, mode=mode) for f in a]
+    imgs[0].save(
+        path, save_all=True, append_images=imgs[1:],
+        duration=int(1000 / fps), loop=0,
+    )
+
+
 def make_grid(filters: np.ndarray, nrow: int, padding: int = 2, normalize_each: bool = False,
               value_range=None) -> np.ndarray:
     """Tile a (B, C, h, w) filter stack into one (C, H, W) grid image

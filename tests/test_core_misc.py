@@ -81,3 +81,17 @@ def test_power_method_known_operator():
     eig, b, ok = power_method(A, b0, num_iter=500, tol=1e-9)
     assert float(eig) == __import__("pytest").approx(3.0, rel=1e-4)
     assert bool(ok)
+
+
+def test_save_gif(tmp_path):
+    from cdlnet_tpu.utils import save_gif
+
+    frames = np.random.default_rng(0).uniform(0, 1, (4, 16, 16)).astype(np.float32)
+    p = str(tmp_path / "clip.gif")
+    save_gif(p, frames)
+    from PIL import Image
+
+    with Image.open(p) as im:
+        assert im.n_frames == 4
+    # (C, D, H, W) grayscale form
+    save_gif(str(tmp_path / "c.gif"), frames[None])
