@@ -19,6 +19,22 @@ from cdlnet_tpu.data.images import IMG_EXTS, _load_image
 from cdlnet_tpu.data.loader import DataLoader
 
 
+def _resize(img: np.ndarray, size) -> np.ndarray:
+    """Bilinear-resize a (C, H, W) [0,1] array to size=(W, H) via PIL."""
+    from PIL import Image
+
+    w, h = size
+    chans = [
+        np.asarray(
+            Image.fromarray((c * 255).astype(np.uint8)).resize((w, h), Image.BILINEAR),
+            np.float32,
+        )
+        / 255.0
+        for c in img
+    ]
+    return np.stack(chans, axis=0)
+
+
 class VideoClipDataset:
     def __init__(
         self,
@@ -104,6 +120,13 @@ class VideoClipDataset:
                         crop = (cx, cy, cw, ch)
                     cx, cy, cw, ch = crop
                     img = img[:, cy : cy + ch, cx : cx + cw]
+                elif not self.test and img.shape[1:] != self.image_size[::-1]:
+                    # the reference decides to "apply cropping or resizing"
+                    # (data3d.py:117) but never wrote the resize branch, so
+                    # non-cropped samples keep their full resolution and
+                    # torch.stack crashes at batch collation for any video
+                    # larger than the crop; implement the intended resize
+                    img = _resize(img, self.image_size)
                 frames.append(img)
 
         return np.ascontiguousarray(np.stack(frames, axis=1))  # (C, D, H, W)

@@ -229,7 +229,11 @@ def fit(
     ckpt0 = os.path.join(save_dir, "0.ckpt" + ckpt_ext)
     save_ckpt(ckpt0, params, 0, opt_state, get_lr(opt_state))
 
-    top_psnr = {"train": 0.0, "val": 0.0, "test": 0.0}
+    # reference initializes bests to 0 (train.py:59), which livelocks the
+    # backtracking loop if PSNR is ever legitimately negative (epoch 1 can
+    # then never set a best): start at -inf so divergence is only declared
+    # relative to an actually recorded best
+    top_psnr = {"train": -math.inf, "val": -math.inf, "test": -math.inf}
     history = []
     key = jax.random.PRNGKey(seed)
     epoch = start_epoch
