@@ -34,7 +34,11 @@ import jax.numpy as jnp
 
 from cdlnet_tpu.ops import polyphase as pp
 
-_VMEM_BUDGET = int(15.75 * 1024 * 1024)  # ~16MB/core minus Mosaic overhead
+# Usable VMEM on this part probed >100 MB (see kernels/lista3d.py), far
+# above the classic ~16 MB guideline; the budget gates the whole-image
+# fused kernel (e.g. BSD68-size 481x321 eval images now fit; 512x512 still
+# falls back to the XLA path).
+_VMEM_BUDGET = int(100 * 1024 * 1024)
 
 
 def _tap_geometry(P, pads, s):
@@ -284,6 +288,9 @@ def lista2d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=False,
             pltpu.VMEM((Cp, L), jnp.float32),       # r
             pltpu.VMEM((T * Cp, L), jnp.float32),   # stack
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(y2, m2, tau, A2m, B2m, acolm, arowm, scolm, srowm)
 

@@ -1,28 +1,28 @@
 """Fused Pallas TPU kernels for the 3D (video) LISTA iteration.
 
-The 3D flagship's code tensor (M=169 subbands over a Dc x Hc x Wc code
-grid) is ~22 MB fp32 — too big to keep VMEM-resident across all K
-iterations like the 2D kernel (kernels/lista2d.py). Instead each iteration
-runs as two Pallas calls under a lax.scan, gridded over (batch, depth
-slice), so z streams through HBM exactly once per iteration in bf16:
+Two execution strategies, picked by working-set size:
 
-  kernel A (synthesis+residual): r[d] = mask * (B_k z)[d] - y2[d]
-  kernel B (analysis+threshold):  z[d] = ST(z[d] - (A_k r)[d], tau_k)
+1. Whole-K-resident (_kernel_resident, opt-in CDLNET_LISTA3D_RESIDENT=1):
+   the code tensor z
+   (Dc, Mp, Lhw) and both weight banks live in VMEM for ALL K iterations —
+   HBM sees the clip's inputs/outputs and weights once, independent of K.
+   fp32 throughout (exact vs the XLA scan). This part's usable VMEM probed
+   >100 MB, far above the classic ~16 MB guideline, which is what makes the
+   ~23 MB flagship code tensor residency possible.
 
-Depth taps are NOT rolled: each program receives Qd clamped views of the
-depth axis via BlockSpec index maps (z[d+dq] for every depth offset dq),
-with out-of-range contributions zeroed by a per-(d, dq) validity factor —
-the zero-padding semantics of the reference's Conv3d/ConvTranspose3d
-(model/net.py:137-144). In-plane taps reuse the 2D machinery: factored
-row/column lane-rolls over the flattened (Hc*Wc) axis with border masks,
-and per-tap matmuls (analysis stacks its windows to a T*Cp-deep MXU
-contraction — 384 for the flagship).
+2. Per-iteration pair (fallback for big clips): each iteration is two
+   Pallas calls under a lax.scan — synthesis+residual then
+   analysis+threshold — gridded over (batch, depth slice), z streamed
+   through HBM once per iteration in bfloat16 (~0.5% code deviation,
+   <0.02 dB PSNR on trained models). Depth taps arrive as Qd clamped
+   BlockSpec views with validity zeroing (the reference Conv3d's zero-pad
+   semantics, model/net.py:137-144).
 
-z is carried in bfloat16 (dots accumulate fp32 via preferred_element_type;
-ST and the residual run fp32). Measured deviation vs the fp32 XLA path is
-~1e-3 absolute on O(1) codes — well under 0.05 dB on denoising PSNR.
-Inference-only (no custom VJP); CDLNetVideo falls back to the XLA scan for
-training, residual-block variants, and shapes that do not fit.
+Both express the in-plane taps as factored row/column lane-rolls over the
+flattened (Hc*Wc) axis with border masks, feeding per-tap matmuls; the
+analysis stacks its windows into a T*Cp-deep MXU contraction (384 at the
+flagship config). Inference-only (no custom VJP); CDLNetVideo falls back to
+the XLA scan for training and residual-block variants.
 """
 
 from __future__ import annotations
@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 from cdlnet_tpu.kernels.lista2d import _axis_masks
 from cdlnet_tpu.ops import polyphase as pp
 
-_VMEM_BUDGET = int(15.0 * 1024 * 1024)
+_VMEM_BUDGET = int(100 * 1024 * 1024)  # probed >100 MB usable on this part
 
 
 def _geom(P, pads, s):
@@ -47,7 +47,9 @@ def _geom(P, pads, s):
 
 
 def lista3d_fused_supported(M, C, P, s, K, D, H, W, residual=None) -> bool:
-    """VMEM-fit and applicability check for the fused 3D iteration."""
+    """Applicability check for the fused 3D paths (resident or iteration
+    pair). The iteration-pair fallback fits whenever the per-slice working
+    set does; it is the binding constraint only for very large frames."""
     if residual is not None:
         return False  # per-iteration ResidualBlocks take the XLA path
     if D % s or H % s or W % s:
@@ -59,14 +61,13 @@ def lista3d_fused_supported(M, C, P, s, K, D, H, W, residual=None) -> bool:
     Cp = C * s**3
     Lhw = (H // s) * (W // s)
     T = Qd * Qh * Qw
-    # kernel A (grid N, Dc, Qd): one z view (bf16, double-buffered) + its
-    # f32 upcast + one rolled f32 copy + per-tap weights
-    a = 2 * M * Lhw * 2 + 2 * M * Lhw * 4 + Qh * Qw * Cp * M * 4
-    # kernel B (grid N, Dc): stack + Qd r views + z block + u transient + weights
-    b = T * Cp * Lhw * 2 + Qd * 2 * Cp * Lhw * 4 + 2 * M * Lhw * 2 \
-        + M * Lhw * 4 + M * T * Cp * 2
+    Mp = -(-M // 8) * 8
+    # iteration pair, kernel B is the bigger one: stack + r views + z
+    # blocks + u transient + weights
+    b = T * Cp * Lhw * 2 + Qd * 2 * Cp * Lhw * 4 + 2 * Mp * Lhw * 2 \
+        + Mp * Lhw * 4 + Mp * T * Cp * 2
     masks = 4 * (Qh + Qw) * Lhw * 4
-    return max(a, b) + masks < _VMEM_BUDGET
+    return b + masks < _VMEM_BUDGET
 
 
 def _kernel_syn(z_ref, y2_ref, m2_ref, B2m_ref, scol_ref, srow_ref, r_ref,
@@ -133,6 +134,7 @@ def _kernel_ana(*refs, Qd, Qh, Qw, Cp, Wc, dlo, hlo, wlo):
 
     rviews = refs[:Qd]
     z_ref, A2m_ref, tau_ref, acol_ref, arow_ref, zout_ref, stack_ref = refs[Qd:]
+    # tau block (1, 1, M)
     d = pl.program_id(1)
     Dc = pl.num_programs(1)
     Lhw = z_ref.shape[-1]
@@ -157,10 +159,127 @@ def _kernel_ana(*refs, Qd, Qh, Qw, Cp, Wc, dlo, hlo, wlo):
         preferred_element_type=jnp.float32,
     )
     zn = z_ref[0, 0].astype(jnp.float32) - u
-    tau = tau_ref[0][:, None]
+    tau = tau_ref[0, 0][:, None]
     zout_ref[0, 0] = (jnp.sign(zn) * jnp.maximum(jnp.abs(zn) - tau, 0.0)).astype(
         zout_ref.dtype
     )
+
+
+def _kernel_resident(y2_ref, m2_ref, A2m_ref, B2m_ref, tau_ref, acol_ref,
+                     arow_ref, scol_ref, srow_ref, *out_and_scratch,
+                     K, Dc, Qd, Qh, Qw, Cp, Wc, dlo, hlo, wlo,
+                     use_mask, return_z):
+    if return_z:
+        x2_ref, z_out_ref, z_ref, r_ref, stack_ref, u_ref = out_and_scratch
+    else:
+        x2_ref, z_ref, r_ref, stack_ref, u_ref = out_and_scratch
+        z_out_ref = None
+    """Whole-K-loop fused 3D LISTA: the code tensor z (Dc, Mp, Lhw) stays in
+    VMEM across ALL K iterations — HBM sees y2, the weight banks, and the
+    final synthesis once per clip, independent of K. Feasible because this
+    part's VMEM is far larger than the classic ~16 MB guideline (probed
+    >100 MB usable); lista3d_fused picks this kernel whenever the working
+    set fits and falls back to the per-iteration view-blocked pair.
+
+    Grid (N,). fori_loop over k with dynamic weight indexing; depth loop is
+    python-unrolled (static slices into the z scratch, static zero-pad
+    boundary handling). fp32 throughout — no bf16 carry, so this path is
+    exact vs the XLA scan to fp32-reassociation tolerance.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    Lhw = y2_ref.shape[-1]
+    Mp = z_ref.shape[1]
+    T = Qd * Qh * Qw
+    OFFS = [j - (Qd - 1) - dlo for j in range(Qd)]  # synthesis depth offsets
+    OFFA = [dlo + j for j in range(Qd)]             # analysis depth offsets
+
+    def roll(buf, off):
+        return pltpu.roll(buf, (-off) % Lhw, 1) if off % Lhw else buf
+
+    def st(u, tau):
+        return jnp.sign(u) * jnp.maximum(jnp.abs(u) - tau, 0.0)
+
+    def synthesis_into_r(k, sub_y):
+        """r[d] <- [mask *] sum_taps B2m[k] z [- y2[d]] for all d. fori over
+        depth (dynamic slices into the z scratch; out-of-range taps read a
+        clamped slice and are zeroed by the validity factor) — a static
+        depth unroll made Mosaic compile times explode."""
+
+        def dstep(d, _):
+            acc = jnp.zeros((Cp, Lhw), jnp.float32)
+            for j, off in enumerate(OFFS):
+                s_ = d + off
+                valid = jnp.where(
+                    jnp.logical_and(s_ >= 0, s_ < Dc), 1.0, 0.0
+                )
+                sc = jnp.clip(s_, 0, Dc - 1)
+                part = jnp.zeros((Cp, Lhw), jnp.float32)
+                for ri in range(Qw):
+                    zc = roll(z_ref[sc], ri - (Qw - 1) - wlo) * scol_ref[ri][None, :]
+                    for qi in range(Qh):
+                        dmat = jax.lax.dot_general(
+                            B2m_ref[k, j, qi * Qw + ri], zc,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        part += roll(dmat, (qi - (Qh - 1) - hlo) * Wc) * srow_ref[qi][None, :]
+                acc += valid * part
+            if sub_y:
+                if use_mask:
+                    acc = m2_ref[0, d] * acc
+                acc = acc - y2_ref[0, d]
+            r_ref[d] = acc
+            return 0
+
+        jax.lax.fori_loop(0, Dc, dstep, 0)
+
+    def analysis_update(k, from_y):
+        """z[d] <- ST(z[d] - A2m[k] stack(r)[d], tau[k]); from_y uses -y2 as
+        the residual and 0 as the previous code (the k=0 initialization)."""
+
+        def dstep(d, _):
+            for j, off in enumerate(OFFA):
+                s_ = d + off
+                valid = jnp.where(
+                    jnp.logical_and(s_ >= 0, s_ < Dc), 1.0, 0.0
+                )
+                sc = jnp.clip(s_, 0, Dc - 1)
+                src = (-y2_ref[0, sc]) if from_y else r_ref[sc]
+                src = valid * src
+                for qi in range(Qh):
+                    rowed = roll(src, (hlo + qi) * Wc) * arow_ref[qi][None, :]
+                    for ri in range(Qw):
+                        t_ = (j * Qh + qi) * Qw + ri
+                        stack_ref[t_ * Cp : (t_ + 1) * Cp] = (
+                            roll(rowed, wlo + ri) * acol_ref[ri][None, :]
+                        )
+            u_ref[:] = jax.lax.dot_general(
+                A2m_ref[k], stack_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            tau = tau_ref[0, k][:, None]
+            prev = jnp.zeros((Mp, Lhw), jnp.float32) if from_y else z_ref[d]
+            z_ref[d] = st(prev - u_ref[:], tau)
+            return 0
+
+        jax.lax.fori_loop(0, Dc, dstep, 0)
+
+    # k = 0: z = ST(A0 y2, tau0) == ST(0 - A0 (-y2), tau0)
+    analysis_update(0, from_y=True)
+
+    def body(k, _):
+        synthesis_into_r(k, sub_y=True)
+        analysis_update(k, from_y=False)
+        return 0
+
+    jax.lax.fori_loop(1, K, body, 0)
+
+    # final dictionary synthesis with B[0]
+    synthesis_into_r(0, sub_y=False)
+    x2_ref[0] = r_ref[...]
+    if return_z:
+        z_out_ref[0] = z_ref[...]
 
 
 def _depth_view_specs(Qd, offs, block, Dc, pltpu):
@@ -215,6 +334,15 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
     # synthesis: (K, Qd, Qh*Qw, Cp, M), flipped-tap layout from B2t
     B2m = B2t.transpose(0, 3, 4, 5, 2, 1).reshape(K, Qd, Qh * Qw, Cp, M)
 
+    # pad the subband dim to the sublane tile so DMA slices of the z array
+    # stay aligned (Mosaic: "slice must be aligned to tiling (8)"); padded
+    # rows are exact no-ops — zero analysis rows keep z_pad at ST(0)=0, and
+    # zero synthesis columns contribute nothing
+    Mp = -(-M // 8) * 8
+    if Mp != M:
+        A2m = jnp.pad(A2m, ((0, 0), (0, Mp - M), (0, 0)))
+        B2m = jnp.pad(B2m, ((0, 0), (0, 0), (0, 0), (0, 0), (0, Mp - M)))
+
     # data in (N, Dc, ch, Lhw) layout, z carried bf16
     y5 = pp.space_to_depth(yp, s, 3)  # (N, Cp, Dc, Hc, Wc)
     y2 = y5.transpose(0, 2, 1, 3, 4).reshape(N, Dc, Cp, Lhw)
@@ -233,6 +361,8 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
     tau = (
         t[None, :, 0, :, 0, 0, 0] + c_arr[:, None, None] * t[None, :, 1, :, 0, 0, 0]
     )  # (N, K, M)
+    if Mp != M:
+        tau = jnp.pad(tau, ((0, 0), (0, 0), (0, Mp - M)))
 
     acol = jnp.asarray(_axis_masks([wlo + ri for ri in range(Qw)], Hc, Wc, 1))
     arow = jnp.asarray(_axis_masks([hlo + qi for qi in range(Qh)], Hc, Wc, 0))
@@ -245,6 +375,73 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
 
     geom = dict(Qd=Qd, Qh=Qh, Qw=Qw, Cp=Cp, Wc=Wc, dlo=dlo, hlo=hlo, wlo=wlo)
     grid = (N, Dc)
+
+    # --- whole-K-resident path: z + weights + scratch fit in VMEM ---
+    resident_bytes = (
+        Dc * Mp * Lhw * 4            # z scratch
+        + 2 * K * Mp * T * Cp * 4    # A2m + B2m (f32, resident)
+        + T * Cp * Lhw * 4           # stack
+        + (Mp + Dc * Cp) * Lhw * 4   # u + r
+        + 4 * Dc * Cp * Lhw * 4      # y2/m2/x2 blocks (double-buffered)
+        + (4 * Dc * Mp * Lhw * 4 if return_z else 0)  # z_out blocks
+    )
+    import os
+
+    # The resident kernel eliminates the per-iteration z HBM traffic, but at
+    # the flagship size both paths are MXU-issue-bound on the synthesis dots
+    # and the iteration pair measures ~10% faster (its grid-level pipelining
+    # beats the resident kernel's dynamic depth indexing). Default to the
+    # pair; CDLNET_LISTA3D_RESIDENT=1 opts into the resident kernel (exact
+    # fp32 carry, K-independent traffic — wins for very large K).
+    want_resident = bool(os.environ.get("CDLNET_LISTA3D_RESIDENT"))
+    if want_resident and resident_bytes < 100 * 1024 * 1024:
+        A2f = A2m.astype(jnp.float32)
+        B2f = B2m.astype(jnp.float32)
+        kern = functools.partial(
+            _kernel_resident, **geom, K=K, Dc=Dc,
+            use_mask=use_mask, return_z=return_z,
+        )
+        nblock = lambda ch: pl.BlockSpec(
+            (1, Dc, ch, Lhw), lambda n: (n, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        full_ = pl.BlockSpec(memory_space=pltpu.VMEM)
+        out_specs = [nblock(Cp)]
+        out_shape = [jax.ShapeDtypeStruct((N, Dc, Cp, Lhw), jnp.float32)]
+        if return_z:
+            out_specs.append(nblock(Mp))
+            out_shape.append(jax.ShapeDtypeStruct((N, Dc, Mp, Lhw), jnp.float32))
+        outs = pl.pallas_call(
+            kern,
+            grid=(N,),
+            in_specs=[nblock(Cp),
+                      nblock(Cp) if use_mask else pl.BlockSpec(
+                          (1, 1, 1, 1), lambda n: (0, 0, 0, 0),
+                          memory_space=pltpu.VMEM),
+                      full_, full_,
+                      pl.BlockSpec((1, K, Mp), lambda n: (n, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      full_, full_, full_, full_],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((Dc, Mp, Lhw), jnp.float32),   # z
+                pltpu.VMEM((Dc, Cp, Lhw), jnp.float32),   # r
+                pltpu.VMEM((T * Cp, Lhw), jnp.float32),   # stack
+                pltpu.VMEM((Mp, Lhw), jnp.float32),       # u
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(y2, m2, A2f, B2f, tau, acol, arow, scol, srow)
+        x5 = outs[0].reshape(N, Dc, Cp, Hc, Wc).transpose(0, 2, 1, 3, 4)
+        xphat = pp.depth_to_space(x5, s, 3, C)
+        z_out = (
+            outs[1][:, :, :M].reshape(N, Dc, M, Hc, Wc).transpose(0, 2, 1, 3, 4)
+            if return_z
+            else None
+        )
+        return xphat, z_out
     bspec = lambda ch: pl.BlockSpec(
         (1, 1, ch, Lhw), lambda n, d: (n, d, 0, 0), memory_space=pltpu.VMEM
     )
@@ -259,7 +456,7 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
             (1, 1, ch, Lhw), lambda n, d, j: (n, d, 0, 0), memory_space=pltpu.VMEM
         )
         zview = pl.BlockSpec(
-            (1, 1, M, Lhw),
+            (1, 1, Mp, Lhw),
             lambda n, d, j: (n, jnp.clip(d + j - (Qd - 1) - dlo, 0, Dc - 1), 0, 0),
             memory_space=pltpu.VMEM,
         )
@@ -271,7 +468,7 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
                       bs(Cp) if use_mask else pl.BlockSpec(
                           (1, 1, 1, 1), lambda n, d, j: (0, 0, 0, 0),
                           memory_space=pltpu.VMEM),
-                      pl.BlockSpec((1, Qh * Qw, Cp, M), lambda n, d, j: (j, 0, 0, 0),
+                      pl.BlockSpec((1, Qh * Qw, Cp, Mp), lambda n, d, j: (j, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
                       full, full],
             out_specs=bs(Cp),
@@ -285,19 +482,20 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
             kern,
             grid=grid,
             in_specs=[*_depth_view_specs(Qd, ana_offs, (Cp, Lhw), Dc, pltpu),
-                      bspec(M),
+                      bspec(Mp),
                       full,
-                      pl.BlockSpec((1, M), lambda n, d: (n, 0),
+                      pl.BlockSpec((1, 1, Mp), lambda n, d: (n, 0, 0),
                                    memory_space=pltpu.VMEM),
                       full, full],
-            out_specs=bspec(M),
-            out_shape=jax.ShapeDtypeStruct((N, Dc, M, Lhw), z_dtype),
+            out_specs=bspec(Mp),
+            out_shape=jax.ShapeDtypeStruct((N, Dc, Mp, Lhw), z_dtype),
             scratch_shapes=[pltpu.VMEM((T * Cp, Lhw), z_dtype)],
             interpret=interpret,
-        )(*([r] * Qd), z, A2m_k, tau_k, acol, arow)
+        )(*([r] * Qd), z, A2m_k,
+          tau_k.reshape(-1, 1, tau_k.shape[-1]), acol, arow)
 
     # --- k = 0: z = ST(A0 y2, tau0) via analyze(r=-y2, z=0) ---
-    z0 = jnp.zeros((N, Dc, M, Lhw), z_dtype)
+    z0 = jnp.zeros((N, Dc, Mp, Lhw), z_dtype)
     z = analyze(-y2.astype(jnp.float32), z0, A2m[0], tau[:, 0])
 
     # --- k = 1..K-1 ---
@@ -314,7 +512,8 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
     x5 = x2.reshape(N, Dc, Cp, Hc, Wc).transpose(0, 2, 1, 3, 4)
     xphat = pp.depth_to_space(x5, s, 3, C)
     z_out = (
-        z.reshape(N, Dc, M, Hc, Wc).transpose(0, 2, 1, 3, 4).astype(jnp.float32)
+        z[:, :, :M].reshape(N, Dc, M, Hc, Wc).transpose(0, 2, 1, 3, 4)
+        .astype(jnp.float32)
         if return_z
         else None
     )
