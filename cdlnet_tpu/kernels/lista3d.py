@@ -165,34 +165,42 @@ def _kernel_ana(*refs, Qd, Qh, Qw, Cp, Wc, dlo, hlo, wlo):
     )
 
 
-def _kernel_resident(y2_ref, m2_ref, A2m_ref, B2m_ref, tau_ref, acol_ref,
+def _kernel_resident(y2_ref, m2_ref, A2m_ref, B2w_ref, tau_ref, acol_ref,
                      arow_ref, scol_ref, srow_ref, *out_and_scratch,
                      K, Dc, Qd, Qh, Qw, Cp, Wc, dlo, hlo, wlo,
                      use_mask, return_z):
-    if return_z:
-        x2_ref, z_out_ref, z_ref, r_ref, stack_ref, u_ref = out_and_scratch
-    else:
-        x2_ref, z_ref, r_ref, stack_ref, u_ref = out_and_scratch
-        z_out_ref = None
-    """Whole-K-loop fused 3D LISTA: the code tensor z (Dc, Mp, Lhw) stays in
-    VMEM across ALL K iterations — HBM sees y2, the weight banks, and the
-    final synthesis once per clip, independent of K. Feasible because this
-    part's VMEM is far larger than the classic ~16 MB guideline (probed
-    >100 MB usable); lista3d_fused picks this kernel whenever the working
-    set fits and falls back to the per-iteration view-blocked pair.
+    """Whole-K-loop fused 3D LISTA: the code tensor z and both weight banks
+    stay in VMEM across ALL K iterations — HBM sees the clip's inputs,
+    weights, and outputs once, independent of K (usable VMEM on this part
+    probed >100 MB).
 
-    Grid (N,). fori_loop over k with dynamic weight indexing; depth loop is
-    python-unrolled (static slices into the z scratch, static zero-pad
-    boundary handling). fp32 throughout — no bf16 carry, so this path is
-    exact vs the XLA scan to fp32-reassociation tolerance.
+    Both scratch tensors carry zero GUARD SLICES on the depth axis so every
+    depth-tap window is an in-bounds CONTIGUOUS slice — no validity
+    arithmetic, and the synthesis folds all Qd depth taps into one
+    contraction: per (slice, in-plane tap) ONE (Cp, Qd*Mp) x (Qd*Mp, Lhw)
+    dot instead of Qd skinny (Cp, Mp) dots. z[d] lives at z_ref[d + Gz];
+    r[d] at r_ref[d + Ga]. fp32 throughout (exact vs the XLA scan to
+    reassociation tolerance).
+
+    Grid (N,); fori over k (dynamic weight indexing) and over depth slices
+    (dynamic contiguous windows) — static unrolling of the depth loop made
+    Mosaic compile times explode.
     """
     from jax.experimental.pallas import tpu as pltpu
 
+    if return_z:
+        x2_ref, z_out_ref, z_ref, r_ref, stack_ref, u_ref, zc_ref = out_and_scratch
+    else:
+        x2_ref, z_ref, r_ref, stack_ref, u_ref, zc_ref = out_and_scratch
+        z_out_ref = None
+
     Lhw = y2_ref.shape[-1]
-    Mp = z_ref.shape[1]
-    T = Qd * Qh * Qw
+    QdMp = zc_ref.shape[0]
+    Mp = QdMp // Qd
     OFFS = [j - (Qd - 1) - dlo for j in range(Qd)]  # synthesis depth offsets
     OFFA = [dlo + j for j in range(Qd)]             # analysis depth offsets
+    Gz = max(0, -OFFS[0])
+    Ga = max(0, -OFFA[0])
 
     def roll(buf, off):
         return pltpu.roll(buf, (-off) % Lhw, 1) if off % Lhw else buf
@@ -200,53 +208,49 @@ def _kernel_resident(y2_ref, m2_ref, A2m_ref, B2m_ref, tau_ref, acol_ref,
     def st(u, tau):
         return jnp.sign(u) * jnp.maximum(jnp.abs(u) - tau, 0.0)
 
+    # zero once: guards stay zero (interior is always overwritten first)
+    def zero_step(i, _):
+        z_ref[i] = jnp.zeros_like(z_ref[i])
+        return 0
+
+    jax.lax.fori_loop(0, z_ref.shape[0], zero_step, 0)
+
+    def zero_r(i, _):
+        r_ref[i] = jnp.zeros_like(r_ref[i])
+        return 0
+
+    jax.lax.fori_loop(0, r_ref.shape[0], zero_r, 0)
+
     def synthesis_into_r(k, sub_y):
-        """r[d] <- [mask *] sum_taps B2m[k] z [- y2[d]] for all d. fori over
-        depth (dynamic slices into the z scratch; out-of-range taps read a
-        clamped slice and are zeroed by the validity factor) — a static
-        depth unroll made Mosaic compile times explode."""
+        """r[d] <- [mask *] (B_k z)[d] [- y2[d]] for all d."""
 
         def dstep(d, _):
             acc = jnp.zeros((Cp, Lhw), jnp.float32)
-            for j, off in enumerate(OFFS):
-                s_ = d + off
-                valid = jnp.where(
-                    jnp.logical_and(s_ >= 0, s_ < Dc), 1.0, 0.0
-                )
-                sc = jnp.clip(s_, 0, Dc - 1)
-                part = jnp.zeros((Cp, Lhw), jnp.float32)
-                for ri in range(Qw):
-                    zc = roll(z_ref[sc], ri - (Qw - 1) - wlo) * scol_ref[ri][None, :]
-                    for qi in range(Qh):
-                        dmat = jax.lax.dot_general(
-                            B2m_ref[k, j, qi * Qw + ri], zc,
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
-                        part += roll(dmat, (qi - (Qh - 1) - hlo) * Wc) * srow_ref[qi][None, :]
-                acc += valid * part
+            zwin = z_ref[pl.ds(d + OFFS[0] + Gz, Qd)].reshape(QdMp, Lhw)
+            for ri in range(Qw):
+                zc_ref[:] = roll(zwin, ri - (Qw - 1) - wlo) * scol_ref[ri][None, :]
+                for qi in range(Qh):
+                    dmat = jax.lax.dot_general(
+                        B2w_ref[k, qi * Qw + ri], zc_ref[:],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc += roll(dmat, (qi - (Qh - 1) - hlo) * Wc) * srow_ref[qi][None, :]
             if sub_y:
                 if use_mask:
                     acc = m2_ref[0, d] * acc
                 acc = acc - y2_ref[0, d]
-            r_ref[d] = acc
+            r_ref[d + Ga] = acc
             return 0
 
         jax.lax.fori_loop(0, Dc, dstep, 0)
 
-    def analysis_update(k, from_y):
-        """z[d] <- ST(z[d] - A2m[k] stack(r)[d], tau[k]); from_y uses -y2 as
-        the residual and 0 as the previous code (the k=0 initialization)."""
+    def analysis_update(k, zero_prev):
+        """z[d] <- ST(z[d] - A2m[k] stack(r)[d], tau[k])."""
 
         def dstep(d, _):
-            for j, off in enumerate(OFFA):
-                s_ = d + off
-                valid = jnp.where(
-                    jnp.logical_and(s_ >= 0, s_ < Dc), 1.0, 0.0
-                )
-                sc = jnp.clip(s_, 0, Dc - 1)
-                src = (-y2_ref[0, sc]) if from_y else r_ref[sc]
-                src = valid * src
+            for j in range(Qd):
+                src = r_ref[d + j + OFFA[0] + Ga]
                 for qi in range(Qh):
                     rowed = roll(src, (hlo + qi) * Wc) * arow_ref[qi][None, :]
                     for ri in range(Qw):
@@ -259,27 +263,34 @@ def _kernel_resident(y2_ref, m2_ref, A2m_ref, B2m_ref, tau_ref, acol_ref,
                 preferred_element_type=jnp.float32,
             )
             tau = tau_ref[0, k][:, None]
-            prev = jnp.zeros((Mp, Lhw), jnp.float32) if from_y else z_ref[d]
-            z_ref[d] = st(prev - u_ref[:], tau)
+            prev = (
+                jnp.zeros((Mp, Lhw), jnp.float32) if zero_prev else z_ref[d + Gz]
+            )
+            z_ref[d + Gz] = st(prev - u_ref[:], tau)
             return 0
 
         jax.lax.fori_loop(0, Dc, dstep, 0)
 
-    # k = 0: z = ST(A0 y2, tau0) == ST(0 - A0 (-y2), tau0)
-    analysis_update(0, from_y=True)
+    # k = 0: z = ST(A0 y2, tau0) == ST(0 - A0 (-y2), tau0): r := -y2
+    def seed_r(d, _):
+        r_ref[d + Ga] = -y2_ref[0, d]
+        return 0
+
+    jax.lax.fori_loop(0, Dc, seed_r, 0)
+    analysis_update(0, zero_prev=True)
 
     def body(k, _):
         synthesis_into_r(k, sub_y=True)
-        analysis_update(k, from_y=False)
+        analysis_update(k, zero_prev=False)
         return 0
 
     jax.lax.fori_loop(1, K, body, 0)
 
     # final dictionary synthesis with B[0]
     synthesis_into_r(0, sub_y=False)
-    x2_ref[0] = r_ref[...]
+    x2_ref[0] = r_ref[Ga : Ga + Dc]
     if return_z:
-        z_out_ref[0] = z_ref[...]
+        z_out_ref[0] = z_ref[Gz : Gz + Dc]
 
 
 def _depth_view_specs(Qd, offs, block, Dc, pltpu):
@@ -381,7 +392,7 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
         Dc * Mp * Lhw * 4            # z scratch
         + 2 * K * Mp * T * Cp * 4    # A2m + B2m (f32, resident)
         + T * Cp * Lhw * 4           # stack
-        + (Mp + Dc * Cp) * Lhw * 4   # u + r
+        + (Mp + Qd * Mp + Dc * Cp) * Lhw * 4   # u + zc window + r
         + 4 * Dc * Cp * Lhw * 4      # y2/m2/x2 blocks (double-buffered)
         + (4 * Dc * Mp * Lhw * 4 if return_z else 0)  # z_out blocks
     )
@@ -396,7 +407,17 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
     want_resident = bool(os.environ.get("CDLNET_LISTA3D_RESIDENT"))
     if want_resident and resident_bytes < 100 * 1024 * 1024:
         A2f = A2m.astype(jnp.float32)
-        B2f = B2m.astype(jnp.float32)
+        # depth taps folded into the contraction: (K, QhQw, Cp, Qd*Mp),
+        # last dim (j, m)-ordered to match the contiguous z window
+        B2f = (
+            B2m.astype(jnp.float32)
+            .transpose(0, 2, 3, 1, 4)
+            .reshape(K, Qh * Qw, Cp, Qd * Mp)
+        )
+        syn_offs0 = 0 - (Qd - 1) - dlo
+        Gz = max(0, -syn_offs0)
+        Gzhi = max(0, (Qd - 1) + syn_offs0)
+        Ga, Gahi = max(0, -dlo), max(0, dlo + Qd - 1)
         kern = functools.partial(
             _kernel_resident, **geom, K=K, Dc=Dc,
             use_mask=use_mask, return_z=return_z,
@@ -424,10 +445,11 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
             out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=[
-                pltpu.VMEM((Dc, Mp, Lhw), jnp.float32),   # z
-                pltpu.VMEM((Dc, Cp, Lhw), jnp.float32),   # r
-                pltpu.VMEM((T * Cp, Lhw), jnp.float32),   # stack
-                pltpu.VMEM((Mp, Lhw), jnp.float32),       # u
+                pltpu.VMEM((Dc + Gz + Gzhi, Mp, Lhw), jnp.float32),  # z + guards
+                pltpu.VMEM((Dc + Ga + Gahi, Cp, Lhw), jnp.float32),  # r + guards
+                pltpu.VMEM((T * Cp, Lhw), jnp.float32),              # stack
+                pltpu.VMEM((Mp, Lhw), jnp.float32),                  # u
+                pltpu.VMEM((Qd * Mp, Lhw), jnp.float32),             # zc window
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024,
