@@ -166,9 +166,14 @@ def main(ARGS, model_args):
         (viz.filters if viz else filters2d)(model, params, save_dir, scale_each=True)
 
 
-if __name__ == "__main__":
+def cli():
+    """Console entry point."""
     ARGS = build_argparser().parse_args()
     with open(ARGS.args_fn) as f:
         model_args = json.load(f)
     pprint(model_args)
     main(ARGS, model_args)
+
+
+if __name__ == "__main__":
+    cli()

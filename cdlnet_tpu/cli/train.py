@@ -93,11 +93,16 @@ def main(args: dict):
     )
 
 
-if __name__ == "__main__":
+def cli():
+    """Console entry point (cdlnet-train)."""
     if len(sys.argv) < 2:
-        print("ERROR: usage: python -m cdlnet_tpu.cli.train [path/to/arg_file.json]")
+        print("ERROR: usage: cdlnet-train [path/to/arg_file.json]")
         sys.exit(1)
     with open(sys.argv[1]) as f:
         args = json.load(f)
     pprint(args)
     main(args)
+
+
+if __name__ == "__main__":
+    cli()
