@@ -32,7 +32,7 @@ from cdlnet_tpu.cli.analyze import (
     thresholds as thresholds2d,
 )
 from cdlnet_tpu.cli.analyze3d import _save_frames
-from cdlnet_tpu.utils import load_video, psnr as psnr_fn, setup_compilation_cache
+from cdlnet_tpu.utils import setup_compilation_cache
 
 
 def _ssim_frames(x, xhat):
@@ -53,7 +53,7 @@ def test(model, params, mtype, loader, noise_levels, blind, save_dir, save, demo
     import jax.numpy as jnp
 
     from cdlnet_tpu import nle as nle_mod
-    from cdlnet_tpu.data.noise import awgn, awgn3d, gen_bayer_mask3d
+    from cdlnet_tpu.data.noise import awgn3d, gen_bayer_mask3d
     from cdlnet_tpu.models.csr import csr_video_denoise, csrf2_video_denoise
 
     # dataset name = the h5 files' containing dir (analyzemri.py:191)

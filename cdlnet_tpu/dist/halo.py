@@ -24,12 +24,10 @@ configs on 2/4/8-way meshes).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from cdlnet_tpu.core.ops import ST
 from cdlnet_tpu.ops.conv import conv3d, conv_transpose3d

@@ -10,12 +10,12 @@ trained_nets/JDD_CDLNet-s0120/args.json).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 
-from cdlnet_tpu.core.ops import ST, uball_project
+from cdlnet_tpu.core.ops import uball_project
 from cdlnet_tpu.core.preprocess import pre_process, post_process
 from cdlnet_tpu.core.solvers import power_method
 from cdlnet_tpu.models.base import register, sigma_scale

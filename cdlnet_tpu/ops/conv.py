@@ -27,9 +27,6 @@ CDLNET_NO_POLYPHASE=1.
 from __future__ import annotations
 
 import os
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 from jax import lax
 

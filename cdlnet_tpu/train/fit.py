@@ -24,19 +24,17 @@ from __future__ import annotations
 import math
 import os
 import time
-from functools import partial
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
 from cdlnet_tpu.data.noise import awgn, awgn3d, gen_bayer_mask, gen_bayer_mask3d
 from cdlnet_tpu.data.prefetch import device_prefetch
 from cdlnet_tpu.models.base import build_model
-from cdlnet_tpu.train.checkpoint import load_ckpt, save_ckpt, save_args
+from cdlnet_tpu.train.checkpoint import load_ckpt, save_ckpt
 from cdlnet_tpu.utils import maybe_start_trace, stop_trace, trace_span
 from cdlnet_tpu.train.losses import combined_loss, mse_loss
-from cdlnet_tpu.train.optim import get_lr, make_optimizer, set_lr, steplr_value
+from cdlnet_tpu.train.optim import get_lr, make_optimizer, set_lr
 
 
 def init_model(args: dict, seed: int = 0):

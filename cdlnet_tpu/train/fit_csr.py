@@ -26,8 +26,8 @@ import jax.numpy as jnp
 
 from cdlnet_tpu.data.noise import awgn
 from cdlnet_tpu.data.prefetch import device_prefetch
-from cdlnet_tpu.models import CDLNetCSR, CDLNetCSRf2
-from cdlnet_tpu.train.checkpoint import load_ckpt, save_ckpt
+from cdlnet_tpu.models import CDLNetCSRf2
+from cdlnet_tpu.train.checkpoint import save_ckpt
 from cdlnet_tpu.train.optim import get_lr, set_lr
 
 
