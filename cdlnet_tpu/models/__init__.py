@@ -4,3 +4,4 @@ from cdlnet_tpu.models.cdlnet_video import CDLNetVideo
 from cdlnet_tpu.models.gdlnet import GDLNet
 from cdlnet_tpu.models.csr import CDLNetCSR, CDLNetCSRf2
 from cdlnet_tpu.models.dncnn import DnCNN, FFDNet
+from cdlnet_tpu.models.streaming import denoise_long_video

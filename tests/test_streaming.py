@@ -1,0 +1,54 @@
+"""Overlap-discard streaming inference (models/streaming.py): fixed-memory
+long-video denoising agrees with the monolithic forward."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cdlnet_tpu.models import build_model
+from cdlnet_tpu.models.streaming import denoise_long_video
+
+
+def _model_and_clip(D=32):
+    model = build_model(
+        "CDLNetVideo",
+        {"K": 6, "M": 8, "P": (5, 5, 3), "s": 2, "C": 1, "adaptive": True, "depth": 8},
+    )
+    params = model.init(jax.random.PRNGKey(0), init=True)
+    # positive thresholds as in any trained model (t0=0 disables the
+    # soft-threshold shrinkage that makes temporal coupling decay)
+    params["t"] = params["t"] + 0.02
+    key = jax.random.PRNGKey(1)
+    clean = jax.random.uniform(key, (1, 1, D, 24, 24), jnp.float32)
+    noisy = clean + 0.1 * jax.random.normal(jax.random.fold_in(key, 1), clean.shape)
+    return model, params, noisy
+
+
+def test_streaming_matches_monolithic():
+    model, params, noisy = _model_and_clip(D=32)
+    full, _ = model.apply(params, noisy, 25.0)
+    chunked = denoise_long_video(model, params, noisy, 25.0, chunk_depth=16, overlap=6)
+    assert chunked.shape == full.shape
+    err = np.asarray(chunked - full)
+    sig = np.asarray(full)
+    agree_db = 10 * np.log10(np.mean(sig**2) / max(np.mean(err**2), 1e-20))
+    assert agree_db > 44, agree_db  # ~47 dB measured at overlap=6
+    # more overlap -> strictly better agreement
+    ch2 = denoise_long_video(model, params, noisy, 25.0, chunk_depth=16, overlap=2)
+    err2 = np.asarray(ch2 - full)
+    agree2 = 10 * np.log10(np.mean(sig**2) / max(np.mean(err2**2), 1e-20))
+    assert agree_db > agree2
+
+
+def test_streaming_short_clip_passthrough():
+    model, params, noisy = _model_and_clip(D=12)
+    full, _ = model.apply(params, noisy, 25.0)
+    chunked = denoise_long_video(model, params, noisy, 25.0, chunk_depth=16, overlap=4)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full), atol=1e-6)
+
+
+def test_streaming_rejects_bad_overlap():
+    model, params, noisy = _model_and_clip(D=32)
+    with pytest.raises(ValueError, match="must exceed"):
+        denoise_long_video(model, params, noisy, 25.0, chunk_depth=8, overlap=4)
