@@ -1,0 +1,136 @@
+"""Production inference wrapper: load once, compile per shape bucket,
+denoise numpy images/videos.
+
+Eval datasets mix image sizes (Set12 spans 256x256 to 512x512), and every
+new shape costs an XLA compile — expensive over the first pass of a
+dataset and unacceptable for a serving process. Denoiser reflect-pads each
+input up to a shape bucket (multiples of `bucket` per spatial dim), runs
+one cached jitted forward per bucket, and crops back. Reflect padding also
+gives the denoiser better context at image borders than the zero padding
+inside the convs, so bucketed outputs can differ slightly from the
+unpadded forward near edges (standard overlap-save behavior).
+
+Blind operation: sigma=None on an adaptive model estimates the noise level
+with the MAD/PCA estimator (nle/) per input, like the analyzers' --blind.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _bucket(n: int, b: int) -> int:
+    return -(-n // b) * b
+
+
+class Denoiser:
+    """Serving-oriented wrapper around a model + params.
+
+    >>> d = Denoiser.from_args(json.load(open("args.json")))   # loads ckpt
+    >>> out = d.denoise_image(img, sigma=25)                   # (H, W) [0,1]
+    >>> out = d.denoise_image(img)                             # blind (MAD)
+    >>> out = d.denoise_video(frames, sigma=25)                # (D, H, W)
+    """
+
+    def __init__(self, model, params, bucket: int = 64, blind: str = "MAD"):
+        self.model = model
+        self.params = params
+        self.bucket = bucket
+        self.blind = blind
+        self._fwd = jax.jit(
+            lambda p, y, s: self.model.apply(p, y, s, return_z=False)[0]
+        )
+        self._fwd_blind = jax.jit(self._blind_forward)
+
+    @classmethod
+    def from_args(cls, args: dict, backend: str = "pallas", **kw):
+        """Build from a reference-schema args dict (loads the checkpoint in
+        paths.ckpt — torch .ckpt, .npz, or .orbax)."""
+        from cdlnet_tpu.train.fit import init_model
+
+        args = dict(args)
+        args["model"] = dict(args["model"], backend=backend)
+        model, params, _, _, _, _ = init_model(args)
+        if isinstance(params, tuple):  # DnCNN-style (params, state)
+            params = params[0]
+        return cls(model, params, **kw)
+
+    def _blind_forward(self, p, y):
+        from cdlnet_tpu import nle
+
+        if y.ndim == 5:  # clip: estimate framewise, average
+            N, C, D, H, W = y.shape
+            s = nle.noise_level(
+                jnp.moveaxis(y, 2, 1).reshape(N * D, C, H, W), method=self.blind
+            )
+            s = 255.0 * jnp.mean(s.reshape(N, D), axis=1).reshape(N, 1, 1, 1, 1)
+        else:
+            s = 255.0 * nle.noise_level(y, method=self.blind)
+        return self.model.apply(p, y, s, return_z=False)[0]
+
+    def _run(self, y: np.ndarray, sigma):
+        """y: (N, C, *spatial) float32 [0,1]; pads spatial dims to buckets."""
+        spatial = y.shape[2:]
+        pads = [(_bucket(n, self.bucket) - n) for n in spatial]
+        if any(pads):
+            cfg = [(0, 0), (0, 0)] + [(0, p) for p in pads]
+            y = np.pad(y, cfg, mode="reflect")
+        yj = jnp.asarray(y)
+        if sigma is None and getattr(self.model, "adaptive", False):
+            out = self._fwd_blind(self.params, yj)
+        else:
+            out = self._fwd(self.params, yj, None if sigma is None else float(sigma))
+        out = np.asarray(out)
+        idx = (slice(None), slice(None)) + tuple(slice(0, n) for n in spatial)
+        return out[idx]
+
+    def denoise_image(self, img: np.ndarray, sigma=None) -> np.ndarray:
+        """img: (H, W), (C, H, W) or (N, C, H, W) float in [0,1]."""
+        img = np.asarray(img, np.float32)
+        squeeze = 4 - img.ndim
+        for _ in range(squeeze):
+            img = img[None]
+        out = self._run(img, sigma)
+        for _ in range(squeeze):
+            out = out[0]
+        return out
+
+    def denoise_video(self, clip: np.ndarray, sigma=None, chunk_depth=None,
+                      overlap=4) -> np.ndarray:
+        """clip: (D, H, W), (C, D, H, W) or (N, C, D, H, W) in [0,1]. Long
+        clips stream in fixed memory via overlap-discard chunks
+        (models/streaming.py) when chunk_depth is set."""
+        clip = np.asarray(clip, np.float32)
+        squeeze = 5 - clip.ndim
+        for _ in range(squeeze):
+            clip = clip[None]
+        if chunk_depth is not None and clip.shape[2] > chunk_depth:
+            from cdlnet_tpu.models.streaming import denoise_long_video
+
+            spatial = clip.shape[3:]
+            pads = [(_bucket(n, self.bucket) - n) for n in spatial]
+            if any(pads):
+                clip = np.pad(
+                    clip, [(0, 0)] * 3 + [(0, p) for p in pads], mode="reflect"
+                )
+            out = np.asarray(
+                denoise_long_video(
+                    self.model, self.params, jnp.asarray(clip), sigma,
+                    chunk_depth=chunk_depth, overlap=overlap,
+                )
+            )[..., : spatial[0], : spatial[1]]
+        else:
+            out = self._run(clip, sigma)
+        for _ in range(squeeze):
+            out = out[0]
+        return out
+
+    def warmup(self, shapes):
+        """Pre-compile the buckets for a list of (H, W) or (D, H, W) shapes."""
+        for shape in shapes:
+            if len(shape) == 2:
+                self.denoise_image(np.zeros(shape, np.float32), sigma=25)
+            else:
+                self.denoise_video(np.zeros(shape, np.float32), sigma=25)

@@ -1,0 +1,83 @@
+"""Serving wrapper (serve.py): shape bucketing, blind sigma, video path."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from cdlnet_tpu.serve import Denoiser, _bucket
+from cdlnet_tpu.models import build_model
+
+
+def _denoiser():
+    model = build_model("CDLNet", {"K": 3, "M": 8, "P": 5, "s": 2, "adaptive": True})
+    params = model.init(jax.random.PRNGKey(0), init=True)
+    return Denoiser(model, params, bucket=32)
+
+
+def test_bucket_math():
+    assert _bucket(65, 64) == 128 and _bucket(64, 64) == 64
+
+
+def test_image_shapes_and_bucketing():
+    d = _denoiser()
+    rng = np.random.default_rng(0)
+    out = d.denoise_image(rng.uniform(0, 1, (50, 70)).astype(np.float32), sigma=25)
+    assert out.shape == (50, 70)
+    out = d.denoise_image(rng.uniform(0, 1, (1, 40, 40)).astype(np.float32), sigma=25)
+    assert out.shape == (1, 40, 40)
+    out = d.denoise_image(rng.uniform(0, 1, (2, 1, 33, 65)).astype(np.float32), sigma=25)
+    assert out.shape == (2, 1, 33, 65)
+
+
+def test_blind_matches_explicit_roughly():
+    d = _denoiser()
+    rng = np.random.default_rng(1)
+    clean = rng.uniform(0.2, 0.8, (64, 64)).astype(np.float32) * 0 + 0.5
+    noisy = clean + (25 / 255.0) * rng.standard_normal(clean.shape).astype(np.float32)
+    out_blind = d.denoise_image(noisy)          # MAD sigma estimate
+    out_known = d.denoise_image(noisy, sigma=25)
+    # MAD on pure noise recovers sigma well -> outputs close
+    assert np.abs(out_blind - out_known).max() < 0.05
+
+
+def test_video_and_streaming():
+    model = build_model(
+        "CDLNetVideo",
+        {"K": 2, "M": 4, "P": (3, 3, 3), "s": 2, "adaptive": True, "depth": 8,
+         "init": False},
+    )
+    params = model.init(jax.random.PRNGKey(0), init=False)
+    import jax.numpy as jnp
+
+    params = {
+        "A": params["A"] * 0.05, "B": params["B"] * 0.05,
+        "t": jnp.abs(params["t"]) * 0.05,
+    }
+    d = Denoiser(model, params, bucket=16)
+    rng = np.random.default_rng(2)
+    clip = rng.uniform(0, 1, (20, 30, 30)).astype(np.float32)
+    out = d.denoise_video(clip, sigma=25, chunk_depth=8, overlap=2)
+    assert out.shape == clip.shape and np.isfinite(out).all()
+    out2 = d.denoise_video(clip[:8], sigma=25)
+    assert out2.shape == (8, 30, 30)
+
+
+def test_from_args_with_ckpt(tmp_path):
+    from cdlnet_tpu.train.checkpoint import save_ckpt
+
+    model = build_model("CDLNet", {"K": 2, "M": 4, "P": 5, "s": 1})
+    params = model.init(jax.random.PRNGKey(0), init=False)
+    ckpt = str(tmp_path / "net.ckpt.npz")
+    save_ckpt(ckpt, params, epoch=3)
+    args = {
+        "type": "CDLNet",
+        "model": {"K": 2, "M": 4, "P": 5, "s": 1},
+        "paths": {"ckpt": ckpt},
+        "train": {},
+    }
+    d = Denoiser.from_args(json.loads(json.dumps(args)), backend="xla")
+    out = d.denoise_image(np.zeros((32, 32), np.float32), sigma=25)
+    assert out.shape == (32, 32)
