@@ -101,20 +101,30 @@ class CDLNet:
     def apply(self, params: dict, y, sigma=None, mask=None, return_z=True):
         """Denoise batch y (N, C, H, W). Returns (xhat, z).
 
-        backend="pallas" (inference only — no VJP) runs the whole K-loop as
-        one fused kernel with the codes resident in VMEM (kernels/lista2d),
-        falling back to the XLA scan when the shape exceeds VMEM. With
-        return_z=False the pallas path skips writing the code tensor, its
-        largest VMEM block; z comes back as None.
+        backend="pallas" runs the whole K-loop as one fused kernel with the
+        codes resident in VMEM (kernels/lista2d), falling back to the XLA
+        scan when the shape exceeds VMEM. With return_z=False the fused
+        path is also differentiable (custom VJP backed by the XLA path's
+        gradient, kernels/autodiff.py) and skips writing the code tensor;
+        z comes back as None. return_z=True keeps the direct kernel
+        (inference only).
         """
         yp, prm, mask = pre_process(y, self.s, mask=mask)
         c = sigma_scale(sigma, self.adaptive, 4)
         if self._use_pallas(yp, return_z):
+            if not return_z:
+                from cdlnet_tpu.kernels.autodiff import lista2d_fused_diff
+
+                xphat = lista2d_fused_diff(
+                    yp, params["A"], params["B"], params["t"], c,
+                    stride=self.s, mask=mask,
+                )
+                return post_process(xphat, prm), None
             from cdlnet_tpu.kernels.lista2d import lista2d_fused
 
             xphat, z = lista2d_fused(
                 yp, params["A"], params["B"], params["t"], c,
-                stride=self.s, mask=mask, return_z=return_z,
+                stride=self.s, mask=mask, return_z=True,
             )
             return post_process(xphat, prm), z
         z = self._lista(params, yp, c, mask)

@@ -131,11 +131,19 @@ class CDLNetVideo:
         yp, prm, mask = pre_process_3d(y, self.s, mask=mask)
         c = sigma_scale(sigma, self.adaptive, 5)
         if self._use_pallas(params, yp, return_z):
+            if not return_z:
+                from cdlnet_tpu.kernels.autodiff import lista3d_fused_diff
+
+                xphat = lista3d_fused_diff(
+                    yp, params["A"], params["B"], params["t"], c,
+                    stride=self.s, mask=mask,
+                )
+                return post_process_3d(xphat, prm), None
             from cdlnet_tpu.kernels.lista3d import lista3d_fused
 
             xphat, z = lista3d_fused(
                 yp, params["A"], params["B"], params["t"], c,
-                stride=self.s, mask=mask, return_z=return_z,
+                stride=self.s, mask=mask, return_z=True,
             )
             return post_process_3d(xphat, prm), z
         z = self._lista(params, yp, c, mask)

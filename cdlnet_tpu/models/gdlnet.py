@@ -145,9 +145,16 @@ class GDLNet:
                 self.M, self.C, self.P, self.s, self.K,
                 yp.shape[-2], yp.shape[-1], return_z=return_z,
             ):
+                if not return_z:  # differentiable path (kernels/autodiff.py)
+                    from cdlnet_tpu.kernels.autodiff import lista2d_fused_diff
+
+                    xphat = lista2d_fused_diff(
+                        yp, A_f, B_f, params["t"], c, stride=self.s, mask=mask
+                    )
+                    return post_process(xphat, prm), None
                 xphat, z = lista2d_fused(
                     yp, A_f, B_f, params["t"], c,
-                    stride=self.s, mask=mask, return_z=return_z,
+                    stride=self.s, mask=mask, return_z=True,
                 )
                 return post_process(xphat, prm), z
         z = lista_2d(

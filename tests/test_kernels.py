@@ -195,3 +195,32 @@ def test_gdlnet_pallas_backend_interpret(monkeypatch):
     x_ref, _ = mx.apply(params, y, 25.0)
     x_got, _ = mp.apply(params, y, 25.0)
     np.testing.assert_allclose(np.asarray(x_got), np.asarray(x_ref), atol=1e-5)
+
+
+def test_pallas_backend_trainable(monkeypatch):
+    """backend='pallas' with return_z=False is differentiable: custom VJP
+    runs the fused forward and the XLA path's gradient; grads match the
+    pure XLA backend."""
+    import cdlnet_tpu.kernels.lista2d as k2d
+
+    orig = k2d.lista2d_fused
+    monkeypatch.setattr(
+        k2d, "lista2d_fused", lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    )
+    cfg = {"K": 3, "M": 8, "P": 5, "s": 2, "C": 1, "adaptive": True}
+    mx = build_model("CDLNet", dict(cfg))
+    mp = build_model("CDLNet", dict(cfg, backend="pallas"))
+    params = mx.init(jax.random.PRNGKey(0), init=True)
+    y = jax.random.uniform(jax.random.PRNGKey(1), (1, 1, 32, 32), jnp.float32)
+    tgt = jax.random.uniform(jax.random.PRNGKey(2), (1, 1, 32, 32), jnp.float32)
+
+    def loss(m):
+        def f(p):
+            xhat, _ = m.apply(p, y, 25.0, return_z=False)
+            return jnp.mean((xhat - tgt) ** 2)
+        return f
+
+    g_ref = jax.grad(loss(mx))(params)
+    g_pal = jax.grad(loss(mp))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_pal)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-4)
