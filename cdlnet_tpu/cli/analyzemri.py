@@ -123,6 +123,45 @@ def test(model, params, mtype, loader, noise_levels, blind, save_dir, save, demo
     print(f"saved to file {fn}")
 
 
+def passthrough_csr(model, params, mtype, video_path, noise_std, save_dir,
+                    blind, color, save):
+    """Single-video passthrough for the frame-recurrent models. The
+    reference's passthrough calls net(noisy, sigma, mask=...) on a CSR net,
+    which misbinds sigma as z_prev (and its utils.load_video doesn't
+    exist) — implemented here via the sequential recurrences."""
+    import jax
+    import jax.numpy as jnp
+
+    from cdlnet_tpu import nle as nle_mod
+    from cdlnet_tpu.data.noise import awgn3d
+    from cdlnet_tpu.models.csr import csr_video_denoise, csrf2_video_denoise
+    from cdlnet_tpu.utils import load_video, psnr as psnr_fn
+
+    name = os.path.splitext(os.path.basename(os.path.normpath(video_path)))[0]
+    out_dir = os.path.join(save_dir, f"passthrough_{name}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    x = jnp.asarray(load_video(video_path, gray=not color))  # (1, C, D, H, W)
+    y, sigma = awgn3d(jax.random.PRNGKey(0), x, float(noise_std))
+    if getattr(model, "adaptive", False) and blind:
+        B, C, D, H, W = y.shape
+        s_hat = nle_mod.noise_level(
+            jnp.moveaxis(y, 2, 1).reshape(B * D, C, H, W), method=blind
+        )
+        sigma = 255.0 * jnp.mean(s_hat)
+        print(f"sigma_hat = {float(sigma):.3f}")
+    rec = csrf2_video_denoise if mtype == "CDLNet_CSRf2" else csr_video_denoise
+    xhat, _ = rec(model, params, y, sigma)
+    p = psnr_fn(np.asarray(x), np.asarray(xhat))
+    print(f"PSNR: {p:.2f} dB")
+    if save:
+        _save_frames(out_dir, "noise", y, 0)
+        _save_frames(out_dir, "output", xhat, 0)
+    with open(os.path.join(out_dir, "psnr.txt"), "w") as f:
+        f.write(f"PSNR: {p:.2f} dB\n")
+    return p
+
+
 def main(ARGS, model_args):
     setup_compilation_cache()
     from cdlnet_tpu.cli import analyze3d
@@ -143,7 +182,7 @@ def main(ARGS, model_args):
             [ARGS.test],
             load_color=ARGS.color,
             test=True,
-            depth=model_args["train"]["loaders"]["depth"],
+            depth=model_args["train"]["loaders"].get("depth", 16),
             PDFS=False,
         )
         test(model, params, mtype, loader, noise_levels, ARGS.blind,
@@ -157,6 +196,9 @@ def main(ARGS, model_args):
         if is_video:
             analyze3d.passthrough(model, params, ARGS.passthrough, nl0, save_dir,
                                   ARGS.blind, ARGS.color, ARGS.demosaic, ARGS.save)
+        elif mtype in ("CDLNet_CSR", "CDLNet_CSRf2"):
+            passthrough_csr(model, params, mtype, ARGS.passthrough, nl0,
+                            save_dir, ARGS.blind, ARGS.color, ARGS.save)
         else:
             passthrough2d(model, params, ARGS.passthrough, nl0, save_dir,
                           ARGS.blind, ARGS.color, ARGS.demosaic, ARGS.save)

@@ -6,9 +6,11 @@ Two execution strategies, picked by working-set size:
    the code tensor z
    (Dc, Mp, Lhw) and both weight banks live in VMEM for ALL K iterations —
    HBM sees the clip's inputs/outputs and weights once, independent of K.
-   fp32 throughout (exact vs the XLA scan). This part's usable VMEM probed
-   >100 MB, far above the classic ~16 MB guideline, which is what makes the
-   ~23 MB flagship code tensor residency possible.
+   fp32 storage throughout — no bf16 carry rounding; the remaining ~1e-3
+   relative deviation vs the XLA scan comes from DEFAULT-precision MXU
+   passes, same as every kernel here. This part's usable VMEM probed
+   >100 MB, far above the classic ~16 MB guideline, which is what makes
+   the ~23 MB flagship code tensor residency possible.
 
 2. Per-iteration pair (fallback for big clips): each iteration is two
    Pallas calls under a lax.scan — synthesis+residual then
@@ -340,7 +342,8 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
     A2, _, _, _ = pp.polyphase_weights(A, s, pads, 3)   # (K, M, Cp, Qd, Qh, Qw)
     _, B2t, _, _ = pp.polyphase_weights(B, s, pads, 3)
     # analysis: (K, M, T*Cp), tap-major (dq, qi, ri, cp)
-    A2m = A2.transpose(0, 1, 3, 4, 5, 2).reshape(K, M, T * Cp).astype(z_dtype)
+    A2m32 = A2.transpose(0, 1, 3, 4, 5, 2).reshape(K, M, T * Cp)
+    A2m = A2m32.astype(z_dtype)
     # synthesis: (K, Qd, Qh*Qw, Cp, M), flipped-tap layout from B2t
     B2m = B2t.transpose(0, 3, 4, 5, 2, 1).reshape(K, Qd, Qh * Qw, Cp, M)
 
@@ -351,6 +354,7 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
     Mp = -(-M // 8) * 8
     if Mp != M:
         A2m = jnp.pad(A2m, ((0, 0), (0, Mp - M), (0, 0)))
+        A2m32 = jnp.pad(A2m32, ((0, 0), (0, Mp - M), (0, 0)))
         B2m = jnp.pad(B2m, ((0, 0), (0, 0), (0, 0), (0, 0), (0, Mp - M)))
 
     # data in (N, Dc, ch, Lhw) layout, z carried bf16
@@ -405,7 +409,9 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
     # fp32 carry, K-independent traffic — wins for very large K).
     want_resident = bool(os.environ.get("CDLNET_LISTA3D_RESIDENT"))
     if want_resident and resident_bytes < 100 * 1024 * 1024:
-        A2f = A2m.astype(jnp.float32)
+        # full-precision analysis bank: the resident path is advertised as
+        # exact, so it must NOT inherit the iteration pair's z_dtype rounding
+        A2f = A2m32.astype(jnp.float32)
         # depth taps folded into the contraction: (K, QhQw, Cp, Qd*Mp),
         # last dim (j, m)-ordered to match the contiguous z window
         B2f = (

@@ -106,7 +106,8 @@ class CDLNetCSR:
             z, w, stride=self.s, padding=self.pad, output_padding=self.s - 1
         )
 
-    def apply(self, params: dict, y, z_prev=None, sigma=None, mask=None):
+    def apply(self, params: dict, y, z_prev=None, sigma=None, mask=None,
+              return_z=True):  # accepted for cross-model signature parity
         """Denoise one frame batch (N, C, H, W), optionally carrying the
         previous frame's sparse code. Returns (xhat, z)."""
         yp, prm, mask = pre_process(y, self.s, mask=mask)
@@ -167,7 +168,8 @@ class CDLNetCSRf2:
         out["B"] = uball_project(params["B"], axes=(3, 4))
         return out
 
-    def apply(self, params: dict, y, z_prev=None, z_after=None, sigma=None, mask=None):
+    def apply(self, params: dict, y, z_prev=None, z_after=None, sigma=None,
+              mask=None, return_z=True):
         """Denoise one frame batch with optional previous/following codes.
         The dispatch on neighbor availability is static (per-call), matching
         the reference's per-iteration branch (model/net.py:544-564)."""

@@ -22,8 +22,19 @@ SURVEY.md §5 "long-context".
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=None)
+def _chunk_forward(model):
+    """One jitted chunk forward per (hashable) model config — a fresh
+    jax.jit per call would recompile every invocation in a serving loop."""
+    return jax.jit(
+        lambda p, yc, s, m: model.apply(p, yc, s, mask=m, return_z=False)[0]
+    )
 
 
 def denoise_long_video(model, params, y, sigma=None, mask=None,
@@ -46,9 +57,7 @@ def denoise_long_video(model, params, y, sigma=None, mask=None,
     # chunk start offsets; final chunk clamps to the end (extra overlap)
     starts = list(range(0, D - chunk_depth, step)) + [D - chunk_depth]
 
-    fwd = jax.jit(
-        lambda p, yc, s, m: model.apply(p, yc, s, mask=m, return_z=False)[0]
-    )
+    fwd = _chunk_forward(model)
 
     out = jnp.zeros_like(y)
     written = 0  # frames [0, written) are final

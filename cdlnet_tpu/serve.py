@@ -25,6 +25,12 @@ def _bucket(n: int, b: int) -> int:
     return -(-n // b) * b
 
 
+def _xhat(out):
+    """Unwrap a model.apply result: (xhat, z) or DnCNN-style ((xhat, n), state)."""
+    x = out[0]
+    return x[0] if isinstance(x, tuple) else x
+
+
 class Denoiser:
     """Serving-oriented wrapper around a model + params.
 
@@ -35,23 +41,55 @@ class Denoiser:
     """
 
     def __init__(self, model, params, bucket: int = 64, blind: str = "MAD"):
+        from cdlnet_tpu.models.csr import CDLNetCSR, CDLNetCSRf2
+
         self.model = model
         self.params = params
         self.bucket = bucket
         self.blind = blind
-        self._fwd = jax.jit(
-            lambda p, y, s: self.model.apply(p, y, s, return_z=False)[0]
-        )
+        self._is_csr = isinstance(model, (CDLNetCSR, CDLNetCSRf2))
+        if self._is_csr:
+            # frame-recurrent models: videos run the carried-code recurrence,
+            # single frames run without neighbor context
+            from cdlnet_tpu.models.csr import csr_video_denoise, csrf2_video_denoise
+
+            rec = (
+                csrf2_video_denoise
+                if isinstance(model, CDLNetCSRf2)
+                else csr_video_denoise
+            )
+            self._fwd = jax.jit(
+                lambda p, y, s: (
+                    rec(self.model, p, y, s)[0]
+                    if y.ndim == 5
+                    else self.model.apply(p, y, sigma=s)[0]
+                )
+            )
+        else:
+            self._fwd = jax.jit(
+                lambda p, y, s: _xhat(self.model.apply(p, y, s, return_z=False))
+            )
         self._fwd_blind = jax.jit(self._blind_forward)
 
     @classmethod
     def from_args(cls, args: dict, backend: str = "pallas", **kw):
         """Build from a reference-schema args dict (loads the checkpoint in
-        paths.ckpt — torch .ckpt, .npz, or .orbax)."""
+        paths.ckpt — torch .ckpt, .npz, or .orbax). The fused-kernel backend
+        is requested only for model families that have one (CDLNet/GDLNet/
+        CDLNetVideo); others build unchanged."""
+        import dataclasses
+
+        from cdlnet_tpu.models.base import MODEL_REGISTRY
         from cdlnet_tpu.train.fit import init_model
 
         args = dict(args)
-        args["model"] = dict(args["model"], backend=backend)
+        cls_ = MODEL_REGISTRY.get(
+            {"JDD_CDLNet": "CDLNet"}.get(args["type"], args["type"])
+        )
+        if cls_ is not None and any(
+            f.name == "backend" for f in dataclasses.fields(cls_)
+        ):
+            args["model"] = dict(args["model"], backend=backend)
         model, params, _, _, _, _ = init_model(args)
         if isinstance(params, tuple):  # DnCNN-style (params, state)
             params = params[0]
@@ -66,16 +104,20 @@ class Denoiser:
                 jnp.moveaxis(y, 2, 1).reshape(N * D, C, H, W), method=self.blind
             )
             s = 255.0 * jnp.mean(s.reshape(N, D), axis=1).reshape(N, 1, 1, 1, 1)
+            if self._is_csr:  # the recurrence takes one sigma per clip
+                s = jnp.mean(s)
         else:
             s = 255.0 * nle.noise_level(y, method=self.blind)
-        return self.model.apply(p, y, s, return_z=False)[0]
+        return self._fwd.__wrapped__(p, y, s)
 
     def _run(self, y: np.ndarray, sigma):
-        """y: (N, C, *spatial) float32 [0,1]; pads spatial dims to buckets."""
-        spatial = y.shape[2:]
+        """y: (N, C, [D,] H, W) float32 [0,1]; pads H/W up to buckets (the
+        depth axis of clips is NOT bucketed — temporal padding would change
+        results and waste compute; long clips use denoise_video's chunking)."""
+        spatial = y.shape[-2:]
         pads = [(_bucket(n, self.bucket) - n) for n in spatial]
         if any(pads):
-            cfg = [(0, 0), (0, 0)] + [(0, p) for p in pads]
+            cfg = [(0, 0)] * (y.ndim - 2) + [(0, p) for p in pads]
             y = np.pad(y, cfg, mode="reflect")
         yj = jnp.asarray(y)
         if sigma is None and getattr(self.model, "adaptive", False):
@@ -83,8 +125,7 @@ class Denoiser:
         else:
             out = self._fwd(self.params, yj, None if sigma is None else float(sigma))
         out = np.asarray(out)
-        idx = (slice(None), slice(None)) + tuple(slice(0, n) for n in spatial)
-        return out[idx]
+        return out[..., : spatial[0], : spatial[1]]
 
     def denoise_image(self, img: np.ndarray, sigma=None) -> np.ndarray:
         """img: (H, W), (C, H, W) or (N, C, H, W) float in [0,1]."""

@@ -95,8 +95,10 @@ def init_model(args: dict, seed: int = 0):
 
 
 def _model_forward(model, params, y, sigma, mask):
-    """Uniform forward signature across model families."""
-    out = model.apply(params, y, sigma, mask=mask)
+    """Uniform forward signature across model families. return_z=False picks
+    the differentiable fused path on backend="pallas" models (the code
+    tensor is never needed inside a loss)."""
+    out = model.apply(params, y, sigma, mask=mask, return_z=False)
     if isinstance(out, tuple) and isinstance(out[0], tuple):
         # DnCNN-style ((xhat, n), state) — eval-mode state passthrough
         return out[0][0]

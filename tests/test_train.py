@@ -215,3 +215,23 @@ def test_fit_orbax_format(tmp_path):
         ckpt_format="orbax")
     import os
     assert os.path.isdir(os.path.join(str(tmp_path), "net.ckpt.orbax"))
+
+
+def test_fit_trains_pallas_backend(tmp_path, monkeypatch):
+    """Training through fit() with backend='pallas' uses the differentiable
+    fused path (previously crashed: the trainer requested return_z=True)."""
+    import cdlnet_tpu.kernels.lista2d as k2d
+
+    orig = k2d.lista2d_fused
+    monkeypatch.setattr(
+        k2d, "lista2d_fused", lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    )
+    model = CDLNet(K=2, M=6, P=5, s=2, adaptive=True, backend="pallas")
+    params = model.init(jax.random.PRNGKey(0), init=True)
+    opt = make_optimizer(1e-3, clip_grad=0.05)
+    loaders = make_loaders(n=4, size=32, bs=2)
+    params, _, history = fit(
+        model, params, opt, opt.init(params), loaders, save_dir=str(tmp_path),
+        epochs=2, noise_std=25, val_freq=2, save_freq=1, verbose=False,
+    )
+    assert all(np.isfinite(p) for _, _, p in history)
