@@ -248,12 +248,15 @@ def fit(
                 continue
             if phase == "val" and epoch % val_freq != 0:
                 continue
-            psnr, count, last_loss = 0.0, 0, 0.0
             t_start = time.time()
             # first trained epoch goes to $CDLNET_PROFILE_DIR when set
             tracing = (
                 phase == "train" and epoch == start_epoch and maybe_start_trace()
             )
+            losses = []  # device scalars — a float() here would synchronize
+            # the host every step (~28 ms over a tunneled backend) and kill
+            # the async-dispatch overlap between device compute and host
+            # batch assembly; convert once per phase instead
             for batch in device_prefetch(loaders[phase]):
                 key, sub = jax.random.split(key)
                 if shard_batch is not None and phase == "train":
@@ -263,12 +266,17 @@ def fit(
                         params, opt_state, loss = train_step(params, opt_state, batch, sub)
                     else:
                         loss = eval_step(params, batch, sub)
-                    last_loss = float(loss)
-                psnr += -10.0 * math.log10(max(last_loss, 1e-30))
-                count += 1
+                    losses.append(loss)
             if tracing:
                 stop_trace()
-            psnr /= max(count, 1)
+            vals = (
+                [float(v) for v in jax.device_get(jnp.stack(losses))]
+                if losses
+                else []
+            )
+            last_loss = vals[-1] if vals else 0.0
+            psnr = sum(-10.0 * math.log10(max(v, 1e-30)) for v in vals)
+            psnr /= max(len(vals), 1)
             if verbose:
                 print(
                     f"{phase.upper()}-E{epoch} PSNR: {psnr:.3f} dB "

@@ -143,8 +143,8 @@ def fit_csr(
                 continue
             if phase == "val" and epoch % val_freq != 0:
                 continue
-            psnr, count = 0.0, 0
             t0 = time.time()
+            losses = []  # device scalars; one sync per phase (see fit.py)
             for batch in device_prefetch(loaders[phase]):
                 key, sub = jax.random.split(key)
                 if phase == "train":
@@ -153,9 +153,14 @@ def fit_csr(
                     params, opt_state, loss = train_step(params, opt_state, batch, sub)
                 else:
                     loss = eval_step(params, batch, sub)
-                psnr += -10.0 * math.log10(max(float(loss), 1e-30))
-                count += 1
-            psnr /= max(count, 1)
+                losses.append(loss)
+            vals = (
+                [float(v) for v in jax.device_get(jnp.stack(losses))]
+                if losses
+                else []
+            )
+            psnr = sum(-10.0 * math.log10(max(v, 1e-30)) for v in vals)
+            psnr /= max(len(vals), 1)
             history.append((epoch, phase, psnr))
             if verbose:
                 print(f"{phase.upper()}-E{epoch} PSNR: {psnr:.3f} dB ({time.time()-t0:.1f}s)")
