@@ -106,9 +106,10 @@ def _mk3d(s, P, C, M, K, shape, seed=0):
     return yp, A, B, t
 
 
-@pytest.mark.parametrize("use_mask", [False, True])
-def test_fused3d_fp32_matches_scan_interpret(use_mask):
-    s, P, C, M, K = 2, (7, 7, 5), 1, 13, 3
+@pytest.mark.parametrize("use_mask,P", [(False, (7, 7, 5)), (True, (7, 7, 5)),
+                                        (False, (9, 9, 5))])  # MRI config taps
+def test_fused3d_fp32_matches_scan_interpret(use_mask, P):
+    s, C, M, K = 2, 1, 13, 3
     shape = (2, 1, 8, 16, 16)
     yp, A, B, t = _mk3d(s, P, C, M, K, shape)
     c = jnp.asarray([0.1, 0.2]).reshape(2, 1, 1, 1, 1)
@@ -118,8 +119,9 @@ def test_fused3d_fp32_matches_scan_interpret(use_mask):
         else None
     )
     z_ref = lista_3d(yp, A, B, t, c, mask=mask, stride=s)
+    pads = tuple(p // 2 for p in P)
     x_ref = conv_transpose3d(
-        z_ref, B[0], stride=s, padding=(3, 3, 2), output_padding=s - 1
+        z_ref, B[0], stride=s, padding=pads, output_padding=s - 1
     )
     x_got, z_got = lista3d_fused(
         yp, A, B, t, c, stride=s, mask=mask, z_dtype=jnp.float32, interpret=True
