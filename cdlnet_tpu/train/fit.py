@@ -179,6 +179,7 @@ def fit(
     project=True,
     ckpt_format="npz",  # "npz" | "orbax" (async, preemption-safe)
     mesh=None,  # dict mesh spec (e.g. {"data": -1}) or jax.sharding.Mesh
+    max_backtracks=10,  # consecutive backtracks before the policy disarms
 ):
     """Fit model to data. Returns (params, opt_state, history).
 
@@ -234,6 +235,7 @@ def fit(
     # then never set a best): start at -inf so divergence is only declared
     # relative to an actually recorded best
     top_psnr = {"train": -math.inf, "val": -math.inf, "test": -math.inf}
+    consecutive_backtracks = 0
     history = []
     key = jax.random.PRNGKey(seed)
     epoch = start_epoch
@@ -287,6 +289,7 @@ def fit(
             bad = math.isnan(last_loss) or math.isinf(last_loss)
             if psnr > top_psnr[phase]:
                 top_psnr[phase] = psnr
+                consecutive_backtracks = 0
             elif backtrack_thresh is not None and (
                 psnr + backtrack_thresh < top_psnr[phase] or bad
             ):
@@ -297,6 +300,21 @@ def fit(
                 f.write(f"{psnr:.3f}, ")
 
         if diverged:
+            # The reference policy livelocks when steady-state PSNR noise
+            # exceeds the threshold below an outlier best: every epoch
+            # backtracks, the counter rewinds, and the run never terminates
+            # (train.py:113-142 has no cap). Disarm after max_backtracks
+            # consecutive restores without a new best.
+            consecutive_backtracks += 1
+            if max_backtracks is not None and consecutive_backtracks > max_backtracks:
+                print(
+                    f"Backtracked {consecutive_backtracks - 1}x without a new "
+                    "best PSNR — fluctuation, not divergence; disabling the "
+                    "backtracking policy for the rest of this run."
+                )
+                backtrack_thresh = None
+                epoch += 1
+                continue
             ckpt_path = os.path.join(save_dir, "net.ckpt" + ckpt_ext)
             if epoch <= save_freq:
                 ckpt_path = ckpt0

@@ -235,3 +235,45 @@ def test_fit_trains_pallas_backend(tmp_path, monkeypatch):
         epochs=2, noise_std=25, val_freq=2, save_freq=1, verbose=False,
     )
     assert all(np.isfinite(p) for _, _, p in history)
+
+
+def test_backtracking_disarms_after_cap(tmp_path, monkeypatch):
+    """Steady-state PSNR fluctuation below an outlier best must not livelock
+    the epoch loop (reference train.py:113-142 has no cap)."""
+    model = CDLNet(K=2, M=4, P=5, s=1, adaptive=True)
+    params = model.init(jax.random.PRNGKey(0), init=False)
+    opt = make_optimizer(1e-12)  # effectively frozen -> PSNR pure noise
+    opt_state = opt.init(params)
+    loaders = make_loaders(n=4, size=32, bs=2)
+
+    import importlib
+
+    fit_mod = importlib.import_module("cdlnet_tpu.train.fit")
+
+    psnrs = iter([30.0] + [20.0] * 500)  # outlier best, then fluctuation
+
+    class FakeLoss:
+        def __init__(self, v): self.v = v
+        def __float__(self): return self.v
+
+    # drive the policy purely through loss values
+    orig = fit_mod.make_train_step
+
+    def fake_make(*a, **kw):
+        ts, es = orig(*a, **kw)
+
+        def train_step(p, s, b, k):
+            p2, s2, _ = ts(p, s, b, k)
+            import jax.numpy as jnp
+            return p2, s2, jnp.asarray(10.0 ** (-next(psnrs) / 10.0))
+
+        return train_step, es
+
+    monkeypatch.setattr(fit_mod, "make_train_step", fake_make)
+    params, _, history = fit_mod.fit(
+        model, params, opt, opt_state, loaders, save_dir=str(tmp_path),
+        epochs=20, noise_std=25, val_freq=100, save_freq=1, verbose=False,
+        backtrack_thresh=1, max_backtracks=3,
+    )
+    # run terminated (no livelock) and produced at most epochs+cap entries
+    assert len(history) < 40
