@@ -54,31 +54,34 @@ def _tap_geometry(P, pads, s):
     return (Qh, Qw), ana, syn
 
 
-def _axis_masks(offs, Hc, Wc, axis, dtype=np.float32):
+def _axis_masks(offs, Hc, Wc, axis, dtype=np.float32, period=None):
     """Per-offset flat (Hc*Wc,) validity masks along one axis (axis=0 rows:
-    i+off in range; axis=1 cols: j+off in range), broadcast over the other."""
+    i+off in range; axis=1 cols: j+off in range), broadcast over the other.
+
+    period (rows only): treat the H axis as `Hc/period` stacked images of
+    `period` rows each — a window is valid only within its own image, so a
+    batch folded into one tall image cannot bleed across image boundaries.
+    """
     i = np.arange(Hc)[:, None]
     j = np.arange(Wc)[None, :]
     out = []
     for off in offs:
         if axis == 0:
-            m = np.broadcast_to((i + off >= 0) & (i + off < Hc), (Hc, Wc))
+            ip = i if period is None else i % period
+            lim = Hc if period is None else period
+            m = np.broadcast_to((ip + off >= 0) & (ip + off < lim), (Hc, Wc))
         else:
             m = np.broadcast_to((j + off >= 0) & (j + off < Wc), (Hc, Wc))
         out.append(m.reshape(-1))
     return np.asarray(out, dtype)
 
 
-def lista2d_fused_supported(M, C, P, s, K, H, W, return_z=False) -> bool:
-    """True when the fused kernel fits VMEM for a padded H x W input.
-
-    Accounting (fp32 bytes): scratch z/u (2M*L) + window stack (T*Cp*L) +
-    residual (Cp*L); resident weights (2*K*M*T*Cp); row/col masks; blocked
-    inputs/outputs are double-buffered by the pipeline (x2 per block), with
-    the optional (M, L) code output the largest single item.
+def _estimate_bytes(M, C, P, s, K, H, W, return_z=False) -> int:
+    """Approximate VMEM bytes for a padded H x W input (fp32): scratch z/u
+    (2M*L) + window stack (T*Cp*L) + residual (Cp*L); resident weights;
+    masks; double-buffered blocked in/out. The Mosaic compiler's actual
+    peak runs up to ~2x this (measured) — callers apply their own margin.
     """
-    if H % s or W % s:
-        return False
     P = (P, P) if isinstance(P, int) else tuple(P)
     pads = ((P[0] - 1) // 2, (P[1] - 1) // 2)
     (Qh, Qw), _, _ = _tap_geometry(P, pads, s)
@@ -88,7 +91,14 @@ def lista2d_fused_supported(M, C, P, s, K, H, W, return_z=False) -> bool:
     masks = 2 * (Qh + Qw) * L * 4
     blocked_in = 2 * (2 * Cp * L + K * M) * 4  # y2 + mask placeholder + tau
     blocked_out = 2 * Cp * L * 4 + (2 * M * L * 4 if return_z else 0)
-    return scratch + weights + masks + blocked_in + blocked_out < _VMEM_BUDGET
+    return scratch + weights + masks + blocked_in + blocked_out
+
+
+def lista2d_fused_supported(M, C, P, s, K, H, W, return_z=False) -> bool:
+    """True when the fused kernel fits VMEM for a padded H x W input."""
+    if H % s or W % s:
+        return False
+    return _estimate_bytes(M, C, P, s, K, H, W, return_z) < _VMEM_BUDGET
 
 
 def _kernel(y2_ref, m2_ref, tau_ref, A2m_ref, B2m_ref, acolm_ref, arowm_ref,
@@ -189,7 +199,7 @@ def _kernel(y2_ref, m2_ref, tau_ref, A2m_ref, B2m_ref, acolm_ref, arowm_ref,
 
 
 def lista2d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=False,
-                  interpret=False):
+                  interpret=False, _row_period=None):
     """Fused K-iteration 2D LISTA, polyphase domain, z resident in VMEM.
 
     yp:   (N, C, H, W) pre-processed input (mean-sub, stride-padded)
@@ -203,6 +213,50 @@ def lista2d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=False,
 
     N, C, H, W = yp.shape
     K, M = A.shape[0], A.shape[1]
+
+    # Shared-sigma batches fold into ONE tall image: the N grid steps become
+    # one kernel invocation whose per-tap dots are N x wider on the MXU
+    # (period-aware row masks stop windows bleeding across image borders).
+    # Per-sample sigma keeps the per-image grid (thresholds differ per image).
+    c_is_scalar = jnp.ndim(c) == 0 or (hasattr(c, "size") and c.size == 1)
+    if N > 1 and c_is_scalar and mask is None and _row_period is None:
+        # largest group whose folded working set fits with margin (the
+        # measured Mosaic peak runs ~2x the estimate; hard cap is 128 MB)
+        g = N
+        while g > 1 and _estimate_bytes(
+            M, C, A.shape[-1], stride, K, g * H, W, return_z
+        ) * 2.2 > 128 * 1024 * 1024:
+            g -= 1
+        if g > 1:
+            outs_x, outs_z = [], []
+            for i in range(0, N, g):
+                grp = yp[i : i + g]
+                n = grp.shape[0]
+                if n == 1:
+                    xg, zg = lista2d_fused(
+                        grp, A, B, t, c, stride=stride, return_z=return_z,
+                        interpret=interpret,
+                    )
+                else:
+                    # stack images along H: (n, C, H, W) -> (1, C, n*H, W);
+                    # the row axis must be (n, h)-ordered per channel
+                    yf = grp.transpose(1, 0, 2, 3).reshape(1, C, n * H, W)
+                    xf, zf = lista2d_fused(
+                        yf, A, B, t, c, stride=stride, return_z=return_z,
+                        interpret=interpret, _row_period=H // stride,
+                    )
+                    xg = xf.reshape(C, n, H, W).transpose(1, 0, 2, 3)
+                    zg = (
+                        zf.reshape(M, n, H // stride, W // stride)
+                        .transpose(1, 0, 2, 3)
+                        if return_z
+                        else None
+                    )
+                outs_x.append(xg)
+                outs_z.append(zg)
+            x = jnp.concatenate(outs_x, axis=0)
+            z = jnp.concatenate(outs_z, axis=0) if return_z else None
+            return x, z
     P = A.shape[-2:]
     s = stride
     pads = ((P[0] - 1) // 2, (P[1] - 1) // 2)
@@ -238,12 +292,16 @@ def lista2d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=False,
     q_lo_h, _ = pp._tap_ranges(P[0], pads[0], s)
     q_lo_w, _ = pp._tap_ranges(P[1], pads[1], s)
     acolm = jnp.asarray(_axis_masks([q_lo_w + ri for ri in range(Qw)], Hc, Wc, 1))
-    arowm = jnp.asarray(_axis_masks([q_lo_h + qi for qi in range(Qh)], Hc, Wc, 0))
+    arowm = jnp.asarray(
+        _axis_masks([q_lo_h + qi for qi in range(Qh)], Hc, Wc, 0,
+                    period=_row_period)
+    )
     scolm = jnp.asarray(
         _axis_masks([ri - (Qw - 1) - q_lo_w for ri in range(Qw)], Hc, Wc, 1)
     )
     srowm = jnp.asarray(
-        _axis_masks([qi - (Qh - 1) - q_lo_h for qi in range(Qh)], Hc, Wc, 0)
+        _axis_masks([qi - (Qh - 1) - q_lo_h for qi in range(Qh)], Hc, Wc, 0,
+                    period=_row_period)
     )
 
     kern = functools.partial(

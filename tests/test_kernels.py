@@ -226,3 +226,20 @@ def test_pallas_backend_trainable(monkeypatch):
     g_pal = jax.grad(loss(mp))(params)
     for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_pal)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-4)
+
+
+def test_fused2d_batch_folding_matches_scan():
+    """Shared-sigma batches fold into one tall image inside the kernel;
+    results must match the per-image XLA scan (no cross-image bleed)."""
+    s, P, C, M, K = 2, 7, 1, 8, 3
+    yp = jax.random.normal(jax.random.PRNGKey(0), (3, C, 16, 16), jnp.float32) * 0.3
+    A = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (K, M, C, P, P), jnp.float32)
+    B = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (K, M, C, P, P), jnp.float32)
+    t = 0.02 * jnp.abs(jax.random.normal(jax.random.PRNGKey(3), (K, 2, M, 1, 1)))
+    z_ref = lista_2d(yp, A, B, t, 0.1, stride=s)
+    x_ref = conv_transpose2d(z_ref, B[0], stride=s, padding=3, output_padding=1)
+    x_got, z_got = lista2d_fused(
+        yp, A, B, t, 0.1, stride=s, return_z=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(z_got), np.asarray(z_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x_got), np.asarray(x_ref), atol=1e-5)
