@@ -17,7 +17,7 @@ import os
 
 import numpy as np
 
-from cdlnet_tpu.data.loader import DataLoader
+from cdlnet_tpu.data.loader import DataLoader, ThreadSafeRng
 
 
 def ifft2c(kspace: np.ndarray) -> np.ndarray:
@@ -71,7 +71,7 @@ class FastMRIDataset:
         self.image_size = tuple(image_size)
         self.test = test
         self.PDFS = PDFS
-        self.rng = np.random.default_rng(seed)
+        self.rng = ThreadSafeRng(seed)
 
     def __len__(self):
         return len(self.h5_files)
@@ -86,7 +86,8 @@ class FastMRIDataset:
             raise ValueError(
                 f"{self.h5_files[idx]} has {n} slices < depth {self.depth}"
             )
-        start = 0 if self.test else int(self.rng.integers(0, n - self.depth + 1))
+        rng = self.rng()
+        start = 0 if self.test else int(rng.integers(0, n - self.depth + 1))
         crop = None
         frames = []
         for i in range(start, start + self.depth):
@@ -97,7 +98,7 @@ class FastMRIDataset:
                 if cw > W or ch > H:
                     raise ValueError(f"crop {self.image_size} > image {(W, H)}")
                 if crop is None:
-                    crop = (int(self.rng.integers(0, W - cw + 1)), int(self.rng.integers(0, H - ch + 1)))
+                    crop = (int(rng.integers(0, W - cw + 1)), int(rng.integers(0, H - ch + 1)))
                 cx, cy = crop
                 img = img[cy : cy + ch, cx : cx + cw]
             frames.append(img.astype(np.float32) / 255.0)
@@ -105,7 +106,8 @@ class FastMRIDataset:
 
 
 def get_fastmri_data_loader(
-    dir_list, batch_size=1, load_color=False, crop_size=128, test=True, depth=16, PDFS=True, seed=0
+    dir_list, batch_size=1, load_color=False, crop_size=128, test=True, depth=16,
+    PDFS=True, seed=0, num_workers=0
 ):
     ds = FastMRIDataset(
         dir_list,
@@ -115,7 +117,8 @@ def get_fastmri_data_loader(
         PDFS=PDFS,
         seed=seed,
     )
-    return DataLoader(ds, batch_size=batch_size, shuffle=not test, drop_last=not test, seed=seed)
+    return DataLoader(ds, batch_size=batch_size, shuffle=not test, drop_last=not test,
+                      seed=seed, num_workers=num_workers)
 
 
 def get_fastmri_fit_loaders(
@@ -128,12 +131,14 @@ def get_fastmri_fit_loaders(
     depth=16,
     PDFS=True,
     seed=0,
+    num_workers=0,
 ):
     if isinstance(batch_size, int):
         batch_size = [batch_size, 1, 1]
     return {
         "train": get_fastmri_data_loader(
-            trn_path_list, batch_size[0], crop_size=crop_size, test=False, depth=depth, PDFS=PDFS, seed=seed
+            trn_path_list, batch_size[0], crop_size=crop_size, test=False, depth=depth,
+            PDFS=PDFS, seed=seed, num_workers=num_workers,
         ),
         "val": get_fastmri_data_loader(
             val_path_list, batch_size[1], crop_size=crop_size, test=True, depth=depth, PDFS=PDFS

@@ -12,7 +12,7 @@ import os
 
 import numpy as np
 
-from cdlnet_tpu.data.loader import DataLoader
+from cdlnet_tpu.data.loader import DataLoader, ThreadSafeRng
 
 IMG_EXTS = ("tif", "tiff", "png", "jpg", "jpeg", "bmp")
 
@@ -46,28 +46,30 @@ class ImageDataset:
         self.root_dirs = list(root_dirs)
         self.crop_size = crop_size
         self.augment = augment
-        self.rng = np.random.default_rng(seed)
+        self.rng = ThreadSafeRng(seed)
 
     def __len__(self):
         return len(self.images)
 
     def __getitem__(self, idx: int) -> np.ndarray:
         x = self.images[idx]
+        rng = self.rng()  # per-call generator: safe under loader workers
         if self.crop_size is not None:
             c = self.crop_size
             _, H, W = x.shape
-            i = int(self.rng.integers(0, H - c + 1))
-            j = int(self.rng.integers(0, W - c + 1))
+            i = int(rng.integers(0, H - c + 1))
+            j = int(rng.integers(0, W - c + 1))
             x = x[:, i : i + c, j : j + c]
         if self.augment:
-            if self.rng.random() < 0.5:
+            if rng.random() < 0.5:
                 x = x[:, :, ::-1]
-            if self.rng.random() < 0.5:
+            if rng.random() < 0.5:
                 x = x[:, ::-1, :]
         return np.ascontiguousarray(x)
 
 
-def get_data_loader(dir_list, batch_size=1, load_color=False, crop_size=None, test=True, seed=0):
+def get_data_loader(dir_list, batch_size=1, load_color=False, crop_size=None, test=True, seed=0,
+                    num_workers=0):
     ds = ImageDataset(
         dir_list,
         load_color=load_color,
@@ -75,7 +77,7 @@ def get_data_loader(dir_list, batch_size=1, load_color=False, crop_size=None, te
         augment=not test,
         seed=seed,
     )
-    return DataLoader(ds, batch_size=batch_size, shuffle=not test, drop_last=not test, seed=seed)
+    return DataLoader(ds, batch_size=batch_size, shuffle=not test, drop_last=not test, seed=seed, num_workers=num_workers)
 
 
 def get_fit_loaders(
@@ -86,13 +88,15 @@ def get_fit_loaders(
     batch_size=(10, 1, 1),
     load_color=False,
     seed=0,
+    num_workers=0,
 ):
     """Train/val/test loader dict (data.py:52-75)."""
     if isinstance(batch_size, int):
         batch_size = [batch_size, 1, 1]
     return {
         "train": get_data_loader(
-            trn_path_list, batch_size[0], load_color, crop_size=crop_size, test=False, seed=seed
+            trn_path_list, batch_size[0], load_color, crop_size=crop_size, test=False,
+            seed=seed, num_workers=num_workers,
         ),
         "val": get_data_loader(val_path_list, batch_size[1], load_color, test=True),
         "test": get_data_loader(tst_path_list, batch_size[2], load_color, test=True),

@@ -16,7 +16,7 @@ import os
 import numpy as np
 
 from cdlnet_tpu.data.images import IMG_EXTS, _load_image
-from cdlnet_tpu.data.loader import DataLoader
+from cdlnet_tpu.data.loader import DataLoader, ThreadSafeRng
 
 
 def _resize(img: np.ndarray, size) -> np.ndarray:
@@ -63,7 +63,7 @@ class VideoClipDataset:
         self.crop_ratio = crop_ratio
         self.aug_prob = aug_prob
         self.max_shift = max_shift
-        self.rng = np.random.default_rng(seed)
+        self.rng = ThreadSafeRng(seed)
 
     def __len__(self):
         return len(self.video_dirs)
@@ -80,7 +80,7 @@ class VideoClipDataset:
         n = len(files)
         if n < self.depth:
             raise ValueError(f"{self.video_dirs[idx]} has fewer than {self.depth} frames")
-        rng = self.rng
+        rng = self.rng()
 
         if not self.test and rng.random() < self.aug_prob:
             # random-walk crop over a wrap-around frame window
@@ -143,6 +143,7 @@ def get_video_loader(
     aug_prob=0.3,
     max_shift=10,
     seed=0,
+    num_workers=0,
 ):
     size = (crop_size, crop_size) if crop_size else (128, 128)
     ds = VideoClipDataset(
@@ -156,7 +157,8 @@ def get_video_loader(
         max_shift=max_shift,
         seed=seed,
     )
-    return DataLoader(ds, batch_size=batch_size, shuffle=not test, drop_last=not test, seed=seed)
+    return DataLoader(ds, batch_size=batch_size, shuffle=not test, drop_last=not test,
+                      seed=seed, num_workers=num_workers)
 
 
 def get_video_fit_loaders(
@@ -171,6 +173,7 @@ def get_video_fit_loaders(
     aug_prob=0.3,
     max_shift=10,
     seed=0,
+    num_workers=0,
 ):
     """Train/val/test video loaders (data3d.py:189-255).
 
@@ -189,7 +192,8 @@ def get_video_fit_loaders(
     )
     return {
         "train": get_video_loader(
-            trn_path_list, batch_size[0], crop_size=crop_size, test=False, **common
+            trn_path_list, batch_size[0], crop_size=crop_size, test=False,
+            num_workers=num_workers, **common
         ),
         "val": get_video_loader(val_path_list, batch_size[1], crop_size=crop_size, test=True, **common),
         "test": get_video_loader(tst_path_list, batch_size[2], crop_size=crop_size, test=True, **common),

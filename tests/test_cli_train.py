@@ -71,3 +71,28 @@ def test_loader_dispatch():
         "PDFS": False}}}
     with pytest.raises(FileNotFoundError):
         make_loaders(args)
+
+
+def test_loader_workers_match_sequential_shapes(tmp_path):
+    """num_workers>0 yields the same number/shape of batches as sequential,
+    with thread-safe per-item augmentation RNG."""
+    from cdlnet_tpu.data.images import get_data_loader
+    from cdlnet_tpu.data.synthetic import gen_synthetic_image_dirs
+
+    root = gen_synthetic_image_dirs(str(tmp_path / "imgs"), n_images=9, size=64,
+                                    splits=("train",))
+    l0 = get_data_loader([root + "/train"], batch_size=2, crop_size=32,
+                         test=False, seed=0)
+    l4 = get_data_loader([root + "/train"], batch_size=2, crop_size=32,
+                         test=False, seed=0, num_workers=4)
+    b0 = list(l0)
+    b4 = list(l4)
+    assert len(b0) == len(b4) == 4  # drop_last on 9 items / bs 2
+    for a, b in zip(b0, b4):
+        assert a.shape == b.shape == (2, 1, 32, 32)
+        assert np.isfinite(b).all()
+    # early-stop consumer doesn't deadlock or leak
+    it = iter(get_data_loader([root + "/train"], batch_size=2, crop_size=32,
+                              test=False, seed=0, num_workers=2))
+    next(it)
+    del it
