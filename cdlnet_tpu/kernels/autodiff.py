@@ -24,7 +24,6 @@ from __future__ import annotations
 import functools
 
 import jax
-import jax.numpy as jnp
 
 
 def _xla_forward_2d(yp, A, B, t, c, mask, stride):
