@@ -87,6 +87,11 @@ class DataLoader:
             return
         if self._pool is None:
             self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            # the pool persists across epochs; release its threads when the
+            # loader is collected (nothing else ever shuts it down)
+            import weakref
+
+            weakref.finalize(self, self._pool.shutdown, wait=False)
         pending = []
         batches = self._batches()
         try:

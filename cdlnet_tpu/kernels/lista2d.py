@@ -34,11 +34,14 @@ import jax.numpy as jnp
 
 from cdlnet_tpu.ops import polyphase as pp
 
-# Usable VMEM on this part probed >100 MB (see kernels/lista3d.py), far
-# above the classic ~16 MB guideline; the budget gates the whole-image
-# fused kernel (e.g. BSD68-size 481x321 eval images now fit; 512x512 still
-# falls back to the XLA path).
-_VMEM_BUDGET = int(100 * 1024 * 1024)
+# Hard VMEM capacity on this part is 128 MB (compiler-verified). The
+# Mosaic peak exceeds the analytic estimate by a shape-dependent factor
+# (measured 1.78x for a single BSD68-size image — compiled fine at 72 MB
+# estimated — and 2.12x for a folded batch): single images gate at 1.75x,
+# the batch-folding path at 2.2x, and serve.Denoiser catches a compile
+# OOM on odd shapes and rebuilds on the XLA path.
+_VMEM_CAPACITY = 128 * 1024 * 1024
+_PEAK_FACTOR = 1.75
 
 
 def _tap_geometry(P, pads, s):
@@ -98,7 +101,8 @@ def lista2d_fused_supported(M, C, P, s, K, H, W, return_z=False) -> bool:
     """True when the fused kernel fits VMEM for a padded H x W input."""
     if H % s or W % s:
         return False
-    return _estimate_bytes(M, C, P, s, K, H, W, return_z) < _VMEM_BUDGET
+    est = _estimate_bytes(M, C, P, s, K, H, W, return_z)
+    return est * _PEAK_FACTOR < _VMEM_CAPACITY
 
 
 def _kernel(y2_ref, m2_ref, tau_ref, A2m_ref, B2m_ref, acolm_ref, arowm_ref,
@@ -225,7 +229,7 @@ def lista2d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=False,
         g = N
         while g > 1 and _estimate_bytes(
             M, C, A.shape[-1], stride, K, g * H, W, return_z
-        ) * 2.2 > 128 * 1024 * 1024:
+        ) * 2.2 > _VMEM_CAPACITY:
             g -= 1
         if g > 1:
             outs_x, outs_z = [], []

@@ -120,10 +120,26 @@ class Denoiser:
             cfg = [(0, 0)] * (y.ndim - 2) + [(0, p) for p in pads]
             y = np.pad(y, cfg, mode="reflect")
         yj = jnp.asarray(y)
-        if sigma is None and getattr(self.model, "adaptive", False):
-            out = self._fwd_blind(self.params, yj)
-        else:
-            out = self._fwd(self.params, yj, None if sigma is None else float(sigma))
+        try:
+            if sigma is None and getattr(self.model, "adaptive", False):
+                out = self._fwd_blind(self.params, yj)
+            else:
+                out = self._fwd(self.params, yj, None if sigma is None else float(sigma))
+        except Exception:
+            # fused-kernel VMEM estimates are approximate; a compile OOM on
+            # an unusual shape falls back to the XLA path permanently
+            if getattr(self.model, "backend", "xla") == "pallas":
+                import dataclasses
+
+                self.model = dataclasses.replace(self.model, backend="xla")
+                self._fwd = jax.jit(
+                    lambda p, y, s: _xhat(self.model.apply(p, y, s, return_z=False))
+                )
+                self._fwd_blind = jax.jit(self._blind_forward)
+                return self._run(
+                    np.asarray(y)[..., : spatial[0], : spatial[1]], sigma
+                )
+            raise
         out = np.asarray(out)
         return out[..., : spatial[0], : spatial[1]]
 

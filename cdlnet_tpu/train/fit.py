@@ -304,34 +304,41 @@ def fit(
             # exceeds the threshold below an outlier best: every epoch
             # backtracks, the counter rewinds, and the run never terminates
             # (train.py:113-142 has no cap). Disarm after max_backtracks
-            # consecutive restores without a new best.
+            # consecutive restores without a new best — but ONLY for
+            # fluctuation: a NaN/Inf loss always restores (training on NaN
+            # params would let a later periodic save clobber the last good
+            # checkpoint), relying on the lr decay to escape.
             consecutive_backtracks += 1
-            if max_backtracks is not None and consecutive_backtracks > max_backtracks:
+            if (
+                not bad
+                and max_backtracks is not None
+                and consecutive_backtracks > max_backtracks
+            ):
                 print(
                     f"Backtracked {consecutive_backtracks - 1}x without a new "
                     "best PSNR — fluctuation, not divergence; disabling the "
                     "backtracking policy for the rest of this run."
                 )
                 backtrack_thresh = None
+                diverged = False  # fall through: sched/save still run
+            else:
+                ckpt_path = os.path.join(save_dir, "net.ckpt" + ckpt_ext)
+                if epoch <= save_freq:
+                    ckpt_path = ckpt0
+                print(f"Loss has diverged. Backtracking to {ckpt_path} ...")
+                with open(os.path.join(save_dir, "backtrack.txt"), "a") as f:
+                    f.write(f"{epoch}  ")
+                if epoch % save_freq == 0:
+                    epoch = epoch - save_freq
+                else:
+                    epoch = epoch - epoch % save_freq
+                old_lr = get_lr(opt_state)
+                params, opt_state, _, _ = load_ckpt(ckpt_path, params, opt_state)
+                opt_state = set_lr(opt_state, old_lr * 0.8)
+                base_lr = base_lr * 0.8
+                print(f"Updated Learning Rate(s): {get_lr(opt_state):.3e}")
                 epoch += 1
                 continue
-            ckpt_path = os.path.join(save_dir, "net.ckpt" + ckpt_ext)
-            if epoch <= save_freq:
-                ckpt_path = ckpt0
-            print(f"Loss has diverged. Backtracking to {ckpt_path} ...")
-            with open(os.path.join(save_dir, "backtrack.txt"), "a") as f:
-                f.write(f"{epoch}  ")
-            if epoch % save_freq == 0:
-                epoch = epoch - save_freq
-            else:
-                epoch = epoch - epoch % save_freq
-            old_lr = get_lr(opt_state)
-            params, opt_state, _, _ = load_ckpt(ckpt_path, params, opt_state)
-            opt_state = set_lr(opt_state, old_lr * 0.8)
-            base_lr = base_lr * 0.8
-            print(f"Updated Learning Rate(s): {get_lr(opt_state):.3e}")
-            epoch += 1
-            continue
 
         if sched is not None:
             # StepLR semantics: decay lr every step_size epochs (train.py:144-148)

@@ -252,10 +252,6 @@ def test_backtracking_disarms_after_cap(tmp_path, monkeypatch):
 
     psnrs = iter([30.0] + [20.0] * 500)  # outlier best, then fluctuation
 
-    class FakeLoss:
-        def __init__(self, v): self.v = v
-        def __float__(self): return self.v
-
     # drive the policy purely through loss values
     orig = fit_mod.make_train_step
 
