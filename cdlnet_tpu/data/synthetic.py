@@ -51,6 +51,36 @@ def gen_synthetic_video_dirs(
     return out_dir
 
 
+def gen_synthetic_mri_dirs(
+    out_dir: str, n_volumes=2, slices=16, size=128, seed=0, splits=("train", "val", "test")
+):
+    """Write fastMRI-style .h5 k-space volume dirs: out_dir/{split}/vol{i}.h5.
+
+    Each volume is a random_field_video slice stack pushed through the
+    centered orthonormal forward FFT, so data/fastmri.py's ifft2c recovers it
+    exactly. Volumes carry acquisition='CORPD_FBK' so they survive the
+    PDFS=False filter (datafastmri.py:34-46 semantics).
+    """
+    import h5py
+
+    rng = np.random.default_rng(seed)
+    for split in splits:
+        sdir = os.path.join(out_dir, split)
+        os.makedirs(sdir, exist_ok=True)
+        for i in range(n_volumes):
+            vol = random_field_video(rng, depth=slices, size=size)
+            k = np.fft.fftshift(
+                np.fft.fft2(
+                    np.fft.ifftshift(vol, axes=(-2, -1)), axes=(-2, -1), norm="ortho"
+                ),
+                axes=(-2, -1),
+            )
+            with h5py.File(os.path.join(sdir, f"vol{i:03d}.h5"), "w") as hf:
+                hf.create_dataset("kspace", data=k.astype(np.complex64))
+                hf.attrs["acquisition"] = "CORPD_FBK"
+    return out_dir
+
+
 def gen_synthetic_image_dirs(out_dir: str, n_images=8, size=180, seed=0, splits=("train", "val", "test")):
     """Write PNG image dirs for the 2D pipeline: out_dir/{split}/img{i}.png."""
     from PIL import Image

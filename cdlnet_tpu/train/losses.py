@@ -62,18 +62,23 @@ def ssim(x, y, data_range=1.0, win_size=11, win_sigma=1.5):
     w = jnp.broadcast_to(win[None, None], (C, 1, win_size, win_size))
 
     def filt(v):
+        # HIGHEST precision: the TPU's default bf16 conv makes the
+        # E[x^2] - mu^2 cancellation below catastrophically wrong (variance
+        # errors ~1e-3 flip the cs denominator negative and SSIM explodes)
         return lax.conv_general_dilated(
             v, w, (1, 1), [(0, 0), (0, 0)],
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
             feature_group_count=C,
+            precision=lax.Precision.HIGHEST,
         )
 
     K1, K2 = 0.01, 0.03
     C1, C2 = (K1 * data_range) ** 2, (K2 * data_range) ** 2
     mu_x, mu_y = filt(x), filt(y)
     mu_x2, mu_y2, mu_xy = mu_x**2, mu_y**2, mu_x * mu_y
-    sig_x = filt(x * x) - mu_x2
-    sig_y = filt(y * y) - mu_y2
+    # clamp residual negative variances from fp32 rounding
+    sig_x = jnp.maximum(filt(x * x) - mu_x2, 0.0)
+    sig_y = jnp.maximum(filt(y * y) - mu_y2, 0.0)
     sig_xy = filt(x * y) - mu_xy
     cs = (2 * sig_xy + C2) / (sig_x + sig_y + C2)
     ssim_map = ((2 * mu_xy + C1) / (mu_x2 + mu_y2 + C1)) * cs

@@ -95,3 +95,26 @@ def test_save_gif(tmp_path):
         assert im.n_frames == 4
     # (C, D, H, W) grayscale form
     save_gif(str(tmp_path / "c.gif"), frames[None])
+
+
+def test_gen_synthetic_mri_dirs_roundtrip(tmp_path):
+    """The synthetic k-space fixtures round-trip through the fastMRI loader:
+    ifft2c recovers the structured field (up to uint8 quantization)."""
+    from cdlnet_tpu.data.fastmri import FastMRIDataset
+    from cdlnet_tpu.data.synthetic import gen_synthetic_mri_dirs, random_field_video
+
+    root = gen_synthetic_mri_dirs(
+        str(tmp_path / "mri"), n_volumes=1, slices=4, size=32, seed=3,
+        splits=("test",),
+    )
+    ds = FastMRIDataset([f"{root}/test"], depth=4, test=True, PDFS=False)
+    vol = ds[0]  # (1, 4, 32, 32)
+    assert vol.shape == (1, 4, 32, 32)
+    ref = random_field_video(np.random.default_rng(3), depth=4, size=32)
+    # the loader min-max normalizes each slice of |ifft2c| to uint8/255
+    # (datafastmri.py:86-96 semantics) — apply the same per-slice transform
+    for d in range(4):
+        s = ref[d]
+        s = (s - s.min()) / max(s.max() - s.min(), 1e-12)
+        s = (s * 255).astype(np.uint8).astype(np.float32) / 255.0
+        assert np.max(np.abs(vol[0, d] - s)) < 1e-6
