@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Time the jitted training step for the reference's flagship configs, per
+backend (XLA polyphase scan vs fused Pallas kernels via the custom-VJP path).
+
+Timing protocol per CLAUDE.md: the tunneled TPU backend's block_until_ready
+does not block, and per-call readbacks charge ~28 ms of tunnel latency to
+every step — so run R async step dispatches back-to-back and force execution
+with ONE scalar readback, reporting wall/R.
+
+Usage: python tools/bench_train_step.py [config ...]
+  configs: 2d, video (default: both), csr
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+CONFIGS = {
+    # trained_nets/CDLNet-s2030/args.json scale: batch 10 x 128^2
+    "2d": dict(
+        mtype="CDLNet",
+        model={"K": 30, "M": 169, "P": 7, "s": 2, "C": 1, "adaptive": True},
+        batch=(10, 1, 128, 128),
+        workload="2d",
+    ),
+    # args3d.json scale: batch 2 x 16 x 128^2
+    "video": dict(
+        mtype="CDLNetVideo",
+        model={"K": 30, "M": 169, "P": (7, 7, 5), "s": 2, "C": 1,
+               "adaptive": True, "depth": 16},
+        batch=(2, 1, 16, 128, 128),
+        workload="3d",
+    ),
+}
+
+
+def bench_one(name, cfg, backend, repeats=20):
+    import jax
+    import jax.numpy as jnp
+
+    from cdlnet_tpu.models import build_model
+    from cdlnet_tpu.train.fit import make_train_step
+    from cdlnet_tpu.train.optim import make_optimizer
+
+    model = build_model(cfg["mtype"], {**cfg["model"], "backend": backend})
+    params = model.init(jax.random.PRNGKey(0), init=False)
+    params["A"] = params["A"] * 0.02
+    params["B"] = params["B"] * 0.02
+    params["t"] = jnp.abs(params["t"]) + 1e-3
+    opt = make_optimizer(1e-4, clip_grad=0.1)
+    opt_state = opt.init(params)
+    step, _ = make_train_step(model, opt, workload=cfg["workload"],
+                              noise_std=(20, 30))
+    batch = jax.random.uniform(jax.random.PRNGKey(1), cfg["batch"], jnp.float32)
+    key = jax.random.PRNGKey(2)
+
+    # compile + settle
+    params, opt_state, loss = step(params, opt_state, batch, key)
+    float(loss)
+    params, opt_state, loss = step(params, opt_state, batch, key)
+    float(loss)
+
+    t0 = time.perf_counter()
+    for i in range(repeats):
+        key = jax.random.fold_in(key, i)
+        params, opt_state, loss = step(params, opt_state, batch, key)
+    lv = float(loss)  # single readback forces the whole chain
+    dt = (time.perf_counter() - t0) / repeats
+    print(f"{name:6s} backend={backend:6s} {dt*1e3:8.1f} ms/step  (loss {lv:.5f})")
+    return dt
+
+
+def main():
+    from cdlnet_tpu.utils import setup_compilation_cache
+
+    setup_compilation_cache()
+    names = sys.argv[1:] or ["2d", "video"]
+    for name in names:
+        for backend in ("xla", "pallas"):
+            bench_one(name, CONFIGS[name], backend)
+
+
+if __name__ == "__main__":
+    main()
