@@ -15,7 +15,9 @@ Formulation (matches ops/polyphase.py exactly):
   - analysis: the T rolled residual windows (Cp, L) are stacked to
     (T*Cp, L) and hit with one (M, T*Cp) matmul — contraction T*Cp (64 for
     P=7, s=2, C=1) instead of the starved C=1 of the direct conv;
-  - synthesis: T matmuls (Cp, M) x (M, L) — contraction M (e.g. 169);
+  - synthesis: ONE (T*Cp, M) x (M, L) matmul (64+ output rows vs T
+    separate Cp-row dots that starve the MXU's output dimension), per-tap
+    output slices lane-rolled and border-masked into the accumulator;
   - soft-threshold on the VPU.
 
 Grid = batch; one program owns one image. VMEM budget ~ (2M + T*Cp + 3Cp)
@@ -106,7 +108,7 @@ def lista2d_fused_supported(M, C, P, s, K, H, W, return_z=False) -> bool:
 
 
 def _kernel(y2_ref, m2_ref, tau_ref, A2m_ref, B2m_ref, acolm_ref, arowm_ref,
-            scolm_ref, srowm_ref, *out_and_scratch, K, Cp, Wc, Qh, Qw,
+            smm_ref, *out_and_scratch, K, Cp, Wc, Qh, Qw,
             q_lo, r_lo, use_mask, return_z):
     if return_z:
         x2_ref, z_out_ref, z_ref, u_ref, r_ref, stack_ref = out_and_scratch
@@ -115,16 +117,19 @@ def _kernel(y2_ref, m2_ref, tau_ref, A2m_ref, B2m_ref, acolm_ref, arowm_ref,
         z_out_ref = None
     """One image. Shapes (leading grid dim already sliced to 1):
       y2 (1, Cp, L)   m2 (1, Cp, L)    tau (1, K, M)
-      A2m (K, M, T*Cp)   B2m (K, T, Cp, M)  [T = Qh*Qw, tap-major (q, r)]
-      a/s col masks (Qw, L), row masks (Qh, L)
+      A2m (K, M, T*Cp)   B2m (K, T*Cp, M)  [T = Qh*Qw, rows tap-major (q, r)]
+      analysis col masks (Qw, L) / row masks (Qh, L); smm (T, L) combined
+      synthesis masks (srow*scol per tap)
       outputs x2 (1, Cp, L), z_out (1, M, L)
       scratch: z (M, L), u (M, L), r (Cp, L), stack (T*Cp, L)
 
-    Tap windows are factored into column then row shifts so the big (M, L)
-    code buffer is rolled only Qw times per conv (the row shift is applied
-    to the small (Cp, L) partial sums): roll_flat(q*Wc + r) == roll(q*Wc)
-    after roll(r), with the column mask killing row-wrap artifacts and the
-    row mask killing top/bottom wrap.
+    Analysis tap windows are factored into column then row shifts
+    (roll_flat(q*Wc + r) == roll(q*Wc) after roll(r), column mask killing
+    row-wrap artifacts, row mask killing top/bottom wrap). The synthesis
+    runs all T taps as ONE (T*Cp, M) x (M, L) dot into the stack scratch
+    and rolls/masks the per-tap OUTPUT slices instead of the (M, L) z
+    buffer — the roll and the Wc-periodic masks commute with the
+    lane-pointwise contraction (see kernels/lista3d._kernel_syn).
     """
     from jax.experimental.pallas import tpu as pltpu
 
@@ -141,21 +146,19 @@ def _kernel(y2_ref, m2_ref, tau_ref, A2m_ref, B2m_ref, acolm_ref, arowm_ref,
 
     def synthesis(k, out_ref):
         """out_ref <- sum_t B2m[k, t] @ window_t(z), taps (q, r) with
-        offsets (q - q_hi, r - r_hi). Column-rolled z copies go through the
-        u_ref scratch so only one (M, L) temporary is ever live."""
-        out_ref[:] = jnp.zeros_like(out_ref)
-        for ri in range(Qw):
-            u_ref[:] = roll(z_ref[:], ri - (Qw - 1) - r_lo) * scolm_ref[ri][None, :]
-            part = jnp.zeros_like(out_ref[:])
-            for qi in range(Qh):
-                d = jax.lax.dot_general(
-                    B2m_ref[k, qi * Qw + ri], u_ref[:],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=HIGH,
-                )
-                q_off = (qi - (Qh - 1) - q_lo) * Wc
-                part += roll(d, q_off) * srowm_ref[qi][None, :]
-            out_ref[:] += part
+        offsets (q - q_hi, r - r_hi), as one full-width dot + output
+        rolls. stack_ref doubles as the dot buffer (not live here)."""
+        stack_ref[:] = jax.lax.dot_general(
+            B2m_ref[k], z_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HIGH,
+        )
+        acc = jnp.zeros_like(out_ref[:])
+        for qi in range(Qh):
+            for ri in range(Qw):
+                tp = qi * Qw + ri
+                off = (qi - (Qh - 1) - q_lo) * Wc + (ri - (Qw - 1) - r_lo)
+                acc += roll(stack_ref[tp * Cp : (tp + 1) * Cp], off) * smm_ref[tp][None, :]
+        out_ref[:] = acc
 
     def analysis_stack(buf):
         """Stack the T windows of buf (Cp, L), offsets (q_lo + q, r_lo + r)."""
@@ -276,8 +279,8 @@ def lista2d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=False,
     _, B2t, _, _ = pp.polyphase_weights(B, s, pads, 2)
     # analysis matrix, tap-major to match the window stack: (K, M, T*Cp)
     A2m = A2.transpose(0, 1, 3, 4, 2).reshape(K, M, T * Cp)
-    # synthesis per-tap matrices: (K, T, Cp, M)
-    B2m = B2t.transpose(0, 3, 4, 2, 1).reshape(K, T, Cp, M)
+    # synthesis matrix, rows (tap, cp)-major for the single-dot form
+    B2m = B2t.transpose(0, 3, 4, 2, 1).reshape(K, T * Cp, M)
 
     y2 = pp.space_to_depth(yp, s, 2).reshape(N, Cp, L)
     use_mask = mask is not None
@@ -307,6 +310,8 @@ def lista2d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=False,
         _axis_masks([qi - (Qh - 1) - q_lo_h for qi in range(Qh)], Hc, Wc, 0,
                     period=_row_period)
     )
+    # combined per-tap synthesis masks, rows (qi, ri)-major
+    smm = (srowm[:, None, :] * scolm[None, :, :]).reshape(T, L)
 
     kern = functools.partial(
         _kernel, K=K, Cp=Cp, Wc=Wc, Qh=Qh, Qw=Qw, q_lo=q_lo_h, r_lo=q_lo_w,
@@ -325,8 +330,7 @@ def lista2d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=False,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # B2m
             pl.BlockSpec(memory_space=pltpu.VMEM),  # acolm
             pl.BlockSpec(memory_space=pltpu.VMEM),  # arowm
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # scolm
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # srowm
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # smm
         ]
     out_specs = [
         pl.BlockSpec((1, Cp, L), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
@@ -354,7 +358,7 @@ def lista2d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=False,
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(y2, m2, tau, A2m, B2m, acolm, arowm, scolm, srowm)
+    )(y2, m2, tau, A2m, B2m, acolm, arowm, smm)
 
     x2 = outs[0]
     xphat = pp.depth_to_space(x2.reshape(N, Cp, Hc, Wc), s, 2, C)

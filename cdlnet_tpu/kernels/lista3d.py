@@ -20,11 +20,14 @@ Two execution strategies, picked by working-set size:
    BlockSpec views with validity zeroing (the reference Conv3d's zero-pad
    semantics, model/net.py:137-144).
 
-Both express the in-plane taps as factored row/column lane-rolls over the
-flattened (Hc*Wc) axis with border masks, feeding per-tap matmuls; the
-analysis stacks its windows into a T*Cp-deep MXU contraction (384 at the
-flagship config). Inference-only (no custom VJP); CDLNetVideo falls back to
-the XLA scan for training and residual-block variants.
+Both paths keep every dot MXU-shaped: the analysis stacks its rolled
+windows into ONE T*Cp-deep contraction (384 at the flagship config), and
+the synthesis folds all Qh*Qw in-plane taps into ONE (Qh*Qw*Cp)-row dot
+(128 rows — a full MXU tile) whose per-tap output slices are lane-rolled
+and border-masked into the accumulator (the roll/mask factors commute with
+the lane-pointwise contraction; see _kernel_syn). Inference-only (no custom
+VJP); CDLNetVideo falls back to the XLA scan for training and
+residual-block variants.
 """
 
 from __future__ import annotations
@@ -71,19 +74,28 @@ def lista3d_fused_supported(M, C, P, s, K, D, H, W, residual=None) -> bool:
     return b + masks < _VMEM_BUDGET
 
 
-def _kernel_syn(z_ref, y2_ref, m2_ref, B2m_ref, scol_ref, srow_ref, r_ref,
+def _kernel_syn(z_ref, y2_ref, m2_ref, B2m_ref, sm_ref, r_ref,
                 *, Qd, Qh, Qw, Cp, Wc, dlo, hlo, wlo, use_mask, sub_y):
     """r[d] <- [mask *] (B_k z)[d] [- y2[d]], reduced over depth taps.
 
     Grid (N, Dc, Qd), depth tap j innermost: the output block r[d] is
     revisited across the Qd steps (index map independent of j) and
     accumulates one depth tap's in-plane contribution per step — so only a
-    single (M, Lhw) z view is VMEM-resident at a time. The view is upcast
-    to f32 before the lane rolls (Mosaic has no bf16 rotate).
+    single (M, Lhw) z view is VMEM-resident at a time.
 
-    z view block (1,1,M,Lhw) = z[clip(d + dq)] with dq = j - (Qd-1) - dlo;
-    B2m block (1, Qh*Qw, Cp, M) f32; in-plane offsets
-    (qi - (Qh-1) - hlo, ri - (Qw-1) - wlo).
+    ALL Qh*Qw in-plane taps run as ONE (Qh*Qw*Cp, M) x (M, Lhw) dot — 128
+    output rows at the flagship config, a full MXU tile, vs Qh*Qw separate
+    Cp(=8)-row dots that each waste 15/16 of the systolic array. Rolls move
+    to the OUTPUT slices: since the contraction is pointwise along lanes,
+    B @ (roll(z, ow) * scol) == roll(B @ z, ow) * scol, and the column
+    masks are Wc-periodic so they commute with whole-row rolls — each tap's
+    slice is rolled once by its combined offset and masked by the
+    precomputed srow*scol product (sm).
+
+    z view block (1,1,M,Lhw) = z[clip(d + dq)] with dq = j - (Qd-1) - dlo,
+    upcast to f32 for the dot (v5e fp32 dot == bf16 throughput, and Mosaic
+    has no bf16 roll); B2m block (1, Qh*Qw*Cp, M) f32, rows (tap, cp)-major;
+    combined in-plane offset (qi - (Qh-1) - hlo)*Wc + (ri - (Qw-1) - wlo).
     """
     from jax.experimental.pallas import tpu as pltpu
 
@@ -102,15 +114,16 @@ def _kernel_syn(z_ref, y2_ref, m2_ref, B2m_ref, scol_ref, srow_ref, r_ref,
     dq = j - (Qd - 1) - dlo
     valid = jnp.logical_and(d + dq >= 0, d + dq < Dc)
     zj = z_ref[0, 0].astype(jnp.float32)
+    out = jax.lax.dot_general(
+        B2m_ref[0], zj, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Qh*Qw*Cp, Lhw)
     part = jnp.zeros(r_ref.shape[-2:], jnp.float32)
-    for ri in range(Qw):
-        zc = roll(zj, ri - (Qw - 1) - wlo) * scol_ref[ri][None, :]
-        for qi in range(Qh):
-            dmat = jax.lax.dot_general(
-                B2m_ref[0, qi * Qw + ri], zc,
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            )
-            part += roll(dmat, (qi - (Qh - 1) - hlo) * Wc) * srow_ref[qi][None, :]
+    for qi in range(Qh):
+        for ri in range(Qw):
+            t = qi * Qw + ri
+            off = (qi - (Qh - 1) - hlo) * Wc + (ri - (Qw - 1) - wlo)
+            part += roll(out[t * Cp : (t + 1) * Cp], off) * sm_ref[t][None, :]
     r_ref[0, 0] += jnp.where(valid, 1.0, 0.0) * part
 
     @pl.when(j == Qd - 1)
@@ -167,7 +180,7 @@ def _kernel_ana(*refs, Qd, Qh, Qw, Cp, Wc, dlo, hlo, wlo):
 
 
 def _kernel_resident(y2_ref, m2_ref, A2m_ref, B2w_ref, tau_ref, acol_ref,
-                     arow_ref, scol_ref, srow_ref, *out_and_scratch,
+                     arow_ref, sm_ref, *out_and_scratch,
                      K, Dc, Qd, Qh, Qw, Cp, Wc, dlo, hlo, wlo,
                      use_mask, return_z):
     """Whole-K-loop fused 3D LISTA: the code tensor z and both weight banks
@@ -177,9 +190,10 @@ def _kernel_resident(y2_ref, m2_ref, A2m_ref, B2w_ref, tau_ref, acol_ref,
 
     Both scratch tensors carry zero GUARD SLICES on the depth axis so every
     depth-tap window is an in-bounds CONTIGUOUS slice — no validity
-    arithmetic, and the synthesis folds all Qd depth taps into one
-    contraction: per (slice, in-plane tap) ONE (Cp, Qd*Mp) x (Qd*Mp, Lhw)
-    dot instead of Qd skinny (Cp, Mp) dots. z[d] lives at z_ref[d + Gz];
+    arithmetic, and the synthesis folds all Qd depth taps AND all Qh*Qw
+    in-plane taps into one contraction: per slice ONE
+    (Qh*Qw*Cp, Qd*Mp) x (Qd*Mp, Lhw) dot — a full 128-row MXU tile at the
+    flagship config. z[d] lives at z_ref[d + Gz];
     r[d] at r_ref[d + Ga]. fp32 throughout (exact vs the XLA scan to
     reassociation tolerance).
 
@@ -190,14 +204,14 @@ def _kernel_resident(y2_ref, m2_ref, A2m_ref, B2w_ref, tau_ref, acol_ref,
     from jax.experimental.pallas import tpu as pltpu
 
     if return_z:
-        x2_ref, z_out_ref, z_ref, r_ref, stack_ref, u_ref, zc_ref = out_and_scratch
+        x2_ref, z_out_ref, z_ref, r_ref, stack_ref, u_ref, out_ref = out_and_scratch
     else:
-        x2_ref, z_ref, r_ref, stack_ref, u_ref, zc_ref = out_and_scratch
+        x2_ref, z_ref, r_ref, stack_ref, u_ref, out_ref = out_and_scratch
         z_out_ref = None
 
     Lhw = y2_ref.shape[-1]
-    QdMp = zc_ref.shape[0]
-    Mp = QdMp // Qd
+    Mp = z_ref.shape[1]
+    QdMp = Qd * Mp
     OFFS = [j - (Qd - 1) - dlo for j in range(Qd)]  # synthesis depth offsets
     OFFA = [dlo + j for j in range(Qd)]             # analysis depth offsets
     Gz = max(0, -OFFS[0])
@@ -226,17 +240,20 @@ def _kernel_resident(y2_ref, m2_ref, A2m_ref, B2w_ref, tau_ref, acol_ref,
         """r[d] <- [mask *] (B_k z)[d] [- y2[d]] for all d."""
 
         def dstep(d, _):
-            acc = jnp.zeros((Cp, Lhw), jnp.float32)
             zwin = z_ref[pl.ds(d + OFFS[0] + Gz, Qd)].reshape(QdMp, Lhw)
-            for ri in range(Qw):
-                zc_ref[:] = roll(zwin, ri - (Qw - 1) - wlo) * scol_ref[ri][None, :]
-                for qi in range(Qh):
-                    dmat = jax.lax.dot_general(
-                        B2w_ref[k, qi * Qw + ri], zc_ref[:],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    acc += roll(dmat, (qi - (Qh - 1) - hlo) * Wc) * srow_ref[qi][None, :]
+            # all Qh*Qw in-plane taps as ONE (Qh*Qw*Cp)-row dot (full MXU
+            # tile at the flagship config), rolls applied to the output
+            # slices — see _kernel_syn's docstring for the commutation
+            out_ref[:] = jax.lax.dot_general(
+                B2w_ref[k], zwin, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = jnp.zeros((Cp, Lhw), jnp.float32)
+            for qi in range(Qh):
+                for ri in range(Qw):
+                    t = qi * Qw + ri
+                    off = (qi - (Qh - 1) - hlo) * Wc + (ri - (Qw - 1) - wlo)
+                    acc += roll(out_ref[t * Cp : (t + 1) * Cp], off) * sm_ref[t][None, :]
             if sub_y:
                 if use_mask:
                     acc = m2_ref[0, d] * acc
@@ -390,12 +407,16 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
     geom = dict(Qd=Qd, Qh=Qh, Qw=Qw, Cp=Cp, Wc=Wc, dlo=dlo, hlo=hlo, wlo=wlo)
     grid = (N, Dc)
 
+    # combined per-tap synthesis masks (srow*scol, rows (qi, ri)-major) for
+    # the merged single-dot synthesis (both paths); see _kernel_syn docstring
+    sm = (srow[:, None, :] * scol[None, :, :]).reshape(Qh * Qw, Lhw)
+
     # --- whole-K-resident path: z + weights + scratch fit in VMEM ---
     resident_bytes = (
         Dc * Mp * Lhw * 4            # z scratch
         + 2 * K * Mp * T * Cp * 4    # A2m + B2m (f32, resident)
         + T * Cp * Lhw * 4           # stack
-        + (Mp + Qd * Mp + Dc * Cp) * Lhw * 4   # u + zc window + r
+        + (Mp + Qh * Qw * Cp + Dc * Cp) * Lhw * 4   # u + merged-dot out + r
         + 4 * Dc * Cp * Lhw * 4      # y2/m2/x2 blocks (double-buffered)
         + (4 * Dc * Mp * Lhw * 4 if return_z else 0)  # z_out blocks
     )
@@ -417,7 +438,7 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
         B2f = (
             B2m.astype(jnp.float32)
             .transpose(0, 2, 3, 1, 4)
-            .reshape(K, Qh * Qw, Cp, Qd * Mp)
+            .reshape(K, Qh * Qw * Cp, Qd * Mp)
         )
         syn_offs0 = 0 - (Qd - 1) - dlo
         Gz = max(0, -syn_offs0)
@@ -446,7 +467,7 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
                       full_, full_,
                       pl.BlockSpec((1, K, Mp), lambda n: (n, 0, 0),
                                    memory_space=pltpu.VMEM),
-                      full_, full_, full_, full_],
+                      full_, full_, full_],
             out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=[
@@ -454,13 +475,13 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
                 pltpu.VMEM((Dc + Ga + Gahi, Cp, Lhw), jnp.float32),  # r + guards
                 pltpu.VMEM((T * Cp, Lhw), jnp.float32),              # stack
                 pltpu.VMEM((Mp, Lhw), jnp.float32),                  # u
-                pltpu.VMEM((Qd * Mp, Lhw), jnp.float32),             # zc window
+                pltpu.VMEM((Qh * Qw * Cp, Lhw), jnp.float32),        # merged-dot out
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(y2, m2, A2f, B2f, tau, acol, arow, scol, srow)
+        )(y2, m2, A2f, B2f, tau, acol, arow, sm)
         x5 = outs[0].reshape(N, Dc, Cp, Hc, Wc).transpose(0, 2, 1, 3, 4)
         xphat = pp.depth_to_space(x5, s, 3, C)
         z_out = (
@@ -495,13 +516,13 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
                       bs(Cp) if use_mask else pl.BlockSpec(
                           (1, 1, 1, 1), lambda n, d, j: (0, 0, 0, 0),
                           memory_space=pltpu.VMEM),
-                      pl.BlockSpec((1, Qh * Qw, Cp, Mp), lambda n, d, j: (j, 0, 0, 0),
+                      pl.BlockSpec((1, Qh * Qw * Cp, Mp), lambda n, d, j: (j, 0, 0),
                                    memory_space=pltpu.VMEM),
-                      full, full],
+                      full],
             out_specs=bs(Cp),
             out_shape=jax.ShapeDtypeStruct((N, Dc, Cp, Lhw), jnp.float32),
             interpret=interpret,
-        )(z, y2, m2, B2m_k, scol, srow)
+        )(z, y2, m2, B2m_k.reshape(Qd, Qh * Qw * Cp, Mp), sm)
 
     def analyze(r, z, A2m_k, tau_k):
         kern = functools.partial(_kernel_ana, **geom)
