@@ -18,7 +18,9 @@ Formulation (matches ops/polyphase.py exactly):
   - synthesis: ONE (T*Cp, M) x (M, L) matmul (64+ output rows vs T
     separate Cp-row dots that starve the MXU's output dimension), per-tap
     output slices lane-rolled and border-masked into the accumulator;
-  - soft-threshold on the VPU.
+  - soft-threshold on the VPU — or, for the frame-recurrent CSR models,
+    the prox_CSR / prox_CSR_f2 temporal proxes (pure elementwise work on
+    VMEM-resident neighbor-frame codes; see lista2d_fused's prox modes).
 
 Grid = batch; one program owns one image. VMEM budget ~ (2M + T*Cp + 3Cp)
 * L * 4B + 2*K*M*T*Cp*4B; lista2d_fused_supported() checks it. fp32
@@ -81,10 +83,11 @@ def _axis_masks(offs, Hc, Wc, axis, dtype=np.float32, period=None):
     return np.asarray(out, dtype)
 
 
-def _estimate_bytes(M, C, P, s, K, H, W, return_z=False) -> int:
+def _estimate_bytes(M, C, P, s, K, H, W, return_z=False, n_codes=0) -> int:
     """Approximate VMEM bytes for a padded H x W input (fp32): scratch z/u
     (2M*L) + window stack (T*Cp*L) + residual (Cp*L); resident weights;
-    masks; double-buffered blocked in/out. The Mosaic compiler's actual
+    masks; double-buffered blocked in/out; n_codes extra VMEM-resident
+    neighbor-code inputs (CSR prox modes). The Mosaic compiler's actual
     peak runs up to ~2x this (measured) — callers apply their own margin.
     """
     P = (P, P) if isinstance(P, int) else tuple(P)
@@ -95,21 +98,30 @@ def _estimate_bytes(M, C, P, s, K, H, W, return_z=False) -> int:
     weights = 2 * K * M * T * Cp * 4
     masks = 2 * (Qh + Qw) * L * 4
     blocked_in = 2 * (2 * Cp * L + K * M) * 4  # y2 + mask placeholder + tau
+    blocked_in += n_codes * 2 * M * L * 4      # z_prev / z_after blocks
     blocked_out = 2 * Cp * L * 4 + (2 * M * L * 4 if return_z else 0)
     return scratch + weights + masks + blocked_in + blocked_out
 
 
-def lista2d_fused_supported(M, C, P, s, K, H, W, return_z=False) -> bool:
+def lista2d_fused_supported(M, C, P, s, K, H, W, return_z=False,
+                            n_codes=0) -> bool:
     """True when the fused kernel fits VMEM for a padded H x W input."""
     if H % s or W % s:
         return False
-    est = _estimate_bytes(M, C, P, s, K, H, W, return_z)
+    est = _estimate_bytes(M, C, P, s, K, H, W, return_z, n_codes=n_codes)
     return est * _PEAK_FACTOR < _VMEM_CAPACITY
 
 
 def _kernel(y2_ref, m2_ref, tau_ref, A2m_ref, B2m_ref, acolm_ref, arowm_ref,
             smm_ref, *out_and_scratch, K, Cp, Wc, Qh, Qw,
-            q_lo, r_lo, use_mask, return_z):
+            q_lo, r_lo, use_mask, return_z, prox="st"):
+    gam1_ref = gam2_ref = zp_ref = za_ref = None
+    if prox == "csr":
+        gam1_ref, zp_ref = out_and_scratch[:2]
+        out_and_scratch = out_and_scratch[2:]
+    elif prox == "csrf2":
+        gam1_ref, gam2_ref, zp_ref, za_ref = out_and_scratch[:4]
+        out_and_scratch = out_and_scratch[4:]
     if return_z:
         x2_ref, z_out_ref, z_ref, u_ref, r_ref, stack_ref = out_and_scratch
     else:
@@ -170,9 +182,32 @@ def _kernel(y2_ref, m2_ref, tau_ref, A2m_ref, B2m_ref, acolm_ref, arowm_ref,
                     roll(rowed, r_lo + ri) * acolm_ref[ri][None, :]
                 )
 
+    def _soft(u, thr):
+        return jnp.sign(u) * jnp.maximum(jnp.abs(u) - thr, 0.0)
+
     def st(u, k):
+        """Per-iteration proximal step. "st" is plain soft-thresholding;
+        "csr"/"csrf2" are the temporal-consistency proxes pulling the code
+        toward VMEM-resident neighbor-frame codes (core/ops.py::prox_csr
+        / prox_csr_f2; reference model/net.py:229-262) — all elementwise,
+        so the CSR variants cost only VPU work on top of the same dots."""
         tau = tau_ref[0, k][:, None]
-        return jnp.sign(u) * jnp.maximum(jnp.abs(u) - tau, 0.0)
+        if prox == "st":
+            return _soft(u, tau)
+        if prox == "csr":
+            gam = gam1_ref[0, k][:, None]
+            zp = zp_ref[0]
+            shift = zp + tau * jnp.sign(zp)
+            return _soft(_soft(u - shift, tau * gam) + shift, tau)
+        g1 = gam1_ref[0, k][:, None]
+        g2 = gam2_ref[0, k][:, None]
+        zp, za = zp_ref[0], za_ref[0]
+        Ca = zp + tau * jnp.sign(zp) + tau * g2 * jnp.sign(zp - za)
+        Cb = za + tau * jnp.sign(za) + tau * g1 * jnp.sign(za - zp)
+        inner = _soft(u - Ca, g1 * tau)
+        corr = tau * g1 * jnp.sign(u - Ca)
+        midder = _soft(inner - Cb + corr, g2 * tau)
+        return _soft(midder + Cb - corr, tau)
 
     # --- k = 0: z = ST(A0 y, tau0) ---
     analysis_stack(y2)
@@ -206,7 +241,8 @@ def _kernel(y2_ref, m2_ref, tau_ref, A2m_ref, B2m_ref, acolm_ref, arowm_ref,
 
 
 def lista2d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=False,
-                  interpret=False, _row_period=None):
+                  interpret=False, _row_period=None,
+                  g=None, z_prev=None, g2=None, z_after=None):
     """Fused K-iteration 2D LISTA, polyphase domain, z resident in VMEM.
 
     yp:   (N, C, H, W) pre-processed input (mean-sub, stride-padded)
@@ -214,6 +250,12 @@ def lista2d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=False,
     (N, 1, 1, 1) threshold scale. Returns (xphat (N, C, H, W), z (N, M,
     Hc, Wc)) — identical (fp32 tolerance) to ops.lista.lista_2d + final
     conv_transpose2d with B[0].
+
+    CSR prox modes (frame-recurrent models, reference model/net.py:426-463
+    and :544-564): pass z_prev (N, M, Hc, Wc) + gamma bank g (K, 2, M, 1,
+    1) for the one-sided prox_csr, z_after + g2 for the other side, or all
+    four for the two-sided prox_csr_f2 — neighbor codes stay VMEM-resident
+    and the prox is pure VPU work on top of the same dots.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -221,12 +263,23 @@ def lista2d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=False,
     N, C, H, W = yp.shape
     K, M = A.shape[0], A.shape[1]
 
+    if z_prev is not None and z_after is not None:
+        prox_mode = "csrf2"
+    elif z_prev is not None or z_after is not None:
+        prox_mode = "csr"
+        if z_prev is None:  # one-sided on the following frame: gamma = g2
+            z_prev, g = z_after, g2
+            z_after = g2 = None
+    else:
+        prox_mode = "st"
+
     # Shared-sigma batches fold into ONE tall image: the N grid steps become
     # one kernel invocation whose per-tap dots are N x wider on the MXU
     # (period-aware row masks stop windows bleeding across image borders).
     # Per-sample sigma keeps the per-image grid (thresholds differ per image).
     c_is_scalar = jnp.ndim(c) == 0 or (hasattr(c, "size") and c.size == 1)
-    if N > 1 and c_is_scalar and mask is None and _row_period is None:
+    if N > 1 and c_is_scalar and mask is None and _row_period is None \
+            and prox_mode == "st":
         # largest group whose folded working set fits with margin (the
         # measured Mosaic peak runs ~2x the estimate; hard cap is 128 MB)
         g = N
@@ -315,7 +368,7 @@ def lista2d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=False,
 
     kern = functools.partial(
         _kernel, K=K, Cp=Cp, Wc=Wc, Qh=Qh, Qw=Qw, q_lo=q_lo_h, r_lo=q_lo_w,
-        use_mask=use_mask, return_z=return_z,
+        use_mask=use_mask, return_z=return_z, prox=prox_mode,
     )
 
     in_specs = [
@@ -332,6 +385,24 @@ def lista2d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=False,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # arowm
             pl.BlockSpec(memory_space=pltpu.VMEM),  # smm
         ]
+    extra_ops = []
+    if prox_mode != "st":
+        gam_spec = pl.BlockSpec((1, K, M), lambda n: (n, 0, 0),
+                                memory_space=pltpu.VMEM)
+        code_spec = pl.BlockSpec((1, M, L), lambda n: (n, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+        def _gam(bank):
+            gv = bank[None, :, 0, :, 0, 0] + c_arr[:, None, None] * bank[None, :, 1, :, 0, 0]
+            return gv.astype(yp.dtype)
+
+        if prox_mode == "csr":
+            in_specs += [gam_spec, code_spec]
+            extra_ops = [_gam(g), z_prev.reshape(N, M, L)]
+        else:
+            in_specs += [gam_spec, gam_spec, code_spec, code_spec]
+            extra_ops = [_gam(g), _gam(g2),
+                         z_prev.reshape(N, M, L), z_after.reshape(N, M, L)]
     out_specs = [
         pl.BlockSpec((1, Cp, L), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
     ]
@@ -358,7 +429,7 @@ def lista2d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=False,
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(y2, m2, tau, A2m, B2m, acolm, arowm, smm)
+    )(y2, m2, tau, A2m, B2m, acolm, arowm, smm, *extra_ops)
 
     x2 = outs[0]
     xphat = pp.depth_to_space(x2.reshape(N, Cp, Hc, Wc), s, 2, C)

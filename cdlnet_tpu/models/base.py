@@ -38,6 +38,31 @@ def build_model(model_type: str, model_args: dict):
     return MODEL_REGISTRY[model_type](**kwargs)
 
 
+def resolve_backend(model_type: str, choice: str = "auto"):
+    """CLI/serving backend resolution for a reference-schema 'type' string.
+
+    "auto" picks the fused Pallas kernels when the default jax backend is a
+    real accelerator and the model family has a fused path (its config
+    dataclass carries a `backend` field); explicit "pallas"/"xla" pass
+    through. Returns None when the family has no backend knob (DnCNN /
+    FFDNet) so callers leave the config untouched. Per-shape VMEM gates
+    inside each model's apply() still fall back to XLA where the kernel
+    does not fit, so requesting "pallas" is always safe.
+    """
+    import dataclasses
+
+    cls_ = MODEL_REGISTRY.get({"JDD_CDLNet": "CDLNet"}.get(model_type, model_type))
+    if cls_ is None or not any(
+        f.name == "backend" for f in dataclasses.fields(cls_)
+    ):
+        return None
+    if choice == "auto":
+        import jax
+
+        return "xla" if jax.default_backend() == "cpu" else "pallas"
+    return choice
+
+
 def sigma_scale(sigma, adaptive: bool, ndim: int):
     """Threshold scale factor c = sigma/255 (0 if not adaptive or sigma None).
 

@@ -79,6 +79,7 @@ class CDLNetCSR:
     t0: float = 0.0
     adaptive: bool = False
     scan_unroll: int = 1
+    backend: str = "xla"  # "xla" | "pallas" (inference; fused CSR prox)
 
     @property
     def pad(self) -> int:
@@ -109,9 +110,43 @@ class CDLNetCSR:
     def apply(self, params: dict, y, z_prev=None, sigma=None, mask=None,
               return_z=True):  # accepted for cross-model signature parity
         """Denoise one frame batch (N, C, H, W), optionally carrying the
-        previous frame's sparse code. Returns (xhat, z)."""
+        previous frame's sparse code. Returns (xhat, z).
+
+        backend="pallas" runs the whole K-loop in the fused VMEM-resident
+        kernel: the first-frame branch is the standard kernel over the
+        (A2, B2, t2) bank (B2[0] is never used in the loop and the final
+        dictionary is always the primary B[0], model/net.py:460, so the
+        synthesis bank is spliced as [B[0], B2[1:]]); the recurrent branch
+        passes z_prev + the gamma bank for the in-kernel prox_CSR."""
         yp, prm, mask = pre_process(y, self.s, mask=mask)
         c = sigma_scale(sigma, self.adaptive, 4)
+
+        if self.backend == "pallas":
+            from cdlnet_tpu.kernels.lista2d import (
+                lista2d_fused,
+                lista2d_fused_supported,
+            )
+
+            if lista2d_fused_supported(
+                self.M, self.C, self.P, self.s, self.K,
+                yp.shape[-2], yp.shape[-1], return_z=True,
+                n_codes=0 if z_prev is None else 1,
+            ):
+                if z_prev is None:
+                    Bk = jnp.concatenate(
+                        [params["B"][:1], params["B2"][1:]], axis=0
+                    )
+                    xphat, z = lista2d_fused(
+                        yp, params["A2"], Bk, params["t2"], c,
+                        stride=self.s, mask=mask, return_z=True,
+                    )
+                else:
+                    xphat, z = lista2d_fused(
+                        yp, params["A"], params["B"], params["t"], c,
+                        stride=self.s, mask=mask, return_z=True,
+                        g=params["g"], z_prev=z_prev,
+                    )
+                return post_process(xphat, prm), z
 
         if z_prev is None:
             A, B, t = params["A2"], params["B2"], params["t2"]
@@ -150,6 +185,7 @@ class CDLNetCSRf2:
     t0: float = 0.0
     adaptive: bool = False
     scan_unroll: int = 1
+    backend: str = "xla"  # "xla" | "pallas" (inference; fused CSR prox)
 
     @property
     def pad(self) -> int:
@@ -172,9 +208,37 @@ class CDLNetCSRf2:
               mask=None, return_z=True):
         """Denoise one frame batch with optional previous/following codes.
         The dispatch on neighbor availability is static (per-call), matching
-        the reference's per-iteration branch (model/net.py:544-564)."""
+        the reference's per-iteration branch (model/net.py:544-564).
+
+        backend="pallas" maps the four dispatch cases onto the fused
+        kernel's prox modes: ST / one-sided prox_CSR (z_prev with g1, or
+        z_after with g2) / two-sided prox_CSR_f2 — neighbor codes ride
+        VMEM-resident next to the code being solved."""
         yp, prm, mask = pre_process(y, self.s, mask=mask)
         c = sigma_scale(sigma, self.adaptive, 4)
+
+        if self.backend == "pallas":
+            from cdlnet_tpu.kernels.lista2d import (
+                lista2d_fused,
+                lista2d_fused_supported,
+            )
+
+            n_codes = (z_prev is not None) + (z_after is not None)
+            if lista2d_fused_supported(
+                self.M, self.C, self.P, self.s, self.K,
+                yp.shape[-2], yp.shape[-1], return_z=True, n_codes=n_codes,
+            ):
+                kw = {}
+                if z_prev is not None:
+                    kw.update(g=params["g1"], z_prev=z_prev)
+                if z_after is not None:
+                    kw.update(g2=params["g2"], z_after=z_after)
+                xphat, z = lista2d_fused(
+                    yp, params["A"], params["B"], params["t"], c,
+                    stride=self.s, mask=mask, return_z=True, **kw,
+                )
+                return post_process(xphat, prm), z
+
         A, B, t = params["A"], params["B"], params["t"]
         g1, g2 = params["g1"], params["g2"]
 

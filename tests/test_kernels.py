@@ -243,3 +243,38 @@ def test_fused2d_batch_folding_matches_scan():
     )
     np.testing.assert_allclose(np.asarray(z_got), np.asarray(z_ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(x_got), np.asarray(x_ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["CDLNet_CSR", "CDLNet_CSRf2"])
+def test_csr_pallas_backend_interpret(name, monkeypatch):
+    """The CSR models' pallas backend fuses the frame-recurrent prox into
+    the kernel; every neighbor-code dispatch case matches the XLA scan."""
+    import cdlnet_tpu.kernels.lista2d as k2d
+
+    orig = k2d.lista2d_fused
+    monkeypatch.setattr(
+        k2d, "lista2d_fused", lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    )
+    cfg = {"K": 3, "M": 8, "P": 7, "s": 2, "C": 1, "adaptive": True}
+    mx = build_model(name, dict(cfg))
+    mp = build_model(name, dict(cfg, backend="pallas"))
+    params = mx.init(jax.random.PRNGKey(0), init=True)
+    for k in params:
+        params[k] = (
+            params[k] * 0.3 if k[0] in "AB"
+            else jnp.abs(params[k]) * 0.05 + 1e-3
+        )
+    y = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 32, 32), jnp.float32)
+    zp = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (2, 8, 16, 16))
+    za = 0.1 * jax.random.normal(jax.random.PRNGKey(3), (2, 8, 16, 16))
+    sig = jnp.asarray([20.0, 30.0]).reshape(2, 1, 1, 1)
+    if name == "CDLNet_CSR":
+        cases = [dict(z_prev=None), dict(z_prev=zp)]
+    else:
+        cases = [dict(z_prev=None, z_after=None), dict(z_prev=zp, z_after=None),
+                 dict(z_prev=None, z_after=za), dict(z_prev=zp, z_after=za)]
+    for case in cases:
+        x_ref, z_ref = mx.apply(params, y, sigma=sig, **case)
+        x_got, z_got = mp.apply(params, y, sigma=sig, **case)
+        np.testing.assert_allclose(np.asarray(z_got), np.asarray(z_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(x_got), np.asarray(x_ref), atol=1e-5)
