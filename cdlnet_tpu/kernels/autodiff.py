@@ -1,22 +1,25 @@
 """Differentiable wrappers for the fused Pallas kernels.
 
 Pallas kernels have no VJP, so a bare backend="pallas" model crashes under
-jax.grad. These wrappers make the fused forward differentiable by pairing
-it with the XLA scan path's gradient: the primal runs the fused kernel
-(fast inference, and fast loss evaluation inside value_and_grad), while the
-backward pass re-runs the XLA forward under jax.vjp and pulls gradients
-through it.
+jax.grad. Two strategies:
 
-Cost model: a training step through these wrappers pays
-  pallas_forward + xla_forward + xla_backward
-— i.e. training is never SLOWER than the pure XLA path by more than the
-(cheap) fused forward, eval inside the same jitted graph gets the fused
-speed, and gradients are exactly the XLA path's gradients evaluated at the
-same inputs (the two forwards agree to kernel tolerance, ~1e-4 RMS, so the
-loss cotangent fed into the VJP carries that deviation; over hundreds of
-steps trajectories drift apart like any reordered-float training run, but
-each step's gradient matches to ~1e-5). A hand-fused backward kernel can
-replace the bwd half without touching callers.
+2D (lista2d_fused_diff): FULLY fused custom VJP. The forward runs the
+fused kernel with per-iteration codes streamed to HBM (return_hist); the
+backward runs the hand-written reverse kernel (lista2d._kernel_bwd) that
+recomputes each iteration from the stored code and accumulates weight /
+threshold gradients VMEM-resident — no XLA scan on either side. Batch
+folding (incl. per-sample sigma via the kernel's crow lane scales) happens
+OUTSIDE the custom_vjp in plain differentiable reshapes, so the forward
+and backward always agree on layout. Gradients match the XLA scan path to
+kernel tolerance (~1e-5 on 1e0-scale weights, tested). Input / sigma /
+mask cotangents are zero by construction: training differentiates w.r.t.
+parameters only (MC-SURE's divergence term also only needs parameter
+gradients, train.py:87-93).
+
+3D (lista3d_fused_diff): pallas forward + the XLA scan path's gradient
+(re-run under jax.vjp in the backward). Cost: pallas_fwd + xla_fwd +
+xla_bwd — eval inside value_and_grad gets the fused speed, gradients are
+the XLA path's exactly.
 """
 
 from __future__ import annotations
@@ -24,18 +27,7 @@ from __future__ import annotations
 import functools
 
 import jax
-
-
-def _xla_forward_2d(yp, A, B, t, c, mask, stride):
-    from cdlnet_tpu.ops.conv import conv_transpose2d
-    from cdlnet_tpu.ops.lista import lista_2d
-
-    P = A.shape[-1]
-    z = lista_2d(yp, A, B, t, c, mask=mask, stride=stride)
-    xphat = conv_transpose2d(
-        z, B[0], stride=stride, padding=(P - 1) // 2, output_padding=stride - 1
-    )
-    return xphat
+import jax.numpy as jnp
 
 
 def _xla_forward_3d(yp, A, B, t, c, mask, stride):
@@ -71,25 +63,90 @@ def _make_diff(fused_fn, xla_fn):
     return diff
 
 
-def _fused_2d(*a, **kw):
-    from cdlnet_tpu.kernels.lista2d import lista2d_fused
-
-    return lista2d_fused(*a, **kw)
-
-
 def _fused_3d(*a, **kw):
     from cdlnet_tpu.kernels.lista3d import lista3d_fused
 
     return lista3d_fused(*a, **kw)
 
 
-_diff_2d = _make_diff(_fused_2d, _xla_forward_2d)
 _diff_3d = _make_diff(_fused_3d, _xla_forward_3d)
 
 
-def lista2d_fused_diff(yp, A, B, t, c, stride=1, mask=None):
-    """Differentiable fused 2D LISTA + final synthesis. Returns xphat."""
-    return _diff_2d(yp, A, B, t, c, mask, stride)
+# ---------------------------------------------------------------------------
+# 2D: fully fused custom VJP (fused forward + hand-written reverse kernel)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _core2d(yp, A, B, t, c, mask, stride, period, interpret):
+    from cdlnet_tpu.kernels.lista2d import lista2d_fused
+
+    x, _ = lista2d_fused(
+        yp, A, B, t, c, stride=stride, mask=mask, return_z=False,
+        _row_period=period, interpret=interpret,
+    )
+    return x
+
+
+def _core2d_fwd(yp, A, B, t, c, mask, stride, period, interpret):
+    from cdlnet_tpu.kernels.lista2d import lista2d_fused
+
+    x, _, hist = lista2d_fused(
+        yp, A, B, t, c, stride=stride, mask=mask, return_z=False,
+        _row_period=period, interpret=interpret, return_hist=True,
+    )
+    return x, (yp, A, B, t, c, mask, hist)
+
+
+def _core2d_bwd(stride, period, interpret, res, gx):
+    from cdlnet_tpu.kernels.lista2d import lista2d_fused_bwd
+
+    yp, A, B, t, c, mask, hist = res
+    dA, dB, dt = lista2d_fused_bwd(
+        gx, yp, A, B, t, c, mask, hist, stride=stride,
+        interpret=interpret, _row_period=period,
+    )
+    dc = jnp.zeros_like(jnp.asarray(c))
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return (jnp.zeros_like(yp), dA, dB, dt, dc, dmask)
+
+
+_core2d.defvjp(_core2d_fwd, _core2d_bwd)
+
+
+def lista2d_fused_diff(yp, A, B, t, c, stride=1, mask=None, interpret=False):
+    """Differentiable fused 2D LISTA + final synthesis. Returns xphat.
+
+    Folding (incl. per-sample sigma) lives here, outside the custom_vjp,
+    as plain differentiable reshapes — the group size is gated by the
+    BACKWARD kernel's VMEM estimate (it is the bigger working set)."""
+    from cdlnet_tpu.kernels import lista2d as k2d
+
+    N, C, H, W = yp.shape
+    K, M = A.shape[0], A.shape[1]
+    c = jnp.asarray(c, yp.dtype)
+    if mask is None and N > 1:
+        cf = c.reshape(-1)
+        if cf.size == 1:
+            cf = jnp.broadcast_to(cf, (N,))
+        g = N
+        while g > 1 and k2d._estimate_bytes_bwd(
+            M, C, A.shape[-1], stride, K, g * H, W
+        ) * 2.2 > k2d._VMEM_CAPACITY:
+            g -= 1
+        outs = []
+        for i in range(0, N, g):
+            grp, cg = yp[i : i + g], cf[i : i + g]
+            n = grp.shape[0]
+            if n == 1:
+                outs.append(_core2d(grp, A, B, t, cg, None, stride, None, interpret))
+            else:
+                yf = grp.transpose(1, 0, 2, 3).reshape(1, C, n * H, W)
+                xf = _core2d(yf, A, B, t, cg, None, stride,
+                             H // stride, interpret)
+                outs.append(xf.reshape(C, n, H, W).transpose(1, 0, 2, 3))
+        return jnp.concatenate(outs, axis=0)
+    return _core2d(yp, A, B, t, c, mask, stride, None, interpret)
 
 
 def lista3d_fused_diff(yp, A, B, t, c, stride=1, mask=None):

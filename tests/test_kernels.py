@@ -201,13 +201,18 @@ def test_gdlnet_pallas_backend_interpret(monkeypatch):
 
 def test_pallas_backend_trainable(monkeypatch):
     """backend='pallas' with return_z=False is differentiable: custom VJP
-    runs the fused forward and the XLA path's gradient; grads match the
-    pure XLA backend."""
+    runs the fused forward (with code history) and the fused reverse
+    kernel; grads match the pure XLA backend."""
     import cdlnet_tpu.kernels.lista2d as k2d
 
     orig = k2d.lista2d_fused
     monkeypatch.setattr(
         k2d, "lista2d_fused", lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    )
+    origb = k2d.lista2d_fused_bwd
+    monkeypatch.setattr(
+        k2d, "lista2d_fused_bwd",
+        lambda *a, **kw: origb(*a, **{**kw, "interpret": True}),
     )
     cfg = {"K": 3, "M": 8, "P": 5, "s": 2, "C": 1, "adaptive": True}
     mx = build_model("CDLNet", dict(cfg))
@@ -278,3 +283,45 @@ def test_csr_pallas_backend_interpret(name, monkeypatch):
         x_got, z_got = mp.apply(params, y, sigma=sig, **case)
         np.testing.assert_allclose(np.asarray(z_got), np.asarray(z_ref), atol=1e-5)
         np.testing.assert_allclose(np.asarray(x_got), np.asarray(x_ref), atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "s,P,C,M,K,use_mask,Nimg",
+    [(2, 7, 1, 8, 4, False, 3),   # folded per-sample-sigma batch
+     (2, 5, 2, 6, 3, True, 2)],   # masked (JDD) path, unfolded
+)
+def test_fused_bwd_kernel_grads_match_xla(s, P, C, M, K, use_mask, Nimg):
+    """The hand-written reverse kernel (lista2d._kernel_bwd) matches the
+    XLA scan's autodiff on weight and threshold gradients."""
+    from cdlnet_tpu.kernels.autodiff import lista2d_fused_diff
+
+    yp = jax.random.normal(jax.random.PRNGKey(0), (Nimg, C, 16, 16), jnp.float32) * 0.3
+    A = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (K, M, C, P, P), jnp.float32)
+    B = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (K, M, C, P, P), jnp.float32)
+    t = 0.02 * jnp.abs(jax.random.normal(jax.random.PRNGKey(3), (K, 2, M, 1, 1)))
+    c = jnp.linspace(0.1, 0.3, Nimg).reshape(Nimg, 1, 1, 1)
+    mask = (
+        (jax.random.uniform(jax.random.PRNGKey(9), yp.shape) > 0.5).astype(jnp.float32)
+        if use_mask else None
+    )
+    tgt = jax.random.uniform(jax.random.PRNGKey(4), yp.shape)
+
+    def loss_ref(params):
+        A_, B_, t_ = params
+        z = lista_2d(yp, A_, B_, t_, c, mask=mask, stride=s)
+        x = conv_transpose2d(z, B_[0], stride=s, padding=(P - 1) // 2,
+                             output_padding=s - 1)
+        return jnp.mean((x - tgt) ** 2)
+
+    def loss_pal(params):
+        A_, B_, t_ = params
+        x = lista2d_fused_diff(yp, A_, B_, t_, c, stride=s, mask=mask,
+                               interpret=True)
+        return jnp.mean((x - tgt) ** 2)
+
+    v_ref, g_ref = jax.value_and_grad(loss_ref)((A, B, t))
+    v_pal, g_pal = jax.value_and_grad(loss_pal)((A, B, t))
+    np.testing.assert_allclose(float(v_pal), float(v_ref), rtol=1e-5)
+    for name, a, b in zip("ABt", g_ref, g_pal):
+        rel = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-12)
+        assert rel < 1e-4, (name, rel)

@@ -226,6 +226,11 @@ def test_fit_trains_pallas_backend(tmp_path, monkeypatch):
     monkeypatch.setattr(
         k2d, "lista2d_fused", lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
     )
+    origb = k2d.lista2d_fused_bwd
+    monkeypatch.setattr(
+        k2d, "lista2d_fused_bwd",
+        lambda *a, **kw: origb(*a, **{**kw, "interpret": True}),
+    )
     model = CDLNet(K=2, M=6, P=5, s=2, adaptive=True, backend="pallas")
     params = model.init(jax.random.PRNGKey(0), init=True)
     opt = make_optimizer(1e-3, clip_grad=0.05)
