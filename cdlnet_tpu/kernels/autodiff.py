@@ -16,10 +16,13 @@ mask cotangents are zero by construction: training differentiates w.r.t.
 parameters only (MC-SURE's divergence term also only needs parameter
 gradients, train.py:87-93).
 
-3D (lista3d_fused_diff): pallas forward + the XLA scan path's gradient
-(re-run under jax.vjp in the backward). Cost: pallas_fwd + xla_fwd +
-xla_bwd — eval inside value_and_grad gets the fused speed, gradients are
-the XLA path's exactly.
+3D (lista3d_fused_diff): also fully fused. The pair-path forward already
+streams each iteration's code and residual through HBM, so
+return_hists=True simply stacks them as scan outputs (fp32 carry for
+training), and the backward is a reverse lax.scan over four pair-style
+kernels (kernels/lista3d_bwd) — synthesis adjoint, synthesis weight-grad,
+analysis weight-grad + stack cotangent, and the stack adjoint — with the
+ST subgradient read straight off the stored codes.
 """
 
 from __future__ import annotations
@@ -30,46 +33,48 @@ import jax
 import jax.numpy as jnp
 
 
-def _xla_forward_3d(yp, A, B, t, c, mask, stride):
-    from cdlnet_tpu.ops.conv import conv_transpose3d
-    from cdlnet_tpu.ops.lista import lista_3d
-
-    pads = tuple(p // 2 for p in A.shape[-3:])
-    z = lista_3d(yp, A, B, t, c, mask=mask, stride=stride)
-    return conv_transpose3d(
-        z, B[0], stride=stride, padding=pads, output_padding=stride - 1
-    )
+# ---------------------------------------------------------------------------
+# 3D: fully fused custom VJP (pair-path forward collecting z/r histories +
+# reverse-scan backward over the lista3d_bwd kernels). fp32 code carry so
+# gradients match the XLA scan's exactly (to MXU reassociation tolerance).
+# ---------------------------------------------------------------------------
 
 
-def _make_diff(fused_fn, xla_fn):
-    @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-    def diff(yp, A, B, t, c, mask, stride):
-        x, _ = fused_fn(yp, A, B, t, c, stride=stride, mask=mask, return_z=False)
-        return x
-
-    def fwd(yp, A, B, t, c, mask, stride):
-        x, _ = fused_fn(yp, A, B, t, c, stride=stride, mask=mask, return_z=False)
-        return x, (yp, A, B, t, c, mask)
-
-    def bwd(stride, res, g):
-        yp, A, B, t, c, mask = res
-        _, vjp = jax.vjp(
-            lambda yp, A, B, t, c, mask: xla_fn(yp, A, B, t, c, mask, stride),
-            yp, A, B, t, c, mask,
-        )
-        return vjp(g)
-
-    diff.defvjp(fwd, bwd)
-    return diff
-
-
-def _fused_3d(*a, **kw):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _core3d(yp, A, B, t, c, mask, stride, interpret):
     from cdlnet_tpu.kernels.lista3d import lista3d_fused
 
-    return lista3d_fused(*a, **kw)
+    x, _ = lista3d_fused(
+        yp, A, B, t, c, stride=stride, mask=mask, return_z=False,
+        z_dtype=jnp.float32, interpret=interpret,
+    )
+    return x
 
 
-_diff_3d = _make_diff(_fused_3d, _xla_forward_3d)
+def _core3d_fwd(yp, A, B, t, c, mask, stride, interpret):
+    from cdlnet_tpu.kernels.lista3d import lista3d_fused
+
+    x, _, (z_hist, r_hist) = lista3d_fused(
+        yp, A, B, t, c, stride=stride, mask=mask, return_z=False,
+        z_dtype=jnp.float32, interpret=interpret, return_hists=True,
+    )
+    return x, (yp, A, B, t, c, mask, z_hist, r_hist)
+
+
+def _core3d_bwd(stride, interpret, res, gx):
+    from cdlnet_tpu.kernels.lista3d_bwd import lista3d_fused_bwd
+
+    yp, A, B, t, c, mask, z_hist, r_hist = res
+    dA, dB, dt = lista3d_fused_bwd(
+        gx, yp, A, B, t, c, mask, z_hist, r_hist, stride=stride,
+        interpret=interpret,
+    )
+    dc = jnp.zeros_like(jnp.asarray(c))
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return (jnp.zeros_like(yp), dA, dB, dt, dc, dmask)
+
+
+_core3d.defvjp(_core3d_fwd, _core3d_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -149,6 +154,10 @@ def lista2d_fused_diff(yp, A, B, t, c, stride=1, mask=None, interpret=False):
     return _core2d(yp, A, B, t, c, mask, stride, None, interpret)
 
 
-def lista3d_fused_diff(yp, A, B, t, c, stride=1, mask=None):
-    """Differentiable fused 3D LISTA + final synthesis. Returns xphat."""
-    return _diff_3d(yp, A, B, t, c, mask, stride)
+def lista3d_fused_diff(yp, A, B, t, c, stride=1, mask=None, interpret=False):
+    """Differentiable fused 3D LISTA + final synthesis. Returns xphat.
+
+    Fully fused: pair-path forward with fp32 code carry collecting the
+    per-iteration z/r histories (they stream through HBM anyway), reverse
+    scan over the lista3d_bwd kernels for the gradient."""
+    return _core3d(yp, A, B, t, jnp.asarray(c), mask, stride, interpret)

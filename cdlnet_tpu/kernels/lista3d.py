@@ -25,9 +25,13 @@ windows into ONE T*Cp-deep contraction (384 at the flagship config), and
 the synthesis folds all Qh*Qw in-plane taps into ONE (Qh*Qw*Cp)-row dot
 (128 rows — a full MXU tile) whose per-tap output slices are lane-rolled
 and border-masked into the accumulator (the roll/mask factors commute with
-the lane-pointwise contraction; see _kernel_syn). Inference-only (no custom
-VJP); CDLNetVideo falls back to the XLA scan for training and
-residual-block variants.
+the lane-pointwise contraction; see _kernel_syn).
+
+Training is fused as well: return_hists=True stacks each iteration's code
+and residual as scan outputs (they stream through HBM anyway) and
+kernels/lista3d_bwd runs the reverse scan over four pair-style adjoint
+kernels — see autodiff.lista3d_fused_diff. Residual-block variants fall
+back to the XLA scan.
 """
 
 from __future__ import annotations
@@ -329,7 +333,7 @@ def _depth_view_specs(Qd, offs, block, Dc, pltpu):
 
 
 def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
-                  z_dtype=jnp.bfloat16, interpret=False):
+                  z_dtype=jnp.bfloat16, interpret=False, return_hists=False):
     """Fused per-iteration 3D LISTA + final dictionary synthesis.
 
     yp: (N, C, D, H, W) pre-processed clip batch; A, B: (K, M, C, Pd, Ph,
@@ -339,6 +343,12 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
     tolerance (~0.5% relative for the default bfloat16 carry; pass
     z_dtype=jnp.float32 for exactness at ~2x the z HBM traffic and VMEM,
     which shrinks the supported shape set).
+
+    return_hists=True (training residuals; forces the iteration-pair path)
+    additionally returns (z_hist (K, N, Dc, Mp, Lhw), r_hist (K-1, N, Dc,
+    Cp, Lhw)) — the scan simply stacks each iteration's code and residual
+    instead of discarding them (they stream through HBM anyway), which is
+    everything the fused backward (kernels/lista3d_bwd) needs.
     """
     from jax.experimental.pallas import tpu as pltpu
 
@@ -429,7 +439,7 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
     # pair; CDLNET_LISTA3D_RESIDENT=1 opts into the resident kernel (exact
     # fp32 carry, K-independent traffic — wins for very large K).
     want_resident = bool(os.environ.get("CDLNET_LISTA3D_RESIDENT"))
-    if want_resident and resident_bytes < 100 * 1024 * 1024:
+    if want_resident and not return_hists and resident_bytes < 100 * 1024 * 1024:
         # full-precision analysis bank: the resident path is advertised as
         # exact, so it must NOT inherit the iteration pair's z_dtype rounding
         A2f = A2m32.astype(jnp.float32)
@@ -545,15 +555,16 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
     # --- k = 0: z = ST(A0 y2, tau0) via analyze(r=-y2, z=0) ---
     z0 = jnp.zeros((N, Dc, Mp, Lhw), z_dtype)
     z = analyze(-y2.astype(jnp.float32), z0, A2m[0], tau[:, 0])
+    z_first = z
 
     # --- k = 1..K-1 ---
     def body(z, xs):
         A2m_k, B2m_k, tau_k = xs
         r = synthesize(z, B2m_k, sub_y=True)
         z = analyze(r, z, A2m_k, tau_k)
-        return z, None
+        return z, ((z, r) if return_hists else None)
 
-    z, _ = lax.scan(body, z, (A2m[1:], B2m[1:], tau.transpose(1, 0, 2)[1:]))
+    z, hists = lax.scan(body, z, (A2m[1:], B2m[1:], tau.transpose(1, 0, 2)[1:]))
 
     # --- final dictionary synthesis with B[0] ---
     x2 = synthesize(z, B2m[0], sub_y=False)  # (N, Dc, Cp, Lhw) fp32
@@ -565,4 +576,8 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
         if return_z
         else None
     )
+    if return_hists:
+        zs, rs = hists
+        z_hist = jnp.concatenate([z_first[None], zs], axis=0)  # (K, ...)
+        return xphat, z_out, (z_hist, rs)
     return xphat, z_out

@@ -325,3 +325,46 @@ def test_fused_bwd_kernel_grads_match_xla(s, P, C, M, K, use_mask, Nimg):
     for name, a, b in zip("ABt", g_ref, g_pal):
         rel = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-12)
         assert rel < 1e-4, (name, rel)
+
+
+@pytest.mark.parametrize(
+    "s,P,M,K,use_mask",
+    [(2, (5, 5, 3), 6, 3, False), (2, (5, 5, 3), 6, 2, True)],
+)
+def test_fused3d_bwd_kernels_grads_match_xla(s, P, M, K, use_mask):
+    """The 3D reverse-scan backward (kernels/lista3d_bwd) matches the XLA
+    scan's autodiff on weight and threshold gradients."""
+    from cdlnet_tpu.kernels.autodiff import lista3d_fused_diff
+
+    C = 1
+    shape = (2, C, 8, 16, 16)
+    yp = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32) * 0.3
+    A = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (K, M, C, *P), jnp.float32)
+    B = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (K, M, C, *P), jnp.float32)
+    t = 0.02 * jnp.abs(jax.random.normal(jax.random.PRNGKey(3), (K, 2, M, 1, 1, 1)))
+    c = jnp.asarray([0.1, 0.2]).reshape(2, 1, 1, 1, 1)
+    mask = (
+        (jax.random.uniform(jax.random.PRNGKey(9), shape) > 0.5).astype(jnp.float32)
+        if use_mask else None
+    )
+    tgt = jax.random.uniform(jax.random.PRNGKey(4), shape)
+    pads = tuple(p // 2 for p in P)
+
+    def loss_ref(params):
+        A_, B_, t_ = params
+        z = lista_3d(yp, A_, B_, t_, c, mask=mask, stride=s)
+        x = conv_transpose3d(z, B_[0], stride=s, padding=pads, output_padding=s - 1)
+        return jnp.mean((x - tgt) ** 2)
+
+    def loss_pal(params):
+        A_, B_, t_ = params
+        x = lista3d_fused_diff(yp, A_, B_, t_, c, stride=s, mask=mask,
+                               interpret=True)
+        return jnp.mean((x - tgt) ** 2)
+
+    v_ref, g_ref = jax.value_and_grad(loss_ref)((A, B, t))
+    v_pal, g_pal = jax.value_and_grad(loss_pal)((A, B, t))
+    np.testing.assert_allclose(float(v_pal), float(v_ref), rtol=1e-5)
+    for name, a, b in zip("ABt", g_ref, g_pal):
+        rel = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-12)
+        assert rel < 1e-4, (name, rel)
