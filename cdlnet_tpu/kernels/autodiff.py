@@ -23,6 +23,17 @@ training), and the backward is a reverse lax.scan over four pair-style
 kernels (kernels/lista3d_bwd) — synthesis adjoint, synthesis weight-grad,
 analysis weight-grad + stack cotangent, and the stack adjoint — with the
 ST subgradient read straight off the stored codes.
+
+Input cotangents are ZERO BY CONSTRUCTION on the fused paths: training
+differentiates w.r.t. parameters only (MC-SURE's divergence term is a
+finite difference of two forwards, train.py:87-93, so it also needs only
+parameter gradients). Do not use these wrappers for input-gradient work
+(saliency, input optimization) — use backend="xla" for that.
+
+When the reverse working set exceeds VMEM (big single images for 2D, big
+frames at fp32 carry for 3D), the custom VJPs keep the fused forward and
+fall back to the XLA scan's gradient internally (fused_fwd + xla_fwd +
+xla_bwd) — callers never lose the fused forward to a backward-size gate.
 """
 
 from __future__ import annotations
@@ -40,35 +51,73 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------------
 
 
+def _xla_forward_3d(yp, A, B, t, c, mask, stride):
+    """XLA scan forward (gradient fallback when the f32 history path's
+    working set does not fit VMEM)."""
+    from cdlnet_tpu.ops.conv import conv_transpose3d
+    from cdlnet_tpu.ops.lista import lista_3d
+
+    pads = tuple(p // 2 for p in A.shape[-3:])
+    z = lista_3d(yp, A, B, t, c, mask=mask, stride=stride)
+    return conv_transpose3d(
+        z, B[0], stride=stride, padding=pads, output_padding=stride - 1
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def _core3d(yp, A, B, t, c, mask, stride, interpret):
+    # primal (no differentiation): inference-grade bf16 code carry — the
+    # dtype the VMEM gate budgets and serve/streaming expect
     from cdlnet_tpu.kernels.lista3d import lista3d_fused
 
     x, _ = lista3d_fused(
         yp, A, B, t, c, stride=stride, mask=mask, return_z=False,
-        z_dtype=jnp.float32, interpret=interpret,
+        interpret=interpret,
     )
     return x
 
 
 def _core3d_fwd(yp, A, B, t, c, mask, stride, interpret):
-    from cdlnet_tpu.kernels.lista3d import lista3d_fused
-
-    x, _, (z_hist, r_hist) = lista3d_fused(
-        yp, A, B, t, c, stride=stride, mask=mask, return_z=False,
-        z_dtype=jnp.float32, interpret=interpret, return_hists=True,
+    from cdlnet_tpu.kernels.lista3d import (
+        lista3d_fused,
+        lista3d_fused_supported,
     )
-    return x, (yp, A, B, t, c, mask, z_hist, r_hist)
+
+    K, M = A.shape[0], A.shape[1]
+    C = yp.shape[1]
+    if lista3d_fused_supported(
+        M, C, A.shape[-3:], stride, K,
+        yp.shape[-3], yp.shape[-2], yp.shape[-1], z_bytes=4,
+    ):
+        # fused gradient path: fp32 carry + stacked z/r histories
+        x, _, (z_hist, r_hist) = lista3d_fused(
+            yp, A, B, t, c, stride=stride, mask=mask, return_z=False,
+            z_dtype=jnp.float32, interpret=interpret, return_hists=True,
+        )
+        return x, (yp, A, B, t, c, mask, z_hist, r_hist)
+    # fp32 working set too big: bf16 fused forward + XLA gradient fallback
+    x, _ = lista3d_fused(
+        yp, A, B, t, c, stride=stride, mask=mask, return_z=False,
+        interpret=interpret,
+    )
+    return x, (yp, A, B, t, c, mask, None, None)
 
 
 def _core3d_bwd(stride, interpret, res, gx):
-    from cdlnet_tpu.kernels.lista3d_bwd import lista3d_fused_bwd
-
     yp, A, B, t, c, mask, z_hist, r_hist = res
-    dA, dB, dt = lista3d_fused_bwd(
-        gx, yp, A, B, t, c, mask, z_hist, r_hist, stride=stride,
-        interpret=interpret,
-    )
+    if z_hist is None:  # XLA-gradient fallback
+        _, vjp = jax.vjp(
+            lambda A, B, t: _xla_forward_3d(yp, A, B, t, c, mask, stride),
+            A, B, t,
+        )
+        dA, dB, dt = vjp(gx)
+    else:
+        from cdlnet_tpu.kernels.lista3d_bwd import lista3d_fused_bwd
+
+        dA, dB, dt = lista3d_fused_bwd(
+            gx, yp, A, B, t, c, mask, z_hist, r_hist, stride=stride,
+            interpret=interpret,
+        )
     dc = jnp.zeros_like(jnp.asarray(c))
     dmask = None if mask is None else jnp.zeros_like(mask)
     return (jnp.zeros_like(yp), dA, dB, dt, dc, dmask)
@@ -93,24 +142,59 @@ def _core2d(yp, A, B, t, c, mask, stride, period, interpret):
     return x
 
 
-def _core2d_fwd(yp, A, B, t, c, mask, stride, period, interpret):
-    from cdlnet_tpu.kernels.lista2d import lista2d_fused
+def _xla_forward_2d(yp, A, B, t, c, mask, stride):
+    """XLA scan forward (gradient fallback when the reverse kernel's
+    working set does not fit VMEM — e.g. big single images)."""
+    from cdlnet_tpu.ops.conv import conv_transpose2d
+    from cdlnet_tpu.ops.lista import lista_2d
 
-    x, _, hist = lista2d_fused(
-        yp, A, B, t, c, stride=stride, mask=mask, return_z=False,
-        _row_period=period, interpret=interpret, return_hist=True,
+    P = A.shape[-1]
+    z = lista_2d(yp, A, B, t, c, mask=mask, stride=stride)
+    return conv_transpose2d(
+        z, B[0], stride=stride, padding=(P - 1) // 2,
+        output_padding=stride - 1,
     )
-    return x, (yp, A, B, t, c, mask, hist)
+
+
+def _core2d_fwd(yp, A, B, t, c, mask, stride, period, interpret):
+    from cdlnet_tpu.kernels.lista2d import lista2d_bwd_supported, lista2d_fused
+
+    K, M = A.shape[0], A.shape[1]
+    C = yp.shape[1]
+    if lista2d_bwd_supported(
+        M, C, A.shape[-1], stride, K, yp.shape[-2], yp.shape[-1]
+    ):
+        x, _, hist = lista2d_fused(
+            yp, A, B, t, c, stride=stride, mask=mask, return_z=False,
+            _row_period=period, interpret=interpret, return_hist=True,
+        )
+        return x, (yp, A, B, t, c, mask, hist)
+    # reverse-kernel working set too big: fused forward + XLA gradient
+    x, _ = lista2d_fused(
+        yp, A, B, t, c, stride=stride, mask=mask, return_z=False,
+        _row_period=period, interpret=interpret,
+    )
+    return x, (yp, A, B, t, c, mask, None)
 
 
 def _core2d_bwd(stride, period, interpret, res, gx):
-    from cdlnet_tpu.kernels.lista2d import lista2d_fused_bwd
-
     yp, A, B, t, c, mask, hist = res
-    dA, dB, dt = lista2d_fused_bwd(
-        gx, yp, A, B, t, c, mask, hist, stride=stride,
-        interpret=interpret, _row_period=period,
-    )
+    if hist is None:  # XLA-gradient fallback (reverse kernel didn't fit)
+        # only reachable unfolded (period None): the folding wrapper gates
+        # group sizes by the BACKWARD estimate, so folded calls always fit
+        assert period is None, "folded shapes are gated to fit the bwd kernel"
+        _, vjp = jax.vjp(
+            lambda A, B, t: _xla_forward_2d(yp, A, B, t, c, mask, stride),
+            A, B, t,
+        )
+        dA, dB, dt = vjp(gx)
+    else:
+        from cdlnet_tpu.kernels.lista2d import lista2d_fused_bwd
+
+        dA, dB, dt = lista2d_fused_bwd(
+            gx, yp, A, B, t, c, mask, hist, stride=stride,
+            interpret=interpret, _row_period=period,
+        )
     dc = jnp.zeros_like(jnp.asarray(c))
     dmask = None if mask is None else jnp.zeros_like(mask)
     return (jnp.zeros_like(yp), dA, dB, dt, dc, dmask)
@@ -161,3 +245,73 @@ def lista3d_fused_diff(yp, A, B, t, c, stride=1, mask=None, interpret=False):
     per-iteration z/r histories (they stream through HBM anyway), reverse
     scan over the lista3d_bwd kernels for the gradient."""
     return _core3d(yp, A, B, t, jnp.asarray(c), mask, stride, interpret)
+
+
+# ---------------------------------------------------------------------------
+# CSR models: fused forward + XLA gradient
+# ---------------------------------------------------------------------------
+
+
+def _xla_lista2d_prox(yp, A, B, t, c, mask, g, zp, g2, za, stride):
+    """XLA mirror of lista2d_fused's semantics including the CSR prox
+    modes (gradient reference for csr_fused_2d). Returns (xphat, z)."""
+    from cdlnet_tpu.core.ops import ST, prox_csr, prox_csr_f2
+    from cdlnet_tpu.ops.conv import conv2d, conv_transpose2d
+
+    K = A.shape[0]
+    P = A.shape[-1]
+    pad = (P - 1) // 2
+
+    def thr(bank, k):
+        return bank[k, 0:1] + c * bank[k, 1:2]
+
+    def prox(u, k):
+        if zp is not None and za is not None:
+            return prox_csr_f2(u, zp, za, thr(t, k), thr(g, k), thr(g2, k))
+        if zp is not None:
+            return prox_csr(u, zp, thr(t, k), thr(g, k))
+        if za is not None:
+            return prox_csr(u, za, thr(t, k), thr(g2, k))
+        return ST(u, thr(t, k))
+
+    z = prox(conv2d(yp, A[0], stride=stride, padding=pad), 0)
+    for k in range(1, K):
+        s = conv_transpose2d(z, B[k], stride=stride, padding=pad,
+                             output_padding=stride - 1)
+        r = (mask * s if mask is not None else s) - yp
+        z = prox(z - conv2d(r, A[k], stride=stride, padding=pad), k)
+    xphat = conv_transpose2d(z, B[0], stride=stride, padding=pad,
+                             output_padding=stride - 1)
+    return xphat, z
+
+
+def csr_fused_2d(yp, A, B, t, c, mask=None, g=None, z_prev=None, g2=None,
+                 z_after=None, stride=1):
+    """Fused CSR forward with XLA-autodiff gradients: the primal (and the
+    forward inside value_and_grad) run the fused kernel with the in-kernel
+    prox; the backward re-runs the XLA mirror under jax.vjp, so gradients
+    flow through ALL differentiable inputs — including the carried
+    neighbor codes z_prev / z_after, which the frame-recurrent training
+    loop (train/fit_csr.py) backpropagates across frames. Cost model:
+    fused_fwd + xla_fwd + xla_bwd per step. Returns (xphat, z)."""
+    from cdlnet_tpu.kernels.lista2d import lista2d_fused
+
+    @jax.custom_vjp
+    def f(args):
+        yp, A, B, t, c, mask, g, zp, g2, za = args
+        return lista2d_fused(yp, A, B, t, c, stride=stride, mask=mask,
+                             return_z=True, g=g, z_prev=zp, g2=g2, z_after=za)
+
+    def fwd(args):
+        return f(args), args
+
+    def bwd(args, ct):
+        def run(a):
+            yp, A, B, t, c, mask, g, zp, g2, za = a
+            return _xla_lista2d_prox(yp, A, B, t, c, mask, g, zp, g2, za,
+                                     stride)
+        _, vjp = jax.vjp(run, args)
+        return vjp(ct)
+
+    f.defvjp(fwd, bwd)
+    return f((yp, A, B, t, jnp.asarray(c), mask, g, z_prev, g2, z_after))

@@ -89,6 +89,55 @@ def _axis_masks(offs, Hc, Wc, axis, dtype=np.float32, period=None):
     return np.asarray(out, dtype)
 
 
+def _prep_A2m(A, s, pads, T, Cp):
+    """Polyphase analysis bank in kernel layout (K, M, T*Cp), tap-major
+    (q, r, cp) rows — SHARED by forward and backward so their gradients
+    can never desynchronize from a one-sided layout change."""
+    K, M = A.shape[0], A.shape[1]
+    A2, _, _, _ = pp.polyphase_weights(A, s, pads, 2)   # (K, M, Cp, Qh, Qw)
+    return A2.transpose(0, 1, 3, 4, 2).reshape(K, M, T * Cp)
+
+
+def _prep_B2m(B, s, pads, T, Cp):
+    """Polyphase synthesis bank, rows (tap, cp)-major: (K, T*Cp, M)."""
+    K, M = B.shape[0], B.shape[1]
+    _, B2t, _, _ = pp.polyphase_weights(B, s, pads, 2)
+    return B2t.transpose(0, 3, 4, 2, 1).reshape(K, T * Cp, M)
+
+
+def _masks_and_crow(P, pads, s, Hc, Wc, c_full, N, period):
+    """All static border masks + the per-lane noise-scale rows (crow) for
+    one kernel invocation — shared by forward and backward."""
+    L = Hc * Wc
+    (Qh, Qw), _, _ = _tap_geometry(P, pads, s)
+    q_lo_h, _ = pp._tap_ranges(P[0], pads[0], s)
+    q_lo_w, _ = pp._tap_ranges(P[1], pads[1], s)
+    acolm = jnp.asarray(_axis_masks([q_lo_w + ri for ri in range(Qw)], Hc, Wc, 1))
+    arowm = jnp.asarray(
+        _axis_masks([q_lo_h + qi for qi in range(Qh)], Hc, Wc, 0, period=period)
+    )
+    scolm = jnp.asarray(
+        _axis_masks([ri - (Qw - 1) - q_lo_w for ri in range(Qw)], Hc, Wc, 1)
+    )
+    srowm = jnp.asarray(
+        _axis_masks([qi - (Qh - 1) - q_lo_h for qi in range(Qh)], Hc, Wc, 0,
+                    period=period)
+    )
+    # combined per-tap synthesis masks, rows (qi, ri)-major
+    smm = (srowm[:, None, :] * scolm[None, :, :]).reshape(Qh * Qw, L)
+    if period is None:
+        if c_full.size == 1:
+            c_full = jnp.broadcast_to(c_full, (N,))
+        crow = jnp.broadcast_to(c_full[:, None, None], (N, 1, L))
+    else:
+        n_img = Hc // period
+        if c_full.size == 1:
+            c_full = jnp.broadcast_to(c_full, (n_img,))
+        assert c_full.size == n_img, (c_full.size, n_img)
+        crow = jnp.repeat(c_full, period * Wc).reshape(1, 1, L)
+    return acolm, arowm, smm, crow.astype(jnp.float32)
+
+
 def _estimate_bytes(M, C, P, s, K, H, W, return_z=False, n_codes=0) -> int:
     """Approximate VMEM bytes for a padded H x W input (fp32): scratch z/u
     (2M*L) + window stack (T*Cp*L) + residual (Cp*L); resident weights;
@@ -533,16 +582,8 @@ def lista2d_fused_bwd(dxp, yp, A, B, t, c, mask, hist, stride=1,
     (Qh, Qw), _, _ = _tap_geometry(P, pads, s)
     T = Qh * Qw
 
-    def _prepA(Aw):
-        A2, _, _, _ = pp.polyphase_weights(Aw, s, pads, 2)
-        return A2.transpose(0, 1, 3, 4, 2).reshape(K, M, T * Cp)
-
-    def _prepB(Bw):
-        _, B2t, _, _ = pp.polyphase_weights(Bw, s, pads, 2)
-        return B2t.transpose(0, 3, 4, 2, 1).reshape(K, T * Cp, M)
-
-    A2m, vjpA = jax.vjp(_prepA, A)
-    B2m, vjpB = jax.vjp(_prepB, B)
+    A2m, vjpA = jax.vjp(lambda Aw: _prep_A2m(Aw, s, pads, T, Cp), A)
+    B2m, vjpB = jax.vjp(lambda Bw: _prep_B2m(Bw, s, pads, T, Cp), B)
 
     y2 = pp.space_to_depth(yp, s, 2).reshape(N, Cp, L)
     dx2 = pp.space_to_depth(dxp, s, 2).reshape(N, Cp, L)
@@ -554,32 +595,11 @@ def lista2d_fused_bwd(dxp, yp, A, B, t, c, mask, hist, stride=1,
     )
 
     c_full = jnp.asarray(c, yp.dtype).reshape(-1)
-    if _row_period is None:
-        if c_full.size == 1:
-            c_full = jnp.broadcast_to(c_full, (N,))
-        crow = jnp.broadcast_to(c_full[:, None, None], (N, 1, L))
-    else:
-        n_img = Hc // _row_period
-        if c_full.size == 1:
-            c_full = jnp.broadcast_to(c_full, (n_img,))
-        crow = jnp.repeat(c_full, _row_period * Wc).reshape(1, 1, L)
-    crow = crow.astype(jnp.float32)
-
+    acolm, arowm, smm, crow = _masks_and_crow(
+        P, pads, s, Hc, Wc, c_full, N, _row_period
+    )
     q_lo_h, _ = pp._tap_ranges(P[0], pads[0], s)
     q_lo_w, _ = pp._tap_ranges(P[1], pads[1], s)
-    acolm = jnp.asarray(_axis_masks([q_lo_w + ri for ri in range(Qw)], Hc, Wc, 1))
-    arowm = jnp.asarray(
-        _axis_masks([q_lo_h + qi for qi in range(Qh)], Hc, Wc, 0,
-                    period=_row_period)
-    )
-    scolm = jnp.asarray(
-        _axis_masks([ri - (Qw - 1) - q_lo_w for ri in range(Qw)], Hc, Wc, 1)
-    )
-    srowm = jnp.asarray(
-        _axis_masks([qi - (Qh - 1) - q_lo_h for qi in range(Qh)], Hc, Wc, 0,
-                    period=_row_period)
-    )
-    smm = (srowm[:, None, :] * scolm[None, :, :]).reshape(T, L)
 
     kern = functools.partial(
         _kernel_bwd, K=K, Cp=Cp, Wc=Wc, Qh=Qh, Qw=Qw, q_lo=q_lo_h,
@@ -683,16 +703,16 @@ def lista2d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=False,
             and not return_hist:
         # largest group whose folded working set fits with margin (the
         # measured Mosaic peak runs ~2x the estimate; hard cap is 128 MB)
-        g = N
-        while g > 1 and _estimate_bytes(
-            M, C, A.shape[-1], stride, K, g * H, W, return_z
+        grp_sz = N
+        while grp_sz > 1 and _estimate_bytes(
+            M, C, A.shape[-1], stride, K, grp_sz * H, W, return_z
         ) * 2.2 > _VMEM_CAPACITY:
-            g -= 1
-        if g > 1:
+            grp_sz -= 1
+        if grp_sz > 1:
             outs_x, outs_z = [], []
-            for i in range(0, N, g):
-                grp = yp[i : i + g]
-                cg = c_full[i : i + g]
+            for i in range(0, N, grp_sz):
+                grp = yp[i : i + grp_sz]
+                cg = c_full[i : i + grp_sz]
                 n = grp.shape[0]
                 if n == 1:
                     xg, zg = lista2d_fused(
@@ -730,12 +750,8 @@ def lista2d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=False,
     T = Qh * Qw
 
     # host-side weight prep (cheap gathers, fused by XLA)
-    A2, _, _, _ = pp.polyphase_weights(A, s, pads, 2)   # (K, M, Cp, Qh, Qw)
-    _, B2t, _, _ = pp.polyphase_weights(B, s, pads, 2)
-    # analysis matrix, tap-major to match the window stack: (K, M, T*Cp)
-    A2m = A2.transpose(0, 1, 3, 4, 2).reshape(K, M, T * Cp)
-    # synthesis matrix, rows (tap, cp)-major for the single-dot form
-    B2m = B2t.transpose(0, 3, 4, 2, 1).reshape(K, T * Cp, M)
+    A2m = _prep_A2m(A, s, pads, T, Cp)
+    B2m = _prep_B2m(B, s, pads, T, Cp)
 
     y2 = pp.space_to_depth(yp, s, 2).reshape(N, Cp, L)
     use_mask = mask is not None
@@ -745,33 +761,14 @@ def lista2d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=False,
         else jnp.zeros((N, 1, 1), yp.dtype)  # placeholder, unused
     )
 
-    # threshold bank (K, 2, M) + per-lane noise-scale row crow: constant
-    # per image, or (folded) stepping at every _row_period code rows
+    # threshold bank (K, 2, M) + masks + per-lane noise-scale rows (crow:
+    # constant per image, or folded — stepping every _row_period code rows)
     tbank = t[:, :, :, 0, 0].astype(yp.dtype)
-    if _row_period is None:
-        crow = jnp.broadcast_to(c_full[:, None, None], (N, 1, L))
-    else:
-        n_img = Hc // _row_period
-        assert c_full.size == n_img, (c_full.size, n_img)
-        crow = jnp.repeat(c_full, _row_period * Wc).reshape(1, 1, L)
-    crow = crow.astype(yp.dtype)
-
+    acolm, arowm, smm, crow = _masks_and_crow(
+        P, pads, s, Hc, Wc, c_full, N, _row_period
+    )
     q_lo_h, _ = pp._tap_ranges(P[0], pads[0], s)
     q_lo_w, _ = pp._tap_ranges(P[1], pads[1], s)
-    acolm = jnp.asarray(_axis_masks([q_lo_w + ri for ri in range(Qw)], Hc, Wc, 1))
-    arowm = jnp.asarray(
-        _axis_masks([q_lo_h + qi for qi in range(Qh)], Hc, Wc, 0,
-                    period=_row_period)
-    )
-    scolm = jnp.asarray(
-        _axis_masks([ri - (Qw - 1) - q_lo_w for ri in range(Qw)], Hc, Wc, 1)
-    )
-    srowm = jnp.asarray(
-        _axis_masks([qi - (Qh - 1) - q_lo_h for qi in range(Qh)], Hc, Wc, 0,
-                    period=_row_period)
-    )
-    # combined per-tap synthesis masks, rows (qi, ri)-major
-    smm = (srowm[:, None, :] * scolm[None, :, :]).reshape(T, L)
 
     kern = functools.partial(
         _kernel, K=K, Cp=Cp, Wc=Wc, Qh=Qh, Qw=Qw, q_lo=q_lo_h, r_lo=q_lo_w,

@@ -54,10 +54,13 @@ def _geom(P, pads, s):
     return [pp._tap_ranges(P[i], pads[i], s) for i in range(3)]
 
 
-def lista3d_fused_supported(M, C, P, s, K, D, H, W, residual=None) -> bool:
+def lista3d_fused_supported(M, C, P, s, K, D, H, W, residual=None,
+                            z_bytes=2) -> bool:
     """Applicability check for the fused 3D paths (resident or iteration
     pair). The iteration-pair fallback fits whenever the per-slice working
-    set does; it is the binding constraint only for very large frames."""
+    set does; it is the binding constraint only for very large frames.
+    z_bytes: code-carry width — 2 for the default bfloat16 inference
+    carry, 4 for the fp32 training/history path (autodiff._core3d_fwd)."""
     if residual is not None:
         return False  # per-iteration ResidualBlocks take the XLA path
     if D % s or H % s or W % s:
@@ -72,10 +75,43 @@ def lista3d_fused_supported(M, C, P, s, K, D, H, W, residual=None) -> bool:
     Mp = -(-M // 8) * 8
     # iteration pair, kernel B is the bigger one: stack + r views + z
     # blocks + u transient + weights
-    b = T * Cp * Lhw * 2 + Qd * 2 * Cp * Lhw * 4 + 2 * Mp * Lhw * 2 \
-        + Mp * Lhw * 4 + Mp * T * Cp * 2
+    b = T * Cp * Lhw * z_bytes + Qd * 2 * Cp * Lhw * 4 \
+        + 2 * Mp * Lhw * z_bytes + Mp * Lhw * 4 + Mp * T * Cp * z_bytes
     masks = 4 * (Qh + Qw) * Lhw * 4
     return b + masks < _VMEM_BUDGET
+
+
+def prep_A2m_3d(A, s, pads):
+    """Polyphase 3D analysis bank in kernel layout (K, Mp, T*Cp) f32,
+    tap-major (dq, qi, ri, cp) rows, subband dim padded to the sublane
+    tile — SHARED by the forward and the backward (lista3d_bwd) so their
+    gradients can never desynchronize from a one-sided layout change."""
+    K, M = A.shape[0], A.shape[1]
+    (dlo, dhi), (hlo, hhi), (wlo, whi) = _geom(A.shape[-3:], pads, s)
+    Qd, Qh, Qw = dhi - dlo + 1, hhi - hlo + 1, whi - wlo + 1
+    T = Qd * Qh * Qw
+    Cp = A.shape[2] * s**3
+    A2, _, _, _ = pp.polyphase_weights(A, s, pads, 3)   # (K, M, Cp, Qd, Qh, Qw)
+    A2m = A2.transpose(0, 1, 3, 4, 5, 2).reshape(K, M, T * Cp)
+    Mp = -(-M // 8) * 8
+    if Mp != M:
+        A2m = jnp.pad(A2m, ((0, 0), (0, Mp - M), (0, 0)))
+    return A2m
+
+
+def prep_B2m_3d(B, s, pads):
+    """Polyphase 3D synthesis bank (K, Qd, Qh*Qw*Cp, Mp), flipped-tap,
+    rows (in-plane tap, cp)-major per depth tap, subbands padded."""
+    K, M = B.shape[0], B.shape[1]
+    (dlo, dhi), (hlo, hhi), (wlo, whi) = _geom(B.shape[-3:], pads, s)
+    Qd, Qh, Qw = dhi - dlo + 1, hhi - hlo + 1, whi - wlo + 1
+    Cp = B.shape[2] * s**3
+    _, B2t, _, _ = pp.polyphase_weights(B, s, pads, 3)
+    B2m = B2t.transpose(0, 3, 4, 5, 2, 1).reshape(K, Qd, Qh * Qw, Cp, M)
+    Mp = -(-M // 8) * 8
+    if Mp != M:
+        B2m = jnp.pad(B2m, ((0, 0),) * 4 + ((0, Mp - M),))
+    return B2m.reshape(K, Qd, Qh * Qw * Cp, Mp)
 
 
 def _kernel_syn(z_ref, y2_ref, m2_ref, B2m_ref, sm_ref, r_ref,
@@ -365,24 +401,15 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
     Qd, Qh, Qw = dhi - dlo + 1, hhi - hlo + 1, whi - wlo + 1
     T = Qd * Qh * Qw
 
-    # --- weight prep (host/XLA): polyphase banks in kernel layouts ---
-    A2, _, _, _ = pp.polyphase_weights(A, s, pads, 3)   # (K, M, Cp, Qd, Qh, Qw)
-    _, B2t, _, _ = pp.polyphase_weights(B, s, pads, 3)
-    # analysis: (K, M, T*Cp), tap-major (dq, qi, ri, cp)
-    A2m32 = A2.transpose(0, 1, 3, 4, 5, 2).reshape(K, M, T * Cp)
-    A2m = A2m32.astype(z_dtype)
-    # synthesis: (K, Qd, Qh*Qw, Cp, M), flipped-tap layout from B2t
-    B2m = B2t.transpose(0, 3, 4, 5, 2, 1).reshape(K, Qd, Qh * Qw, Cp, M)
-
-    # pad the subband dim to the sublane tile so DMA slices of the z array
+    # --- weight prep (host/XLA): polyphase banks in kernel layouts,
+    # subband dim padded to the sublane tile so DMA slices of the z array
     # stay aligned (Mosaic: "slice must be aligned to tiling (8)"); padded
     # rows are exact no-ops — zero analysis rows keep z_pad at ST(0)=0, and
-    # zero synthesis columns contribute nothing
+    # zero synthesis columns contribute nothing ---
     Mp = -(-M // 8) * 8
-    if Mp != M:
-        A2m = jnp.pad(A2m, ((0, 0), (0, Mp - M), (0, 0)))
-        A2m32 = jnp.pad(A2m32, ((0, 0), (0, Mp - M), (0, 0)))
-        B2m = jnp.pad(B2m, ((0, 0), (0, 0), (0, 0), (0, 0), (0, Mp - M)))
+    A2m32 = prep_A2m_3d(A, s, pads)
+    A2m = A2m32.astype(z_dtype)
+    B2m = prep_B2m_3d(B, s, pads).reshape(K, Qd, Qh * Qw, Cp, Mp)
 
     # data in (N, Dc, ch, Lhw) layout, z carried bf16
     y5 = pp.space_to_depth(yp, s, 3)  # (N, Cp, Dc, Hc, Wc)

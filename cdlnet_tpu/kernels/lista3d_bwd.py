@@ -83,7 +83,10 @@ def _kernel_syn_wgrad(g_ref, z_ref, sm_ref, dB_ref,
                       *, Qd, Qh, Qw, Cp, Wc, dlo, hlo, wlo):
     """dB2m[j] += valid * stack2(g[d]) @ z[d + dq_j]^T; grid (Qd, N, Dc) —
     j OUTER so the (1, Qh*Qw*Cp, Mp) accumulator block is revisited over
-    consecutive (n, d) steps; contraction over Lhw."""
+    consecutive (n, d) steps; contraction over Lhw. (A variant that built
+    stack2 once per (n, d) under a single full-dB program measured ~15%
+    SLOWER end-to-end — the per-j grid's block pipelining wins over saving
+    the repeated stack2 rolls.)"""
     from jax.experimental.pallas import tpu as pltpu
 
     j = pl.program_id(0)
@@ -114,12 +117,15 @@ def _kernel_syn_wgrad(g_ref, z_ref, sm_ref, dB_ref,
     )
 
 
-def _kernel_ana_wgrad(*refs, Qd, Qh, Qw, Cp, Wc, dlo, hlo, wlo):
+def _kernel_ana_wgrad(*refs, Qd, Qh, Qw, Cp, Wc, dlo, hlo, wlo,
+                      want_w=True):
     """dA2m += -dv[d] @ stack(r)[d]^T (revisited, contract Lhw) and
     w[d] = -A2m^T @ dv[d]; grid (N, Dc). refs: Qd r views (1,1,Cp,Lhw),
     dv (1,1,Mp,Lhw), A2m (Mp, T*Cp), acol (Qw, Lhw), arow (Qh, Lhw);
     outputs dA (Mp, T*Cp), w (1,1,T*Cp,Lhw); scratch stack (T*Cp, Lhw).
-    Window stacking identical to lista3d._kernel_ana."""
+    Window stacking identical to lista3d._kernel_ana. want_w=False (the
+    k=0 step, whose dz chain ends) skips the w dot and its HBM write —
+    the w output is a dummy scalar."""
     from jax.experimental.pallas import tpu as pltpu
 
     rviews = refs[:Qd]
@@ -151,10 +157,11 @@ def _kernel_ana_wgrad(*refs, Qd, Qh, Qw, Cp, Wc, dlo, hlo, wlo):
         dv, stack_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    w_ref[0, 0] = -jax.lax.dot_general(
-        A2m_ref[:], dv, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if want_w:
+        w_ref[0, 0] = -jax.lax.dot_general(
+            A2m_ref[:], dv, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
 
 def _kernel_stack_adj(w_ref, acol_ref, arow_ref, dr_ref,
@@ -213,24 +220,13 @@ def lista3d_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist, stride=1,
     T = Qd * Qh * Qw
     Mp = -(-M // 8) * 8
 
-    # --- weight prep, identical to the forward, wrapped in vjp so the
-    # polyphase-domain gradients transport back exactly (linear maps) ---
-    def _prepA(Aw):
-        A2, _, _, _ = pp.polyphase_weights(Aw, s, pads, 3)
-        A2m = A2.transpose(0, 1, 3, 4, 5, 2).reshape(K, M, T * Cp)
-        if Mp != M:
-            A2m = jnp.pad(A2m, ((0, 0), (0, Mp - M), (0, 0)))
-        return A2m
+    # --- weight prep: the forward's own (shared) layout functions,
+    # wrapped in vjp so the polyphase-domain gradients transport back
+    # exactly (linear maps) ---
+    from cdlnet_tpu.kernels.lista3d import prep_A2m_3d, prep_B2m_3d
 
-    def _prepB(Bw):
-        _, B2t, _, _ = pp.polyphase_weights(Bw, s, pads, 3)
-        B2m = B2t.transpose(0, 3, 4, 5, 2, 1).reshape(K, Qd, Qh * Qw, Cp, M)
-        if Mp != M:
-            B2m = jnp.pad(B2m, ((0, 0),) * 4 + ((0, Mp - M),))
-        return B2m.reshape(K, Qd, Qh * Qw * Cp, Mp)
-
-    A2m, vjpA = jax.vjp(_prepA, A)
-    B2m, vjpB = jax.vjp(_prepB, B)
+    A2m, vjpA = jax.vjp(lambda Aw: prep_A2m_3d(Aw, s, pads), A)
+    B2m, vjpB = jax.vjp(lambda Bw: prep_B2m_3d(Bw, s, pads), B)
 
     y5 = pp.space_to_depth(yp, s, 3)
     y2 = y5.transpose(0, 2, 1, 3, 4).reshape(N, Dc, Cp, Lhw)
@@ -276,6 +272,9 @@ def lista3d_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist, stride=1,
             out_specs=pl.BlockSpec((1, 1, Mp, Lhw), lambda n, d, j: (n, d, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((N, Dc, Mp, Lhw), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(g, B2m_k, sm)
 
@@ -297,11 +296,14 @@ def lista3d_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist, stride=1,
                                    lambda j, n, d: (j, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((Qd, Qh * Qw * Cp, Mp), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(g, z, sm)
 
-    def ana_wgrad(dv, r, A2m_k):
-        kern = functools.partial(_kernel_ana_wgrad, **geom)
+    def ana_wgrad(dv, r, A2m_k, want_w=True):
+        kern = functools.partial(_kernel_ana_wgrad, **geom, want_w=want_w)
         rviews = []
         for j in range(Qd):
             dq = dlo + j
@@ -321,13 +323,22 @@ def lista3d_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist, stride=1,
                 pl.BlockSpec((Mp, T * Cp), lambda n, d: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, T * Cp, Lhw), lambda n, d: (n, d, 0, 0),
-                             memory_space=pltpu.VMEM),
+                             memory_space=pltpu.VMEM)
+                if want_w
+                else pl.BlockSpec((1, 1, 1, 1), lambda n, d: (0, 0, 0, 0),
+                                  memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((Mp, T * Cp), jnp.float32),
-                jax.ShapeDtypeStruct((N, Dc, T * Cp, Lhw), jnp.float32),
+                jax.ShapeDtypeStruct(
+                    (N, Dc, T * Cp, Lhw) if want_w else (1, 1, 1, 1),
+                    jnp.float32,
+                ),
             ],
             scratch_shapes=[pltpu.VMEM((T * Cp, Lhw), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(*([r] * Qd), dv, A2m_k, acol, arow)
 
@@ -347,6 +358,9 @@ def lista3d_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist, stride=1,
             out_specs=pl.BlockSpec((1, 1, Cp, Lhw), lambda n, d, j: (n, d, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((N, Dc, Cp, Lhw), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(w, acol, arow)
 
@@ -401,7 +415,7 @@ def lista3d_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist, stride=1,
     z032 = z_hist[0].astype(jnp.float32)
     dv0 = jnp.where(z032 != 0.0, dz, 0.0)
     dt0_0, dt1_0 = dt_terms(z_hist[0], dz)
-    dA_0, _ = ana_wgrad(dv0, -y2.astype(jnp.float32), A2m[0])
+    dA_0, _ = ana_wgrad(dv0, -y2.astype(jnp.float32), A2m[0], want_w=False)
 
     dA2m = jnp.concatenate([dA_0[None], dA_rest], axis=0)       # (K, Mp, T*Cp)
     dB2m = jnp.concatenate([dB0[None], dB_rest], axis=0)        # (K, Qd, QhQwCp, Mp)

@@ -89,24 +89,19 @@ class CDLNet:
         )
 
     def _use_pallas(self, yp, return_z):
+        # gates on the FORWARD working set only: the differentiable path
+        # (autodiff._core2d) falls back to XLA gradients internally when
+        # the reverse kernel's larger working set does not fit, so
+        # inference-only callers (serve, streaming) never lose the fused
+        # forward to a backward-size gate
         if self.backend != "pallas":
             return False
-        from cdlnet_tpu.kernels.lista2d import (
-            lista2d_bwd_supported,
-            lista2d_fused_supported,
-        )
+        from cdlnet_tpu.kernels.lista2d import lista2d_fused_supported
 
-        if not lista2d_fused_supported(
+        return lista2d_fused_supported(
             self.M, self.C, self.P, self.s, self.K, yp.shape[-2], yp.shape[-1],
             return_z=return_z,
-        ):
-            return False
-        if not return_z:  # differentiable path: the reverse kernel must fit
-            return lista2d_bwd_supported(
-                self.M, self.C, self.P, self.s, self.K,
-                yp.shape[-2], yp.shape[-1],
-            )
-        return True
+        )
 
     def apply(self, params: dict, y, sigma=None, mask=None, return_z=True):
         """Denoise batch y (N, C, H, W). Returns (xhat, z).

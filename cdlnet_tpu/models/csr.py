@@ -79,7 +79,7 @@ class CDLNetCSR:
     t0: float = 0.0
     adaptive: bool = False
     scan_unroll: int = 1
-    backend: str = "xla"  # "xla" | "pallas" (inference; fused CSR prox)
+    backend: str = "xla"  # "xla" | "pallas" (fused CSR prox; differentiable)
 
     @property
     def pad(self) -> int:
@@ -122,28 +122,28 @@ class CDLNetCSR:
         c = sigma_scale(sigma, self.adaptive, 4)
 
         if self.backend == "pallas":
-            from cdlnet_tpu.kernels.lista2d import (
-                lista2d_fused,
-                lista2d_fused_supported,
-            )
+            from cdlnet_tpu.kernels.autodiff import csr_fused_2d
+            from cdlnet_tpu.kernels.lista2d import lista2d_fused_supported
 
             if lista2d_fused_supported(
                 self.M, self.C, self.P, self.s, self.K,
                 yp.shape[-2], yp.shape[-1], return_z=True,
                 n_codes=0 if z_prev is None else 1,
             ):
+                # csr_fused_2d is differentiable (fused forward + XLA
+                # gradient), so backend="pallas" CSR configs train too
                 if z_prev is None:
                     Bk = jnp.concatenate(
                         [params["B"][:1], params["B2"][1:]], axis=0
                     )
-                    xphat, z = lista2d_fused(
+                    xphat, z = csr_fused_2d(
                         yp, params["A2"], Bk, params["t2"], c,
-                        stride=self.s, mask=mask, return_z=True,
+                        mask=mask, stride=self.s,
                     )
                 else:
-                    xphat, z = lista2d_fused(
+                    xphat, z = csr_fused_2d(
                         yp, params["A"], params["B"], params["t"], c,
-                        stride=self.s, mask=mask, return_z=True,
+                        mask=mask, stride=self.s,
                         g=params["g"], z_prev=z_prev,
                     )
                 return post_process(xphat, prm), z
@@ -185,7 +185,7 @@ class CDLNetCSRf2:
     t0: float = 0.0
     adaptive: bool = False
     scan_unroll: int = 1
-    backend: str = "xla"  # "xla" | "pallas" (inference; fused CSR prox)
+    backend: str = "xla"  # "xla" | "pallas" (fused CSR prox; differentiable)
 
     @property
     def pad(self) -> int:
@@ -218,10 +218,8 @@ class CDLNetCSRf2:
         c = sigma_scale(sigma, self.adaptive, 4)
 
         if self.backend == "pallas":
-            from cdlnet_tpu.kernels.lista2d import (
-                lista2d_fused,
-                lista2d_fused_supported,
-            )
+            from cdlnet_tpu.kernels.autodiff import csr_fused_2d
+            from cdlnet_tpu.kernels.lista2d import lista2d_fused_supported
 
             n_codes = (z_prev is not None) + (z_after is not None)
             if lista2d_fused_supported(
@@ -233,9 +231,9 @@ class CDLNetCSRf2:
                     kw.update(g=params["g1"], z_prev=z_prev)
                 if z_after is not None:
                     kw.update(g2=params["g2"], z_after=z_after)
-                xphat, z = lista2d_fused(
+                xphat, z = csr_fused_2d(
                     yp, params["A"], params["B"], params["t"], c,
-                    stride=self.s, mask=mask, return_z=True, **kw,
+                    mask=mask, stride=self.s, **kw,
                 )
                 return post_process(xphat, prm), z
 

@@ -137,7 +137,6 @@ class GDLNet:
         c = sigma_scale(sigma, self.adaptive, 4)
         if self.backend == "pallas":
             from cdlnet_tpu.kernels.lista2d import (
-                lista2d_bwd_supported,
                 lista2d_fused,
                 lista2d_fused_supported,
             )
@@ -145,10 +144,7 @@ class GDLNet:
             if lista2d_fused_supported(
                 self.M, self.C, self.P, self.s, self.K,
                 yp.shape[-2], yp.shape[-1], return_z=return_z,
-            ) and (return_z or lista2d_bwd_supported(
-                self.M, self.C, self.P, self.s, self.K,
-                yp.shape[-2], yp.shape[-1],
-            )):
+            ):
                 if not return_z:  # differentiable path (kernels/autodiff.py)
                     from cdlnet_tpu.kernels.autodiff import lista2d_fused_diff
 

@@ -368,3 +368,40 @@ def test_fused3d_bwd_kernels_grads_match_xla(s, P, M, K, use_mask):
     for name, a, b in zip("ABt", g_ref, g_pal):
         rel = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-12)
         assert rel < 1e-4, (name, rel)
+
+
+def test_csr_pallas_backend_trainable(monkeypatch):
+    """backend='pallas' CSR models are differentiable (fused forward + XLA
+    gradient, autodiff.csr_fused_2d): grads — including through the
+    carried neighbor code — match the XLA backend."""
+    import cdlnet_tpu.kernels.lista2d as k2d
+
+    orig = k2d.lista2d_fused
+    monkeypatch.setattr(
+        k2d, "lista2d_fused", lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    )
+    cfg = {"K": 3, "M": 8, "P": 7, "s": 2, "C": 1, "adaptive": True}
+    mx = build_model("CDLNet_CSR", dict(cfg))
+    mp = build_model("CDLNet_CSR", dict(cfg, backend="pallas"))
+    params = mx.init(jax.random.PRNGKey(0), init=True)
+    for k in params:
+        params[k] = (
+            params[k] * 0.3 if k[0] in "AB"
+            else jnp.abs(params[k]) * 0.05 + 1e-3
+        )
+    y = jax.random.uniform(jax.random.PRNGKey(1), (1, 1, 32, 32), jnp.float32)
+    zp = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (1, 8, 16, 16))
+    tgt = jax.random.uniform(jax.random.PRNGKey(3), y.shape)
+
+    def loss(m):
+        def f(args):
+            p, zin = args
+            xh, z = m.apply(p, y, zin, sigma=25.0)
+            return jnp.mean((xh - tgt) ** 2) + 0.1 * jnp.mean(z ** 2)
+        return f
+
+    gx = jax.grad(loss(mx))((params, zp))
+    gp = jax.grad(loss(mp))((params, zp))
+    for a, b in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gp)):
+        rel = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-12)
+        assert rel < 1e-4, rel

@@ -66,17 +66,25 @@ def bench_one(name, cfg, backend, repeats=20):
     def run(params, opt_state, batch, key):
         def body(carry, i):
             p, os_ = carry
-            p, os_, loss = step._fun(p, os_, batch, jax.random.fold_in(key, i)) \
-                if hasattr(step, "_fun") else step(p, os_, batch, jax.random.fold_in(key, i))
+            p, os_, loss = step(p, os_, batch, jax.random.fold_in(key, i))
             return (p, os_), loss
         (params, opt_state), losses = jax.lax.scan(
             body, (params, opt_state), jnp.arange(repeats))
         return losses[-1]
 
+    # measure the device->host readback round-trip on this backend (it is
+    # ~28 ms over the tunnel, ~0 locally) and subtract ONE trip
+    sm = jnp.zeros(())
+    float(sm + 0)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        float(sm + 1)
+    rtt = (time.perf_counter() - t0) / 3
+
     lv = float(run(params, opt_state, batch, key))  # compile
     t0 = time.perf_counter()
     lv = float(run(params, opt_state, batch, key))
-    dt = (time.perf_counter() - t0 - 0.028) / repeats  # one readback trip
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / repeats
     print(f"{name:6s} backend={backend:6s} {dt*1e3:8.1f} ms/step  "
           f"(in-jit scan of {repeats}; loss {lv:.5f})")
     return dt
