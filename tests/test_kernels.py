@@ -405,3 +405,38 @@ def test_csr_pallas_backend_trainable(monkeypatch):
     for a, b in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gp)):
         rel = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-12)
         assert rel < 1e-4, rel
+
+
+def test_gdlnet_pallas_backend_trainable(monkeypatch):
+    """GDLNet's pallas backend is differentiable end-to-end: the fused
+    reverse kernel's dA/dB cotangents chain through the Gabor filter
+    synthesis into the raw (alpha, a, w0, psi) parameters."""
+    import cdlnet_tpu.kernels.lista2d as k2d
+
+    orig = k2d.lista2d_fused
+    monkeypatch.setattr(
+        k2d, "lista2d_fused", lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    )
+    origb = k2d.lista2d_fused_bwd
+    monkeypatch.setattr(
+        k2d, "lista2d_fused_bwd",
+        lambda *a, **kw: origb(*a, **{**kw, "interpret": True}),
+    )
+    cfg = {"K": 2, "M": 8, "P": 7, "s": 2, "C": 1, "adaptive": True, "order": 1}
+    mx = build_model("GDLNet", dict(cfg))
+    mp = build_model("GDLNet", dict(cfg, backend="pallas"))
+    params = mx.init(jax.random.PRNGKey(0), init=True)
+    y = jax.random.uniform(jax.random.PRNGKey(1), (1, 1, 32, 32), jnp.float32)
+    tgt = jax.random.uniform(jax.random.PRNGKey(2), y.shape)
+
+    def loss(m):
+        def f(p):
+            xh, _ = m.apply(p, y, 25.0, return_z=False)
+            return jnp.mean((xh - tgt) ** 2)
+        return f
+
+    gx = jax.grad(loss(mx))(params)
+    gp = jax.grad(loss(mp))(params)
+    for k in gx:
+        rel = float(jnp.abs(gx[k] - gp[k]).max()) / (float(jnp.abs(gx[k]).max()) + 1e-12)
+        assert rel < 1e-4, (k, rel)
