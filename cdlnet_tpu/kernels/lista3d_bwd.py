@@ -20,7 +20,11 @@ whose body runs four Pallas kernels per iteration:
                      (adjoint of the analysis window stacking)
 
 dv / sign bookkeeping and the dt reductions are plain XLA elementwise work
-between the kernel calls. Weight gradients come back per-iteration as scan
+between the kernel calls. (Folding them INTO _kernel_ana_wgrad was tried
+and reverted: adding the dv and small dt outputs made XLA fuse the pallas
+custom-call with the reverse scan's output dynamic-update-slices into a
+fusion whose scoped-vmem stack exceeded the non-overridable 16 MB limit —
+"should not be possible ... please file a bug against XLA".) Weight gradients come back per-iteration as scan
 outputs and are transported to the torch weight layout through the vjp of
 the (linear) polyphase weight prep.
 """
