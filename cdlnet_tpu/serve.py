@@ -38,15 +38,42 @@ class Denoiser:
     >>> out = d.denoise_image(img, sigma=25)                   # (H, W) [0,1]
     >>> out = d.denoise_image(img)                             # blind (MAD)
     >>> out = d.denoise_video(frames, sigma=25)                # (D, H, W)
+    >>> d = Denoiser(model, params, mesh={"data": -1})         # multi-chip:
+    ...     # batched inputs shard over all devices (throughput serving)
     """
 
-    def __init__(self, model, params, bucket: int = 64, blind: str = "MAD"):
+    def __init__(self, model, params, bucket: int = 64, blind: str = "MAD",
+                 mesh=None):
         from cdlnet_tpu.models.csr import CDLNetCSR, CDLNetCSRf2
 
         self.model = model
         self.params = params
         self.bucket = bucket
         self.blind = blind
+        self._shard_batch = None
+        if mesh is not None:
+            # multi-chip serving: params replicated, inputs sharded on the
+            # batch dim over the mesh's "data" axis — XLA partitions every
+            # forward (incl. the fused kernels, which are batch-gridded)
+            # across chips with no collectives on the hot path
+            from cdlnet_tpu.dist.mesh import make_mesh
+            from cdlnet_tpu.dist.sharding import (
+                batch_sharding,
+                replicate_sharding,
+            )
+
+            if isinstance(mesh, dict):
+                mesh = make_mesh(mesh)
+            self.params = jax.device_put(params, replicate_sharding(mesh))
+            bsh = batch_sharding(mesh)
+            ndata = mesh.shape["data"]
+
+            def shard_batch(y):
+                if y.shape[0] % ndata:
+                    return y  # ragged batch: run unsharded (replicated)
+                return jax.device_put(y, bsh)
+
+            self._shard_batch = shard_batch
         self._is_csr = isinstance(model, (CDLNetCSR, CDLNetCSRf2))
         if self._is_csr:
             # frame-recurrent models: videos run the carried-code recurrence,
@@ -120,6 +147,8 @@ class Denoiser:
             cfg = [(0, 0)] * (y.ndim - 2) + [(0, p) for p in pads]
             y = np.pad(y, cfg, mode="reflect")
         yj = jnp.asarray(y)
+        if self._shard_batch is not None:
+            yj = self._shard_batch(yj)
         try:
             if sigma is None and getattr(self.model, "adaptive", False):
                 out = self._fwd_blind(self.params, yj)

@@ -440,3 +440,21 @@ def test_gdlnet_pallas_backend_trainable(monkeypatch):
     for k in gx:
         rel = float(jnp.abs(gx[k] - gp[k]).max()) / (float(jnp.abs(gx[k]).max()) + 1e-12)
         assert rel < 1e-4, (k, rel)
+
+
+def test_fused_hist_matches_per_iteration_codes():
+    """return_hist=True streams exactly the per-iteration codes (rows
+    [0:M)) and residuals (rows [Mp8:Mp8+Cp)) the reverse kernel consumes —
+    pinned against the XLA scan's return_codes."""
+    s, P, C, M, K = 2, 7, 1, 8, 3
+    yp, A, B, t = _mk(s, P, C, M, K)
+    c = jnp.asarray([0.1, 0.2]).reshape(2, 1, 1, 1)
+    z_ref, codes = lista_2d(yp, A, B, t, c, stride=s, return_codes=True)
+    x, z, hist = lista2d_fused(yp, A, B, t, c, stride=s, return_z=True,
+                               interpret=True, return_hist=True)
+    Mp8 = -(-M // 8) * 8
+    h = np.asarray(hist)[:, :, :M].reshape(2, K, M, 8, 8)
+    np.testing.assert_allclose(h[:, -1], np.asarray(z_ref), atol=1e-5)
+    cc = np.asarray(codes)  # (K, N, M, Hc, Wc)
+    for k in range(K):
+        np.testing.assert_allclose(h[:, k], cc[k], atol=1e-5)

@@ -129,3 +129,25 @@ def test_video_depth_not_bucketed():
     # bucketing only affects borders)
     np.testing.assert_allclose(out[:, 8:24, 8:24], ref[:, 8:24, 8:24], atol=1e-3)
     # (small interior shift is inherent: padding changes the pre_process mean)
+
+
+def test_mesh_sharded_batch_serving():
+    """Denoiser(mesh=...) shards batched inputs over the data axis and
+    matches single-device outputs; ragged batches fall back to unsharded."""
+    import jax
+
+    from cdlnet_tpu.models import build_model
+
+    model = build_model("CDLNet", {"K": 2, "M": 6, "P": 5, "s": 2, "C": 1,
+                                   "adaptive": True})
+    params = model.init(jax.random.PRNGKey(0), init=True)
+    d0 = Denoiser(model, params)
+    dm = Denoiser(model, params, mesh={"data": -1})
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0, 1, (8, 1, 32, 32)).astype(np.float32)
+    out0 = d0.denoise_image(imgs, sigma=25)
+    outm = dm.denoise_image(imgs, sigma=25)
+    np.testing.assert_allclose(outm, out0, atol=1e-5)
+    # ragged batch (not divisible by device count): still correct
+    out7 = dm.denoise_image(imgs[:7], sigma=25)
+    np.testing.assert_allclose(out7, out0[:7], atol=1e-5)
