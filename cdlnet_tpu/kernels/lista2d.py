@@ -160,11 +160,18 @@ def _estimate_bytes(M, C, P, s, K, H, W, return_z=False, n_codes=0) -> int:
 
 def lista2d_fused_supported(M, C, P, s, K, H, W, return_z=False,
                             n_codes=0) -> bool:
-    """True when the fused kernel fits VMEM for a padded H x W input."""
+    """True when the fused kernel fits VMEM for a padded H x W input.
+
+    Lane-unaligned code widths (Wc % 128 != 0) gate with a much larger
+    margin: at BSD68-like 322x482 (Wc=241) the compiler's register
+    allocator spilled 84 MB on top of a 63 MB estimate (measured OOM at
+    156 MB), so those shapes route to the banded kernel instead."""
     if H % s or W % s:
         return False
     est = _estimate_bytes(M, C, P, s, K, H, W, return_z, n_codes=n_codes)
-    return est * _PEAK_FACTOR < _VMEM_CAPACITY
+    factor = _PEAK_FACTOR if (W // s) % 128 == 0 or est < 32 * 1024 * 1024 \
+        else 2.75
+    return est * factor < _VMEM_CAPACITY
 
 
 def _kernel(y2_ref, m2_ref, tbank_ref, crow_ref, A2m_ref, B2m_ref, acolm_ref,

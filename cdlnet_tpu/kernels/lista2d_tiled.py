@@ -1,0 +1,328 @@
+"""Banded per-iteration 2D LISTA kernels for images too big for the
+whole-K VMEM-resident kernel (kernels/lista2d) — Set12-class 512x512 and
+BSD68-class 481x321 eval images.
+
+Structure mirrors the 3D iteration pair (kernels/lista3d): each iteration
+is two Pallas calls under a lax.scan — synthesis+residual then
+analysis+threshold — with the code z streamed through HBM once per
+iteration in bfloat16. The image's code grid is split into nb horizontal
+BANDS of Bh rows; the grid is (N, nb) and each program rebuilds a
+row-HALOED copy of its operand from three clamped band views (band-1,
+band, band+1). Out-of-image halos are zeroed, which IS the reference
+conv's zero-padding semantics (model/net.py:33), so banding is exact.
+
+Within the haloed flat (ch, (Bh+2*Hh)*Wc) buffer every tap is the usual
+lane-roll; interior columns are sliced out after the roll, so no row
+border masks are needed at all — only the Wc-periodic column masks.
+All dots keep the whole-image kernels' MXU shapes (T*Cp-deep analysis
+contraction, merged (T*Cp)-row synthesis dot with output-side rolls).
+Inference-only: the reference's training crops (128^2) always fit the
+whole-K-resident differentiable kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+from cdlnet_tpu.kernels.lista2d import (
+    _axis_masks,
+    _prep_A2m,
+    _prep_B2m,
+    _tap_geometry,
+)
+from cdlnet_tpu.ops import polyphase as pp
+
+_VMEM_BUDGET = int(100 * 1024 * 1024)
+
+
+def _geometry(P, s):
+    P = (P, P) if isinstance(P, int) else tuple(P)
+    pads = ((P[0] - 1) // 2, (P[1] - 1) // 2)
+    (Qh, Qw), _, _ = _tap_geometry(P, pads, s)
+    q_lo_h, _ = pp._tap_ranges(P[0], pads[0], s)
+    q_lo_w, _ = pp._tap_ranges(P[1], pads[1], s)
+    # halo rows: cover both the analysis offsets [q_lo_h, q_lo_h+Qh) and
+    # the synthesis offsets [-(Qh-1)-q_lo_h, -q_lo_h]
+    Hh = max(Qh - 1 + q_lo_h, -q_lo_h, Qh - 1 - (Qh - 1 + q_lo_h))
+    Hh = max(Hh, Qh - 1)  # simple safe bound: one tap span
+    return P, pads, Qh, Qw, q_lo_h, q_lo_w, Hh
+
+
+def _band_bytes(M, Cp, T, Bh, Wc, Hh, z_bytes=2):
+    Lb, Lh = Bh * Wc, (Bh + 2 * Hh) * Wc
+    views = 3 * 2 * M * Lb * z_bytes          # double-buffered z band views
+    zh = M * Lh * 4
+    stack = T * Cp * max(Lb, Lh) * 4
+    synout = T * Cp * Lh * 4
+    io = 2 * (2 * Cp + M) * Lb * 4
+    return views + zh + stack + synout + io
+
+
+def lista2d_tiled_supported(M, C, P, s, K, H, W) -> bool:
+    """True when the banded pair path applies (stride-divisible shape and
+    a valid band size exists). Complements lista2d_fused_supported."""
+    if H % s or W % s:
+        return False
+    return _pick_band(M, C, P, s, H // s, W // s) is not None
+
+
+def _pick_band(M, C, P, s, Hc, Wc):
+    """Largest fitting band height. Hc need NOT be divisible: the wrapper
+    zero-pads the code grid to a band multiple and masks pad rows every
+    iteration (exactly the conv's zero-padding semantics)."""
+    P_, pads, Qh, Qw, qlh, qlw, Hh = _geometry(P, s)
+    T, Cp = Qh * Qw, C * s * s
+    for Bh in (128, 64, 32, 16, 8):
+        if Bh > Hh and _band_bytes(M, Cp, T, Bh, Wc, Hh) < _VMEM_BUDGET:
+            return Bh
+    return None
+
+
+def _halo(refs, Hh, Wc, Bh, dtype=jnp.float32):
+    """Build the haloed flat buffer (ch, (Bh+2Hh)*Wc) from three clamped
+    band views (above, cur, below) with out-of-image halos zeroed. Pure
+    lane-dim slices/concat of the FLAT buffers — Mosaic cannot shape-cast
+    across unaligned lane boundaries (Wc need not divide 128)."""
+    above_ref, cur_ref, below_ref, b, nb = refs
+    above = above_ref[0, 0].astype(dtype)
+    cur = cur_ref[0, 0].astype(dtype)
+    below = below_ref[0, 0].astype(dtype)
+    top = jnp.where(b > 0, 1.0, 0.0) * above[:, (Bh - Hh) * Wc :]
+    bot = jnp.where(b < nb - 1, 1.0, 0.0) * below[:, : Hh * Wc]
+    return jnp.concatenate([top, cur, bot], axis=1)
+
+
+def _kernel_syn_band(zu_ref, zc_ref, zd_ref, y2_ref, m2_ref, B2m_ref,
+                     scol_ref, vm_ref, r_ref, *, Qh, Qw, Cp, Wc, Bh, Hh,
+                     q_lo, r_lo, use_mask, sub_y):
+    """r[band] <- [mask *] (B_k z)[band] [- y2[band]]. Grid (N, nb)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(1)
+    nb = pl.num_programs(1)
+    Lh = (Bh + 2 * Hh) * Wc
+    Lb = Bh * Wc
+
+    zh = _halo((zu_ref, zc_ref, zd_ref, b, nb), Hh, Wc, Bh)
+
+    out = jax.lax.dot_general(
+        B2m_ref[0], zh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (T*Cp, Lh)
+    acc = jnp.zeros((Cp, Lb), jnp.float32)
+    lo = Hh * Wc
+    for qi in range(Qh):
+        for ri in range(Qw):
+            t = qi * Qw + ri
+            off = (qi - (Qh - 1) - q_lo) * Wc + (ri - (Qw - 1) - r_lo)
+            rolled = (
+                pltpu.roll(out[t * Cp : (t + 1) * Cp], (-off) % Lh, 1)
+                if off % Lh else out[t * Cp : (t + 1) * Cp]
+            )
+            acc += rolled[:, lo : lo + Lb] * scol_ref[ri][None, :]
+    if sub_y:
+        if use_mask:
+            acc = m2_ref[0, 0] * acc
+        acc = acc - y2_ref[0, 0]
+    r_ref[0, 0] = vm_ref[0, 0] * acc
+
+
+def _kernel_ana_band(ru_ref, rc_ref, rd_ref, z_ref, tb_ref, cv_ref, A2m_ref,
+                     acol_ref, vm_ref, zout_ref, stack_ref,
+                     *, Qh, Qw, Cp, Wc, Bh, Hh, q_lo, r_lo, zero_prev):
+    """z[band] <- ST(z[band] - A_k stack(r)[band], tau_k). Grid (N, nb).
+    tb (1, 2, M) is the k-th threshold row pair; cv (1, 1, 1) the
+    per-sample noise scale."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(1)
+    nb = pl.num_programs(1)
+    Lh = (Bh + 2 * Hh) * Wc
+    Lb = Bh * Wc
+    lo = Hh * Wc
+
+    rh = _halo((ru_ref, rc_ref, rd_ref, b, nb), Hh, Wc, Bh)
+
+    for qi in range(Qh):
+        roff = (q_lo + qi) * Wc
+        rowed = (
+            pltpu.roll(rh, (-roff) % Lh, 1) if roff % Lh else rh
+        )
+        for ri in range(Qw):
+            t = qi * Qw + ri
+            coff = r_lo + ri
+            shifted = (
+                pltpu.roll(rowed, (-coff) % Lh, 1) if coff % Lh else rowed
+            )
+            stack_ref[t * Cp : (t + 1) * Cp] = (
+                shifted[:, lo : lo + Lb] * acol_ref[ri][None, :]
+            )
+
+    u = jax.lax.dot_general(
+        A2m_ref[:], stack_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    tau = tb_ref[0, 0][:, None] + cv_ref[0, 0, 0] * tb_ref[0, 1][:, None]
+    prev = 0.0 if zero_prev else z_ref[0, 0].astype(jnp.float32)
+    zn = prev - u
+    # vm zeroes rows past the true image height (ragged-Hc zero padding)
+    zout_ref[0, 0] = (
+        vm_ref[0, 0] * jnp.sign(zn) * jnp.maximum(jnp.abs(zn) - tau, 0.0)
+    ).astype(zout_ref.dtype)
+
+
+def lista2d_tiled(yp, A, B, t, c, stride=1, mask=None, return_z=False,
+                  z_dtype=jnp.bfloat16, interpret=False, band=None):
+    """Banded per-iteration fused 2D LISTA for big images. Same contract
+    as lista2d_fused: returns (xphat, z or None), matching the XLA scan
+    to the z_dtype carry tolerance (~0.5% codes, <0.02 dB on trained
+    models; pass z_dtype=jnp.float32 for fp32-exactness)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, C, H, W = yp.shape
+    K, M = A.shape[0], A.shape[1]
+    s = stride
+    P, pads, Qh, Qw, q_lo_h, q_lo_w, Hh = _geometry(A.shape[-2:], s)
+    Hc, Wc = H // s, W // s
+    Cp = C * s * s
+    T = Qh * Qw
+    Bh = band if band is not None else _pick_band(M, C, P, s, Hc, Wc)
+    assert Bh is not None, "caller must gate on lista2d_tiled_supported"
+    Hcp = -(-Hc // Bh) * Bh   # ragged Hc: zero-pad rows, mask each iteration
+    nb = Hcp // Bh
+    Lb = Bh * Wc
+
+    A2m = _prep_A2m(A, s, pads, T, Cp).astype(z_dtype)   # (K, M, T*Cp)
+    B2m = _prep_B2m(B, s, pads, T, Cp)                    # (K, T*Cp, M)
+
+    def to_bands(x4):  # (N, Cp, Hc, Wc) -> (N, nb, Cp, Bh*Wc), row-padded
+        if Hcp != Hc:
+            x4 = jnp.pad(x4, ((0, 0), (0, 0), (0, Hcp - Hc), (0, 0)))
+        return (x4.reshape(N, Cp, nb, Bh, Wc)
+                .transpose(0, 2, 1, 3, 4).reshape(N, nb, Cp, Lb))
+
+    y2 = to_bands(pp.space_to_depth(yp, s, 2))
+    use_mask = mask is not None
+    m2 = (
+        to_bands(pp.space_to_depth(jnp.broadcast_to(mask, yp.shape), s, 2))
+        if use_mask
+        else jnp.zeros((N, 1, 1, 1), yp.dtype)
+    )
+
+    tbank = t[:, :, :, 0, 0].astype(jnp.float32)         # (K, 2, M)
+    c_arr = jnp.asarray(c, jnp.float32).reshape(-1)
+    if c_arr.size == 1:
+        c_arr = jnp.broadcast_to(c_arr, (N,))
+    cvec = c_arr.reshape(N, 1, 1)
+
+    # per-band column masks (Wc-periodic — identical for every band)
+    acol = jnp.asarray(_axis_masks([q_lo_w + ri for ri in range(Qw)],
+                                   Bh, Wc, 1))
+    scol = jnp.asarray(_axis_masks([ri - (Qw - 1) - q_lo_w for ri in range(Qw)],
+                                   Bh, Wc, 1))
+    # per-band row-validity masks (rows past the true Hc are forced to 0)
+    import numpy as np
+    rows = np.arange(Hcp).reshape(nb, Bh, 1)
+    vmask = jnp.asarray(
+        np.broadcast_to(rows < Hc, (nb, Bh, Wc)).reshape(nb, 1, Lb)
+        .astype(np.float32)
+    )
+
+    geom = dict(Qh=Qh, Qw=Qw, Cp=Cp, Wc=Wc, Bh=Bh, Hh=Hh,
+                q_lo=q_lo_h, r_lo=q_lo_w)
+    grid = (N, nb)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def bviews(ch):
+        """Three clamped band views of a (N, nb, ch, Lb) array."""
+        out = []
+        for db in (-1, 0, 1):
+            out.append(pl.BlockSpec(
+                (1, 1, ch, Lb),
+                lambda n, b, db=db: (n, jnp.clip(b + db, 0, nb - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ))
+        return out
+
+    bspec = lambda ch: pl.BlockSpec(
+        (1, 1, ch, Lb), lambda n, b: (n, b, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    def synthesize(z, B2m_k, sub_y):
+        kern = functools.partial(_kernel_syn_band, **geom,
+                                 use_mask=use_mask, sub_y=sub_y)
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[*bviews(M),
+                      bspec(Cp),
+                      bspec(Cp) if use_mask else pl.BlockSpec(
+                          (1, 1, 1, 1), lambda n, b: (0, 0, 0, 0),
+                          memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, T * Cp, M), lambda n, b: (0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      full,
+                      pl.BlockSpec((1, 1, Lb), lambda n, b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=bspec(Cp),
+            out_shape=jax.ShapeDtypeStruct((N, nb, Cp, Lb), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(z, z, z, y2, m2, B2m_k[None], scol, vmask)
+
+    def analyze(r, z, A2m_k, tb_k, zero_prev):
+        kern = functools.partial(_kernel_ana_band, **geom,
+                                 zero_prev=zero_prev)
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[*bviews(Cp),
+                      bspec(M),
+                      pl.BlockSpec((1, 2, M), lambda n, b: (0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, 1, 1), lambda n, b: (n, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      full,  # A2m_k (M, T*Cp)
+                      full,
+                      pl.BlockSpec((1, 1, Lb), lambda n, b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=bspec(M),
+            out_shape=jax.ShapeDtypeStruct((N, nb, M, Lb), z_dtype),
+            scratch_shapes=[pltpu.VMEM((T * Cp, Lb), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(r, r, r, z, tb_k[None], cvec, A2m_k, acol, vmask)
+
+    # k = 0: z = ST(A0 y2, tau0) via analyze(r=-y2, z=0)
+    z0 = jnp.zeros((N, nb, M, Lb), z_dtype)
+    z = analyze(-y2.astype(jnp.float32), z0, A2m[0], tbank[0], True)
+
+    def body(z, xs):
+        A2m_k, B2m_k, tb_k = xs
+        r = synthesize(z, B2m_k, sub_y=True)
+        z = analyze(r, z, A2m_k, tb_k, False)
+        return z, None
+
+    z, _ = lax.scan(body, z, (A2m[1:], B2m[1:], tbank[1:]))
+
+    x2 = synthesize(z, B2m[0], sub_y=False)  # (N, nb, Cp, Lb)
+    xphat = pp.depth_to_space(
+        x2.reshape(N, nb, Cp, Bh, Wc).transpose(0, 2, 1, 3, 4)
+        .reshape(N, Cp, Hcp, Wc)[:, :, :Hc], s, 2, C)
+    z_out = (
+        z.astype(jnp.float32)
+        .reshape(N, nb, M, Bh, Wc).transpose(0, 2, 1, 3, 4)
+        .reshape(N, M, Hcp, Wc)[:, :, :Hc]
+        if return_z
+        else None
+    )
+    return xphat, z_out

@@ -132,6 +132,31 @@ class CDLNet:
                 stride=self.s, mask=mask, return_z=True,
             )
             return post_process(xphat, prm), z
+        if self.backend == "pallas":
+            # too big for the whole-K-resident kernel: banded per-iteration
+            # pair (kernels/lista2d_tiled) — Set12/BSD68-class eval images
+            from cdlnet_tpu.kernels.lista2d_tiled import (
+                lista2d_tiled,
+                lista2d_tiled_supported,
+            )
+
+            if lista2d_tiled_supported(
+                self.M, self.C, self.P, self.s, self.K,
+                yp.shape[-2], yp.shape[-1],
+            ):
+                if not return_z:
+                    from cdlnet_tpu.kernels.autodiff import lista2d_tiled_diff
+
+                    xphat = lista2d_tiled_diff(
+                        yp, params["A"], params["B"], params["t"], c,
+                        stride=self.s, mask=mask,
+                    )
+                    return post_process(xphat, prm), None
+                xphat, z = lista2d_tiled(
+                    yp, params["A"], params["B"], params["t"], c,
+                    stride=self.s, mask=mask, return_z=True,
+                )
+                return post_process(xphat, prm), z
         z = self._lista(params, yp, c, mask)
         xphat = conv_transpose2d(
             z, params["B"][0], stride=self.s, padding=self.pad, output_padding=self.s - 1

@@ -157,6 +157,28 @@ class GDLNet:
                     stride=self.s, mask=mask, return_z=True,
                 )
                 return post_process(xphat, prm), z
+            from cdlnet_tpu.kernels.lista2d_tiled import (
+                lista2d_tiled,
+                lista2d_tiled_supported,
+            )
+
+            if lista2d_tiled_supported(
+                self.M, self.C, self.P, self.s, self.K,
+                yp.shape[-2], yp.shape[-1],
+            ):
+                # big-image banded path (see models/cdlnet.py)
+                if not return_z:
+                    from cdlnet_tpu.kernels.autodiff import lista2d_tiled_diff
+
+                    xphat = lista2d_tiled_diff(
+                        yp, A_f, B_f, params["t"], c, stride=self.s, mask=mask
+                    )
+                    return post_process(xphat, prm), None
+                xphat, z = lista2d_tiled(
+                    yp, A_f, B_f, params["t"], c,
+                    stride=self.s, mask=mask, return_z=True,
+                )
+                return post_process(xphat, prm), z
         z = lista_2d(
             yp, A_f, B_f, params["t"], c, mask=mask, stride=self.s, unroll=self.scan_unroll
         )
