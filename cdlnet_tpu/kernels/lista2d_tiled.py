@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -46,10 +47,10 @@ def _geometry(P, s):
     (Qh, Qw), _, _ = _tap_geometry(P, pads, s)
     q_lo_h, _ = pp._tap_ranges(P[0], pads[0], s)
     q_lo_w, _ = pp._tap_ranges(P[1], pads[1], s)
-    # halo rows: cover both the analysis offsets [q_lo_h, q_lo_h+Qh) and
-    # the synthesis offsets [-(Qh-1)-q_lo_h, -q_lo_h]
-    Hh = max(Qh - 1 + q_lo_h, -q_lo_h, Qh - 1 - (Qh - 1 + q_lo_h))
-    Hh = max(Hh, Qh - 1)  # simple safe bound: one tap span
+    # halo rows: one tap span bounds every analysis offset
+    # ([q_lo_h, q_lo_h+Qh), with q_lo_h in [1-Qh, 0]) and every synthesis
+    # offset ([-(Qh-1)-q_lo_h, -q_lo_h])
+    Hh = Qh - 1
     return P, pads, Qh, Qw, q_lo_h, q_lo_w, Hh
 
 
@@ -226,7 +227,6 @@ def lista2d_tiled(yp, A, B, t, c, stride=1, mask=None, return_z=False,
     scol = jnp.asarray(_axis_masks([ri - (Qw - 1) - q_lo_w for ri in range(Qw)],
                                    Bh, Wc, 1))
     # per-band row-validity masks (rows past the true Hc are forced to 0)
-    import numpy as np
     rows = np.arange(Hcp).reshape(nb, Bh, 1)
     vmask = jnp.asarray(
         np.broadcast_to(rows < Hc, (nb, Bh, Wc)).reshape(nb, 1, Lb)

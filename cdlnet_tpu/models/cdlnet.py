@@ -88,74 +88,32 @@ class CDLNet:
             return_codes=return_codes,
         )
 
-    def _use_pallas(self, yp, return_z):
-        # gates on the FORWARD working set only: the differentiable path
-        # (autodiff._core2d) falls back to XLA gradients internally when
-        # the reverse kernel's larger working set does not fit, so
-        # inference-only callers (serve, streaming) never lose the fused
-        # forward to a backward-size gate
-        if self.backend != "pallas":
-            return False
-        from cdlnet_tpu.kernels.lista2d import lista2d_fused_supported
-
-        return lista2d_fused_supported(
-            self.M, self.C, self.P, self.s, self.K, yp.shape[-2], yp.shape[-1],
-            return_z=return_z,
-        )
-
     def apply(self, params: dict, y, sigma=None, mask=None, return_z=True):
         """Denoise batch y (N, C, H, W). Returns (xhat, z).
 
-        backend="pallas" runs the whole K-loop as one fused kernel with the
-        codes resident in VMEM (kernels/lista2d), falling back to the XLA
-        scan when the shape exceeds VMEM. With return_z=False the fused
-        path is also differentiable (custom VJP backed by the XLA path's
-        gradient, kernels/autodiff.py) and skips writing the code tensor;
-        z comes back as None. return_z=True keeps the direct kernel
-        (inference only).
+        backend="pallas" picks the best-fitting fused path
+        (kernels/routing.route_lista2d): the whole-K VMEM-resident kernel,
+        else the banded big-image kernels, else the XLA scan. With
+        return_z=False the chosen path is differentiable (custom VJPs,
+        kernels/autodiff.py; the VMEM gate covers the forward only — the
+        VJPs fall back to XLA gradients internally when the reverse
+        working set does not fit) and z comes back as None. NB on the
+        banded path (big images) the returned z carries bfloat16 rounding
+        (~0.5% vs the fp32-exact whole-image path) — code-statistics work
+        across mixed image sizes should use backend="xla".
         """
         yp, prm, mask = pre_process(y, self.s, mask=mask)
         c = sigma_scale(sigma, self.adaptive, 4)
-        if self._use_pallas(yp, return_z):
-            if not return_z:
-                from cdlnet_tpu.kernels.autodiff import lista2d_fused_diff
-
-                xphat = lista2d_fused_diff(
-                    yp, params["A"], params["B"], params["t"], c,
-                    stride=self.s, mask=mask,
-                )
-                return post_process(xphat, prm), None
-            from cdlnet_tpu.kernels.lista2d import lista2d_fused
-
-            xphat, z = lista2d_fused(
-                yp, params["A"], params["B"], params["t"], c,
-                stride=self.s, mask=mask, return_z=True,
-            )
-            return post_process(xphat, prm), z
         if self.backend == "pallas":
-            # too big for the whole-K-resident kernel: banded per-iteration
-            # pair (kernels/lista2d_tiled) — Set12/BSD68-class eval images
-            from cdlnet_tpu.kernels.lista2d_tiled import (
-                lista2d_tiled,
-                lista2d_tiled_supported,
+            from cdlnet_tpu.kernels.routing import route_lista2d
+
+            out = route_lista2d(
+                yp, params["A"], params["B"], params["t"], c,
+                M=self.M, C=self.C, P=self.P, s=self.s, K=self.K,
+                mask=mask, return_z=return_z,
             )
-
-            if lista2d_tiled_supported(
-                self.M, self.C, self.P, self.s, self.K,
-                yp.shape[-2], yp.shape[-1],
-            ):
-                if not return_z:
-                    from cdlnet_tpu.kernels.autodiff import lista2d_tiled_diff
-
-                    xphat = lista2d_tiled_diff(
-                        yp, params["A"], params["B"], params["t"], c,
-                        stride=self.s, mask=mask,
-                    )
-                    return post_process(xphat, prm), None
-                xphat, z = lista2d_tiled(
-                    yp, params["A"], params["B"], params["t"], c,
-                    stride=self.s, mask=mask, return_z=True,
-                )
+            if out is not None:
+                xphat, z = out
                 return post_process(xphat, prm), z
         z = self._lista(params, yp, c, mask)
         xphat = conv_transpose2d(

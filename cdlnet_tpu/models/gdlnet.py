@@ -136,48 +136,15 @@ class GDLNet:
         yp, prm, mask = pre_process(y, self.s, mask=mask)
         c = sigma_scale(sigma, self.adaptive, 4)
         if self.backend == "pallas":
-            from cdlnet_tpu.kernels.lista2d import (
-                lista2d_fused,
-                lista2d_fused_supported,
+            from cdlnet_tpu.kernels.routing import route_lista2d
+
+            out = route_lista2d(
+                yp, A_f, B_f, params["t"], c,
+                M=self.M, C=self.C, P=self.P, s=self.s, K=self.K,
+                mask=mask, return_z=return_z,
             )
-
-            if lista2d_fused_supported(
-                self.M, self.C, self.P, self.s, self.K,
-                yp.shape[-2], yp.shape[-1], return_z=return_z,
-            ):
-                if not return_z:  # differentiable path (kernels/autodiff.py)
-                    from cdlnet_tpu.kernels.autodiff import lista2d_fused_diff
-
-                    xphat = lista2d_fused_diff(
-                        yp, A_f, B_f, params["t"], c, stride=self.s, mask=mask
-                    )
-                    return post_process(xphat, prm), None
-                xphat, z = lista2d_fused(
-                    yp, A_f, B_f, params["t"], c,
-                    stride=self.s, mask=mask, return_z=True,
-                )
-                return post_process(xphat, prm), z
-            from cdlnet_tpu.kernels.lista2d_tiled import (
-                lista2d_tiled,
-                lista2d_tiled_supported,
-            )
-
-            if lista2d_tiled_supported(
-                self.M, self.C, self.P, self.s, self.K,
-                yp.shape[-2], yp.shape[-1],
-            ):
-                # big-image banded path (see models/cdlnet.py)
-                if not return_z:
-                    from cdlnet_tpu.kernels.autodiff import lista2d_tiled_diff
-
-                    xphat = lista2d_tiled_diff(
-                        yp, A_f, B_f, params["t"], c, stride=self.s, mask=mask
-                    )
-                    return post_process(xphat, prm), None
-                xphat, z = lista2d_tiled(
-                    yp, A_f, B_f, params["t"], c,
-                    stride=self.s, mask=mask, return_z=True,
-                )
+            if out is not None:
+                xphat, z = out
                 return post_process(xphat, prm), z
         z = lista_2d(
             yp, A_f, B_f, params["t"], c, mask=mask, stride=self.s, unroll=self.scan_unroll

@@ -513,11 +513,11 @@ def test_tiled_supported_and_routing(monkeypatch):
     monkeypatch.setattr(
         ktl, "lista2d_tiled", lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
     )
-    # a model whose shape rejects the whole-image kernel but fits banded:
-    # shrink the whole-image capacity via a tiny M... instead use big H
+    # force the whole-image gate to reject (so routing exercises the
+    # banded path) by shrinking its advertised VMEM capacity
     import cdlnet_tpu.kernels.lista2d as k2d
 
-    monkeypatch.setattr(k2d, "_VMEM_CAPACITY", 64 * 1024)  # force reject
+    monkeypatch.setattr(k2d, "_VMEM_CAPACITY", 64 * 1024)
     cfg = {"K": 2, "M": 6, "P": 5, "s": 2, "C": 1, "adaptive": True}
     mx = build_model("CDLNet", dict(cfg))
     mp = build_model("CDLNet", dict(cfg, backend="pallas"))
