@@ -8,7 +8,7 @@ every step — so run R async step dispatches back-to-back and force execution
 with ONE scalar readback, reporting wall/R.
 
 Usage: python tools/bench_train_step.py [config ...]
-  configs: 2d, video (default: both), csr
+  configs: 2d, video (default: both)
 """
 
 from __future__ import annotations
