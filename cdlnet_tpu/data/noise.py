@@ -15,7 +15,10 @@ import jax.numpy as jnp
 def _awgn(key, x: jnp.ndarray, noise_std, ndim_sigma: int):
     kn, ks = jax.random.split(key)
     if isinstance(noise_std, (list, tuple)):
-        lo, hi = noise_std
+        # Reference semantics (utils.py:37-41): only noise_std[0]/[1] are
+        # read, so longer lists (args3dmri.json ships a 10-value one) sample
+        # uniformly between the first two entries.
+        lo, hi = noise_std[0], noise_std[1]
         sigma = lo + (hi - lo) * jax.random.uniform(
             ks, (x.shape[0],) + (1,) * (ndim_sigma - 1), x.dtype
         )
