@@ -106,10 +106,16 @@ def test(model, params, loader, noise_levels, blind, save_dir, save, demosaic):
         os.makedirs(os.path.join(save_dir, "test_output"), exist_ok=True)
 
     adaptive = getattr(model, "adaptive", False)
+    # BN families (DnCNN/FFDNet) arrive as a (params, state) bundle: eval on
+    # the checkpointed running stats (reference analyze.py:39 net.eval())
+    state = None
+    if isinstance(params, tuple):
+        params, state = params
+    skw = {} if state is None else {"state": state, "train": False}
     # jit per input shape (cached across the sigma sweep; datasets with
     # uniform image sizes compile once)
-    fwd = jax.jit(lambda p, y, s, m: model.apply(p, y, s, mask=m))
-    fwd_nos = jax.jit(lambda p, y, m: model.apply(p, y, None, mask=m))
+    fwd = jax.jit(lambda p, y, s, m: model.apply(p, y, s, mask=m, **skw))
+    fwd_nos = jax.jit(lambda p, y, m: model.apply(p, y, None, mask=m, **skw))
 
     for sigma in noise_levels:
         total, count = 0.0, 0
@@ -243,8 +249,7 @@ def main(ARGS, model_args):
 
     model_args = apply_backend(ARGS, model_args)
     model, params, _, _, _, _ = init_model(model_args)
-    if isinstance(params, tuple):
-        params = params  # (params, state) for DnCNN-family
+    # DnCNN-family params stay bundled as (params, state); test() unpacks
 
     save_dir = ARGS.save_dir or model_args["paths"]["save"]
     os.makedirs(save_dir, exist_ok=True)

@@ -74,7 +74,14 @@ def init_model(args: dict, seed: int = 0):
             or os.path.exists(str(ckpt_path) + ".orbax")
         )
         if native:
-            params, opt_state, epoch0, lr_saved = load_ckpt(ckpt_path, params, opt_state)
+            # stateful families checkpoint the (params, state) bundle — the
+            # restore template must match the saved tree structure
+            template = (params, state) if state is not None else params
+            bundle, opt_state, epoch0, lr_saved = load_ckpt(ckpt_path, template, opt_state)
+            if state is not None:
+                params, state = bundle
+            else:
+                params = bundle
             if lr_saved is not None:
                 opt_state = set_lr(opt_state, lr_saved)
         else:  # reference torch checkpoint
@@ -94,27 +101,41 @@ def init_model(args: dict, seed: int = 0):
     return model, params, opt, opt_state, epoch0, lr
 
 
-def _model_forward(model, params, y, sigma, mask):
-    """Uniform forward signature across model families. return_z=False picks
-    the differentiable fused path on backend="pallas" models (the code
-    tensor is never needed inside a loss)."""
+def _model_forward(model, params, y, sigma, mask, state=None, train=False):
+    """Uniform forward signature across model families; returns
+    (xhat, new_state). return_z=False picks the differentiable fused path on
+    backend="pallas" models (the code tensor is never needed inside a loss).
+
+    Stateful families (DnCNN/FFDNet BatchNorm running stats) take `state` and
+    `train`; new_state is None for everything else."""
+    if state is not None:
+        out, new_state = model.apply(
+            params, y, sigma, mask=mask, state=state, train=train, return_z=False
+        )
+        return out[0], new_state
     out = model.apply(params, y, sigma, mask=mask, return_z=False)
     if isinstance(out, tuple) and isinstance(out[0], tuple):
-        # DnCNN-style ((xhat, n), state) — eval-mode state passthrough
-        return out[0][0]
-    return out[0]
+        # DnCNN-style ((xhat, n), state) called without explicit state —
+        # eval-mode passthrough on init-value running stats
+        return out[0][0], None
+    return out[0], None
 
 
 def make_train_step(model, opt, *, workload="2d", noise_std=(25, 25), demosaic=False,
-                    mcsure=False, loss_type="mse", project=True):
+                    mcsure=False, loss_type="mse", project=True, stateful=False):
     """Build the jitted per-batch train step:
-    (params, opt_state, batch, key) -> (params, opt_state, loss)."""
+      (params, opt_state, batch, key) -> (params, opt_state, loss)
+    or, with stateful=True (BatchNorm families — DnCNN/FFDNet):
+      (params, state, opt_state, batch, key) -> (params, state, opt_state, loss)
+    where `state` carries the BN running stats, updated in train mode
+    (reference model/net.py:700-706 BatchNorm2d under net.train()) and frozen
+    in the eval step."""
     is3d = workload in ("3d", "mri")
     noiser = awgn3d if is3d else awgn
     bayer = gen_bayer_mask3d if is3d else gen_bayer_mask
     nstd = tuple(noise_std) if isinstance(noise_std, (list, tuple)) else noise_std
 
-    def loss_fn(params, batch, key):
+    def loss_fn(params, batch, key, state):
         noisy, sigma = noiser(key, batch, nstd)
         mask = bayer(batch) if demosaic else None
         obsrv = mask * noisy if mask is not None else noisy
@@ -123,20 +144,55 @@ def make_train_step(model, opt, *, workload="2d", noise_std=(25, 25), demosaic=F
             h = 1e-3
             kb = jax.random.fold_in(key, 1)
             b = jax.random.normal(kb, obsrv.shape, obsrv.dtype)
-            xhat = _model_forward(model, params, obsrv, sigma, mask)
-            xhat_b = _model_forward(model, params, obsrv + h * b, sigma, mask)
+            xhat, new_state = _model_forward(
+                model, params, obsrv, sigma, mask, state=state, train=True
+            )
+            # the perturbed pass reuses the SAME pre-update stats; its state
+            # delta is a Monte-Carlo artifact, not a training statistic
+            xhat_b, _ = _model_forward(
+                model, params, obsrv + h * b, sigma, mask, state=state, train=True
+            )
             sig = jnp.asarray(sigma, obsrv.dtype) / 255.0
             div = 2.0 * jnp.mean((sig**2) * b * (xhat_b - xhat)) / h
-            return jnp.mean((obsrv - xhat) ** 2) + div
+            return jnp.mean((obsrv - xhat) ** 2) + div, new_state
 
-        xhat = _model_forward(model, params, obsrv, sigma, mask)
+        xhat, new_state = _model_forward(
+            model, params, obsrv, sigma, mask, state=state, train=True
+        )
         if loss_type == "combmse":
-            return combined_loss(xhat, batch)
-        return mse_loss(xhat, batch)
+            return combined_loss(xhat, batch), new_state
+        return mse_loss(xhat, batch), new_state
+
+    if stateful:
+
+        @jax.jit
+        def train_step(params, state, opt_state, batch, key):
+            (loss, state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, key, state
+            )
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            if project:
+                params = model.project(params)
+            return params, state, opt_state, loss
+
+        @jax.jit
+        def eval_step(params, state, batch, key):
+            noisy, sigma = noiser(key, batch, nstd)
+            mask = bayer(batch) if demosaic else None
+            obsrv = mask * noisy if mask is not None else noisy
+            xhat, _ = _model_forward(
+                model, params, obsrv, sigma, mask, state=state, train=False
+            )
+            return mse_loss(xhat, batch)
+
+        return train_step, eval_step
 
     @jax.jit
     def train_step(params, opt_state, batch, key):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, key, None
+        )
         updates, opt_state = opt.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
         if project:
@@ -145,10 +201,10 @@ def make_train_step(model, opt, *, workload="2d", noise_std=(25, 25), demosaic=F
 
     @jax.jit
     def eval_step(params, batch, key):
-        noisy, sigma = noiser(key, batch, nstd if not isinstance(nstd, tuple) else None or nstd)
+        noisy, sigma = noiser(key, batch, nstd)
         mask = bayer(batch) if demosaic else None
         obsrv = mask * noisy if mask is not None else noisy
-        xhat = _model_forward(model, params, obsrv, sigma, mask)
+        xhat, _ = _model_forward(model, params, obsrv, sigma, mask)
         return mse_loss(xhat, batch)
 
     return train_step, eval_step
@@ -192,6 +248,20 @@ def fit(
     os.makedirs(save_dir, exist_ok=True)
     ckpt_ext = ".orbax" if ckpt_format == "orbax" else ""
 
+    # BatchNorm families (DnCNN/FFDNet): init_model bundles (params, state);
+    # unpack and thread the running stats through the jitted steps. Checkpoints
+    # store the same bundle so backtracking/resume restore the stats too.
+    state = None
+    if isinstance(params, tuple):
+        params, state = params
+    stateful = state is not None
+
+    def _bundle(p, s):
+        return (p, s) if stateful else p
+
+    def _unbundle(b):
+        return b if stateful else (b, None)
+
     shard_batch = None
     if mesh is not None:
         from cdlnet_tpu.dist.mesh import make_mesh
@@ -202,6 +272,8 @@ def fit(
         repl = replicate_sharding(mesh)
         bsh = batch_sharding(mesh)
         params = jax.device_put(params, repl)
+        if state is not None:
+            state = jax.device_put(state, repl)
         opt_state = jax.device_put(opt_state, repl)
         ndata = mesh.shape["data"]
 
@@ -218,17 +290,17 @@ def fit(
 
     train_step, _ = make_train_step(
         model, opt, workload=workload, noise_std=noise_std, demosaic=demosaic,
-        mcsure=mcsure, loss_type=loss_type, project=project,
+        mcsure=mcsure, loss_type=loss_type, project=project, stateful=stateful,
     )
     # val/test use the midpoint sigma (train.py:69-72)
     mid = (noise_std[0] + noise_std[1]) / 2.0
     _, eval_step = make_train_step(
         model, opt, workload=workload, noise_std=mid, demosaic=demosaic,
-        mcsure=False, loss_type="mse", project=project,
+        mcsure=False, loss_type="mse", project=project, stateful=stateful,
     )
 
     ckpt0 = os.path.join(save_dir, "0.ckpt" + ckpt_ext)
-    save_ckpt(ckpt0, params, 0, opt_state, get_lr(opt_state))
+    save_ckpt(ckpt0, _bundle(params, state), 0, opt_state, get_lr(opt_state))
 
     # reference initializes bests to 0 (train.py:59), which livelocks the
     # backtracking loop if PSNR is ever legitimately negative (epoch 1 can
@@ -265,9 +337,18 @@ def fit(
                     batch = shard_batch(batch)
                 with trace_span(f"{phase}_step"):
                     if phase == "train":
-                        params, opt_state, loss = train_step(params, opt_state, batch, sub)
+                        if stateful:
+                            params, state, opt_state, loss = train_step(
+                                params, state, opt_state, batch, sub
+                            )
+                        else:
+                            params, opt_state, loss = train_step(params, opt_state, batch, sub)
                     else:
-                        loss = eval_step(params, batch, sub)
+                        loss = (
+                            eval_step(params, state, batch, sub)
+                            if stateful
+                            else eval_step(params, batch, sub)
+                        )
                     losses.append(loss)
             if tracing:
                 stop_trace()
@@ -333,7 +414,10 @@ def fit(
                 else:
                     epoch = epoch - epoch % save_freq
                 old_lr = get_lr(opt_state)
-                params, opt_state, _, _ = load_ckpt(ckpt_path, params, opt_state)
+                bundle, opt_state, _, _ = load_ckpt(
+                    ckpt_path, _bundle(params, state), opt_state
+                )
+                params, state = _unbundle(bundle)
                 opt_state = set_lr(opt_state, old_lr * 0.8)
                 base_lr = base_lr * 0.8
                 print(f"Updated Learning Rate(s): {get_lr(opt_state):.3e}")
@@ -349,7 +433,9 @@ def fit(
 
         if epoch % save_freq == 0:
             ckpt_path = os.path.join(save_dir, "net.ckpt" + ckpt_ext)
-            save_ckpt(ckpt_path, params, epoch, opt_state, get_lr(opt_state))
+            save_ckpt(
+                ckpt_path, _bundle(params, state), epoch, opt_state, get_lr(opt_state)
+            )
             if epoch_fun is not None:
                 epoch_fun(epoch)
 
@@ -358,4 +444,4 @@ def fit(
     from cdlnet_tpu.train.checkpoint import wait_for_checkpoints
 
     wait_for_checkpoints()
-    return params, opt_state, history
+    return _bundle(params, state), opt_state, history
