@@ -3,8 +3,11 @@
 
 Accepts the reference's args.json schema verbatim (README.md:11-16) and
 replaces all four reference trainers: train.py (2D), train3d.py (video),
-trainmri.py (fastMRI), traincsr.py's volumetric path. Workload selection:
-  - 2D models (CDLNet/GDLNet/DnCNN/FFDNet)        -> image-dir loaders
+trainmri.py (fastMRI), traincsr.py (2D-on-volumes + frame-recurrent +
+volumetric paths). Workload selection:
+  - 2D models (CDLNet/GDLNet/DnCNN/FFDNet)        -> image-dir loaders,
+    or fastMRI volume loaders with slices flattened into the batch dim when
+    the loader args carry the fastMRI schema (PDFS key; traincsr.py:163-165)
   - CDLNetVideo with PDFS in loader args          -> fastMRI loaders
   - CDLNetVideo otherwise                         -> video clip loaders
     (this fixes the reference's train3d.py:10 loader mis-wire, which imported
@@ -25,10 +28,22 @@ def make_loaders(args: dict):
     loaders_args = dict(args["train"]["loaders"])
     mtype = args["type"]
     if mtype in ("CDLNet", "GDLNet", "DnCNN", "FFDNet", "JDD_CDLNet"):
+        if "PDFS" in loaders_args:
+            # traincsr.py:163-165: 2D nets trained on fastMRI slice volumes —
+            # the fastMRI loader schema (PDFS key) routes here and slices
+            # become the batch dim, (B,C,D,H,W) -> (B*D,C,H,W)
+            from cdlnet_tpu.data.fastmri import (
+                get_fastmri_fit_loaders,
+                volume_to_batch_loaders,
+            )
+
+            return (
+                volume_to_batch_loaders(get_fastmri_fit_loaders(**loaders_args)),
+                "2d",
+            )
         from cdlnet_tpu.data.images import get_fit_loaders
 
         loaders_args.pop("depth", None)
-        loaders_args.pop("PDFS", None)
         return get_fit_loaders(**loaders_args), "2d"
     if "PDFS" in loaders_args or mtype in ("CDLNet_CSR", "CDLNet_CSRf2"):
         from cdlnet_tpu.data.fastmri import get_fastmri_fit_loaders

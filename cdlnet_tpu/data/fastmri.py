@@ -121,6 +121,32 @@ def get_fastmri_data_loader(
                       seed=seed, num_workers=num_workers)
 
 
+class VolumeToBatchLoader:
+    """Adapter feeding 2D nets from slice-volume loaders: (B, C, D, H, W)
+    batches are reshaped so slices become the batch dim, (B*D, C, H, W).
+
+    Reference counterpart: traincsr.py:163-165 permutes (B,C,D,H,W) ->
+    (D,C,H,W,B).squeeze(-1), which only works at B=1 — this generalizes to
+    any B (documented fix)."""
+
+    def __init__(self, loader):
+        self.loader = loader
+
+    def __iter__(self):
+        for b in self.loader:
+            b = np.asarray(b)
+            B, C, D, H, W = b.shape
+            yield np.ascontiguousarray(np.moveaxis(b, 2, 1)).reshape(B * D, C, H, W)
+
+    def __len__(self):
+        return len(self.loader)
+
+
+def volume_to_batch_loaders(loaders: dict) -> dict:
+    """Wrap every split of a fastMRI fit-loader dict for 2D-net training."""
+    return {k: VolumeToBatchLoader(v) for k, v in loaders.items()}
+
+
 def get_fastmri_fit_loaders(
     trn_path_list,
     val_path_list,
