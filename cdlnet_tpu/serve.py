@@ -154,9 +154,12 @@ class Denoiser:
                 out = self._fwd_blind(self.params, yj)
             else:
                 out = self._fwd(self.params, yj, None if sigma is None else float(sigma))
-        except Exception:
-            # fused-kernel VMEM estimates are approximate; a compile OOM on
-            # an unusual shape falls back to the XLA path permanently
+        except jax.errors.JaxRuntimeError:
+            # fused-kernel VMEM estimates are approximate; an XLA/Mosaic
+            # compile or runtime failure (OOM on an unusual shape) falls back
+            # to the XLA path permanently. Anything else (shape errors, NaN
+            # asserts, interrupts) propagates — demoting the backend would
+            # mask the bug and silently change the serving perf profile.
             if getattr(self.model, "backend", "xla") == "pallas":
                 import dataclasses
 
