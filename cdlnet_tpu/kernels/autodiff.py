@@ -82,13 +82,16 @@ def _core3d_fwd(yp, A, B, t, c, mask, stride, interpret):
         lista3d_fused,
         lista3d_fused_supported,
     )
+    from cdlnet_tpu.kernels.lista3d_bwd import lista3d_bwd_supported
 
     K, M = A.shape[0], A.shape[1]
     C = yp.shape[1]
+    D, H, W = yp.shape[-3], yp.shape[-2], yp.shape[-1]
+    # the fp32-history path must fit BOTH the forward pair and the reverse
+    # kernels (the latter peak ~1.6x higher in _kernel_ana_wgrad)
     if lista3d_fused_supported(
-        M, C, A.shape[-3:], stride, K,
-        yp.shape[-3], yp.shape[-2], yp.shape[-1], z_bytes=4,
-    ):
+        M, C, A.shape[-3:], stride, K, D, H, W, z_bytes=4
+    ) and lista3d_bwd_supported(M, C, A.shape[-3:], stride, K, D, H, W):
         # fused gradient path: fp32 carry + stacked z/r histories
         x, _, (z_hist, r_hist) = lista3d_fused(
             yp, A, B, t, c, stride=stride, mask=mask, return_z=False,

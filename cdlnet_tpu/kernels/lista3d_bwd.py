@@ -43,6 +43,40 @@ from cdlnet_tpu.kernels.lista3d import _geom
 from cdlnet_tpu.ops import polyphase as pp
 
 
+def lista3d_bwd_supported(M, C, P, s, K, D, H, W) -> bool:
+    """True when the fused 3D backward kernels fit VMEM for a padded input.
+
+    The forward gate (lista3d.lista3d_fused_supported, z_bytes=4) budgets
+    only the forward pair's working set; the reverse scan peaks higher in
+    _kernel_ana_wgrad — double-buffered (T*Cp, Lhw) w output blocks PLUS a
+    same-size stack scratch, dv blocks, Qd r-view blocks, and the resident
+    A2m/dA pair (~1.6x the forward's bytes). Mirror of
+    lista2d.lista2d_bwd_supported; gate the fp32-history gradient path on
+    BOTH estimates (autodiff._core3d_fwd) or near-boundary shapes pass the
+    forward check and OOM Mosaic VMEM in the reverse scan at training time.
+    """
+    if D % s or H % s or W % s:
+        return False
+    P = (P,) * 3 if isinstance(P, int) else tuple(P)
+    pads = tuple(p // 2 for p in P)
+    (dlo, dhi), (hlo, hhi), (wlo, whi) = _geom(P, pads, s)
+    Qd, Qh, Qw = dhi - dlo + 1, hhi - hlo + 1, whi - wlo + 1
+    T = Qd * Qh * Qw
+    Cp = C * s**3
+    Lhw = (H // s) * (W // s)
+    Mp = -(-M // 8) * 8
+    est = (
+        3 * T * Cp * Lhw        # 2x double-buffered w out blocks + stack scratch
+        + 2 * Mp * Lhw          # dv in blocks (double-buffered)
+        + 2 * Qd * Cp * Lhw     # Qd r-view blocks (double-buffered)
+        + 2 * Mp * T * Cp       # resident A2m + revisited dA accumulator
+        + (Qh + Qw) * Lhw       # col/row masks
+    ) * 4
+    from cdlnet_tpu.kernels.lista3d import _VMEM_BUDGET
+
+    return est < _VMEM_BUDGET
+
+
 def _roll(pltpu, buf, off, Lhw):
     return pltpu.roll(buf, (-off) % Lhw, 1) if off % Lhw else buf
 

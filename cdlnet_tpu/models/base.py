@@ -59,7 +59,11 @@ def resolve_backend(model_type: str, choice: str = "auto"):
     if choice == "auto":
         import jax
 
-        return "xla" if jax.default_backend() == "cpu" else "pallas"
+        # the Mosaic kernels compile only for TPU targets ('tpu', or 'axon'
+        # for tunneled chips) — any other accelerator (e.g. GPU) must take
+        # the XLA path, so gate on an explicit TPU-platform check rather
+        # than "not cpu"
+        return "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
     return choice
 
 

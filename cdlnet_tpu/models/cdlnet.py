@@ -97,7 +97,11 @@ class CDLNet:
         return_z=False the chosen path is differentiable (custom VJPs,
         kernels/autodiff.py; the VMEM gate covers the forward only — the
         VJPs fall back to XLA gradients internally when the reverse
-        working set does not fit) and z comes back as None. NB on the
+        working set does not fit) and z comes back as None. The fused
+        VJPs produce PARAMETER gradients only: cotangents w.r.t. the
+        input y / sigma / mask are zero by construction — for saliency,
+        input optimization, or nested differentiation use backend="xla".
+        NB on the
         banded path (big images) the returned z carries bfloat16 rounding
         (~0.5% vs the fp32-exact whole-image path) — code-statistics work
         across mixed image sizes should use backend="xla".

@@ -130,8 +130,14 @@ class GDLNet:
         """Denoise batch y (N, C, H, W). Returns (xhat, z).
 
         backend="pallas": the Gabor banks are synthesized on device as
-        usual, then the unrolled loop runs in the fused 2D LISTA kernel
-        (kernels/lista2d), codes VMEM-resident across all K iterations."""
+        usual, then the unrolled loop runs through the same routing as
+        CDLNet (kernels/routing.route_lista2d): whole-K VMEM-resident
+        kernel, else the banded big-image kernels, else the XLA scan.
+        Same caveats as CDLNet.apply: the fused VJPs produce PARAMETER
+        gradients only (input/sigma/mask cotangents are zero — use
+        backend="xla" for input-gradient work), and on the banded path
+        (big images) return_z=True codes carry bfloat16 rounding (~0.5%
+        vs the fp32-exact whole-image kernel)."""
         A_f, B_f = self.get_filters(params)
         yp, prm, mask = pre_process(y, self.s, mask=mask)
         c = sigma_scale(sigma, self.adaptive, 4)

@@ -154,6 +154,34 @@ def test_fused3d_supported_predicate():
     assert not lista3d_fused_supported(169, 1, (7, 7, 5), 2, 30, 15, 128, 128)
 
 
+def test_fused3d_bwd_gate_tighter_than_fwd():
+    """The fp32-history gradient path gates on the BACKWARD estimate too
+    (_kernel_ana_wgrad peaks ~1.6x the forward pair, ADVICE r1): there is a
+    frame-size band where the forward fits but the reverse kernels do not —
+    those shapes must take the XLA-gradient fallback, not OOM Mosaic."""
+    from cdlnet_tpu.kernels.lista3d_bwd import lista3d_bwd_supported
+
+    cfg = dict(M=169, C=1, P=(7, 7, 5), s=2, K=30)
+    # flagship train shapes fit both
+    assert lista3d_fused_supported(
+        cfg["M"], cfg["C"], cfg["P"], cfg["s"], cfg["K"], 16, 128, 128, z_bytes=4
+    )
+    assert lista3d_bwd_supported(
+        cfg["M"], cfg["C"], cfg["P"], cfg["s"], cfg["K"], 16, 128, 128
+    )
+    # the boundary band: forward-f32 OK, backward too big
+    assert lista3d_fused_supported(
+        cfg["M"], cfg["C"], cfg["P"], cfg["s"], cfg["K"], 16, 320, 320, z_bytes=4
+    )
+    assert not lista3d_bwd_supported(
+        cfg["M"], cfg["C"], cfg["P"], cfg["s"], cfg["K"], 16, 320, 320
+    )
+    # stride-indivisible
+    assert not lista3d_bwd_supported(
+        cfg["M"], cfg["C"], cfg["P"], cfg["s"], cfg["K"], 15, 128, 128
+    )
+
+
 def test_cdlnet_video_pallas_backend_interpret(monkeypatch):
     import cdlnet_tpu.kernels.lista3d as k3d
 
