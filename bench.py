@@ -52,10 +52,14 @@ def main():
 
     # Sustained throughput: denoise R clips sequentially inside one jitted
     # program (the analyze3d eval loop, minus host I/O) with ONE device->host
-    # readback at the end. Per-call readbacks would charge the ~28 ms tunnel
+    # readback at the end. Per-call readbacks would charge the ~32 ms tunnel
     # round-trip latency of this environment to every clip, which measures
-    # the tunnel, not the chip.
-    R = 10
+    # the tunnel, not the chip. R must be large: at R=10 the single
+    # readback still adds RTT/10 = 3.2 ms to every clip (discovered r2 —
+    # the r1 number 2776 f/s was really ~6000 f/s of device throughput);
+    # R=100 bounds the residual at ~0.3 ms and the measured RTT is
+    # subtracted as well.
+    R = 100
 
     @jax.jit
     def run(p, y):
@@ -73,12 +77,24 @@ def main():
     for _ in range(n_warm):
         _ = float(run(params, noisy))  # readback forces execution
         # (block_until_ready is unreliable over tunneled backends)
+
+    # measure the device->host readback round-trip so the single readback
+    # per round can be subtracted (it is ~32 ms over the axon tunnel)
+    zero = jnp.zeros(())
+    float(zero + 0)
+    rtts = []
+    for _ in range(5):
+        t0 = time.time()
+        float(zero + 1)
+        rtts.append(time.time() - t0)
+    rtt = sorted(rtts)[len(rtts) // 2]
+
     times = []
     for _ in range(n_rounds):
         t0 = time.time()
         for _ in range(n_iter):
             _ = float(run(params, noisy))
-        times.append((time.time() - t0) / n_iter / R)
+        times.append((time.time() - t0 - n_iter * rtt) / n_iter / R)
     dt = sorted(times)[len(times) // 2]
 
     frames = CLIP[0] * CLIP[2]

@@ -459,13 +459,17 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
     )
     import os
 
-    # The resident kernel eliminates the per-iteration z HBM traffic, but at
-    # the flagship size both paths are MXU-issue-bound on the synthesis dots
-    # and the iteration pair measures ~10% faster (its grid-level pipelining
-    # beats the resident kernel's dynamic depth indexing). Default to the
-    # pair; CDLNET_LISTA3D_RESIDENT=1 opts into the resident kernel (exact
-    # fp32 carry, K-independent traffic — wins for very large K).
-    want_resident = bool(os.environ.get("CDLNET_LISTA3D_RESIDENT"))
+    # The resident kernel keeps z and all K weight banks in VMEM — no
+    # per-iteration HBM z traffic — and with honest (RTT-cancelled) timing
+    # it is the FASTER path at the flagship size: 2.03 vs 2.80 ms/clip,
+    # 131 vs 95 TFLOP/s (tools/profile_fused3d.py, r2; the r1 conclusion
+    # that the pair wins by 10% was an artifact of charging the ~32 ms
+    # tunnel readback to R=10 reps). It is also fp32-exact (no bf16 code
+    # rounding). Default to it wherever it fits; the pair path remains for
+    # training histories (return_hists) and frames too big for the
+    # resident working set. CDLNET_LISTA3D_RESIDENT=0 forces the pair.
+    env = os.environ.get("CDLNET_LISTA3D_RESIDENT")
+    want_resident = env != "0"
     if want_resident and not return_hists and resident_bytes < 100 * 1024 * 1024:
         # full-precision analysis bank: the resident path is advertised as
         # exact, so it must NOT inherit the iteration pair's z_dtype rounding

@@ -24,6 +24,20 @@ CONFIGS = {
         batch=(10, 1, 128, 128),
         workload="2d",
     ),
+    # big-crop 2D training (out-of-protocol for the reference, which always
+    # crops 128^2 — measured for the VERDICT r1 #7 banded-gradient question)
+    "2d-256": dict(
+        mtype="CDLNet",
+        model={"K": 30, "M": 169, "P": 7, "s": 2, "C": 1, "adaptive": True},
+        batch=(4, 1, 256, 256),
+        workload="2d",
+    ),
+    "2d-512": dict(
+        mtype="CDLNet",
+        model={"K": 30, "M": 169, "P": 7, "s": 2, "C": 1, "adaptive": True},
+        batch=(1, 1, 512, 512),
+        workload="2d",
+    ),
     # args3d.json scale: batch 2 x 16 x 128^2
     "video": dict(
         mtype="CDLNetVideo",
@@ -35,7 +49,7 @@ CONFIGS = {
 }
 
 
-def bench_one(name, cfg, backend, repeats=20):
+def bench_one(name, cfg, backend, repeats=50):
     import jax
     import jax.numpy as jnp
 
