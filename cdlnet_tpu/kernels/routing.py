@@ -8,7 +8,8 @@ routing branches from drifting apart."""
 from __future__ import annotations
 
 
-def route_lista2d(yp, A, B, t, c, *, M, C, P, s, K, mask, return_z):
+def route_lista2d(yp, A, B, t, c, *, M, C, P, s, K, mask, return_z,
+                  train=False):
     """Run the fused 2D LISTA via the best-fitting kernel.
 
     Returns (xphat, z_or_None) or None when no fused path fits (caller
@@ -16,13 +17,24 @@ def route_lista2d(yp, A, B, t, c, *, M, C, P, s, K, mask, return_z):
     differentiable (custom VJPs in kernels/autodiff); return_z=True is
     the inference-grade direct kernel. NB the banded path carries codes
     in bfloat16 — returned z is ~0.5% perturbed vs the fp32-exact
-    whole-image path (document at the model layer)."""
+    whole-image path (document at the model layer).
+
+    train=True declares the call will be differentiated (a training
+    step). Shapes whose hand-written reverse kernel does not fit VMEM
+    then route to None (pure XLA): the custom-VJP's internal XLA-gradient
+    fallback re-runs the whole XLA forward inside the backward, so
+    "fused forward + XLA vjp" costs MORE than plain XLA end-to-end
+    (measured 113 vs 68 ms/step at batch 4 x 256^2 flagship-2D) — the
+    fused primal only pays off when its reverse kernel runs too."""
     from cdlnet_tpu.kernels.lista2d import (
+        lista2d_bwd_supported,
         lista2d_fused,
         lista2d_fused_supported,
     )
 
     H, W = yp.shape[-2], yp.shape[-1]
+    if train and not return_z and not lista2d_bwd_supported(M, C, P, s, K, H, W):
+        return None
     if lista2d_fused_supported(M, C, P, s, K, H, W, return_z=return_z):
         if not return_z:
             from cdlnet_tpu.kernels.autodiff import lista2d_fused_diff

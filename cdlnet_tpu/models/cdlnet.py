@@ -88,19 +88,22 @@ class CDLNet:
             return_codes=return_codes,
         )
 
-    def apply(self, params: dict, y, sigma=None, mask=None, return_z=True):
+    def apply(self, params: dict, y, sigma=None, mask=None, return_z=True,
+              train=False):
         """Denoise batch y (N, C, H, W). Returns (xhat, z).
 
         backend="pallas" picks the best-fitting fused path
         (kernels/routing.route_lista2d): the whole-K VMEM-resident kernel,
         else the banded big-image kernels, else the XLA scan. With
         return_z=False the chosen path is differentiable (custom VJPs,
-        kernels/autodiff.py; the VMEM gate covers the forward only — the
-        VJPs fall back to XLA gradients internally when the reverse
-        working set does not fit) and z comes back as None. The fused
+        kernels/autodiff.py) and z comes back as None. The fused
         VJPs produce PARAMETER gradients only: cotangents w.r.t. the
         input y / sigma / mask are zero by construction — for saliency,
         input optimization, or nested differentiation use backend="xla".
+        train=True (set by the training step) routes shapes whose reverse
+        kernel does not fit VMEM to the XLA scan instead: the VJP's
+        internal XLA-gradient fallback would re-run the forward and lose
+        to plain XLA end-to-end (see routing.route_lista2d).
         NB on the
         banded path (big images) the returned z carries bfloat16 rounding
         (~0.5% vs the fp32-exact whole-image path) — code-statistics work
@@ -114,7 +117,7 @@ class CDLNet:
             out = route_lista2d(
                 yp, params["A"], params["B"], params["t"], c,
                 M=self.M, C=self.C, P=self.P, s=self.s, K=self.K,
-                mask=mask, return_z=return_z,
+                mask=mask, return_z=return_z, train=train,
             )
             if out is not None:
                 xphat, z = out

@@ -108,29 +108,45 @@ class CDLNetVideo:
             return_codes=return_codes,
         )
 
-    def _use_pallas(self, params, yp, return_z):
+    def _use_pallas(self, params, yp, return_z, train=False):
         if self.backend != "pallas":
             return False
         from cdlnet_tpu.kernels.lista3d import lista3d_fused_supported
 
+        D, H, W = yp.shape[-3], yp.shape[-2], yp.shape[-1]
+        if train and not return_z:
+            # a training step: only worthwhile when the fp32-history
+            # forward AND the reverse kernels fit — the custom-VJP's
+            # XLA-gradient fallback re-runs the XLA forward inside the
+            # backward and loses to plain XLA end-to-end
+            if params.get("residual") is not None:
+                return False
+            from cdlnet_tpu.kernels.lista3d_bwd import lista3d_bwd_supported
+
+            return lista3d_fused_supported(
+                self.M, self.C, self.P, self.s, self.K, D, H, W, z_bytes=4
+            ) and lista3d_bwd_supported(
+                self.M, self.C, self.P, self.s, self.K, D, H, W
+            )
         return lista3d_fused_supported(
-            self.M, self.C, self.P, self.s, self.K,
-            yp.shape[-3], yp.shape[-2], yp.shape[-1],
+            self.M, self.C, self.P, self.s, self.K, D, H, W,
             residual=params.get("residual"),
         )
 
-    def apply(self, params: dict, y, sigma=None, mask=None, return_z=True):
+    def apply(self, params: dict, y, sigma=None, mask=None, return_z=True,
+              train=False):
         """Denoise clip batch y (N, C, D, H, W). Returns (xhat, z).
 
         backend="pallas" (inference only) runs each iteration as fused
         synthesis-residual / analysis-threshold kernels with the code
         carried in bfloat16 (kernels/lista3d; ~0.5% code deviation,
         <0.05 dB PSNR), falling back to the XLA scan for residual-block
-        variants and unsupported shapes.
+        variants and unsupported shapes. train=True additionally requires
+        the fused reverse kernels to fit (see _use_pallas).
         """
         yp, prm, mask = pre_process_3d(y, self.s, mask=mask)
         c = sigma_scale(sigma, self.adaptive, 5)
-        if self._use_pallas(params, yp, return_z):
+        if self._use_pallas(params, yp, return_z, train=train):
             if not return_z:
                 from cdlnet_tpu.kernels.autodiff import lista3d_fused_diff
 

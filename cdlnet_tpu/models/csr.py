@@ -108,7 +108,8 @@ class CDLNetCSR:
         )
 
     def apply(self, params: dict, y, z_prev=None, sigma=None, mask=None,
-              return_z=True):  # accepted for cross-model signature parity
+              return_z=True,  # accepted for cross-model signature parity
+              train=False):
         """Denoise one frame batch (N, C, H, W), optionally carrying the
         previous frame's sparse code. Returns (xhat, z).
 
@@ -117,11 +118,14 @@ class CDLNetCSR:
         (A2, B2, t2) bank (B2[0] is never used in the loop and the final
         dictionary is always the primary B[0], model/net.py:460, so the
         synthesis bank is spliced as [B[0], B2[1:]]); the recurrent branch
-        passes z_prev + the gamma bank for the in-kernel prox_CSR."""
+        passes z_prev + the gamma bank for the in-kernel prox_CSR.
+        train=True (a step that will be differentiated) uses the XLA scan:
+        the CSR kernels have no hand-written reverse — their VJP re-runs
+        the XLA forward, so fused-fwd + XLA-vjp loses to plain XLA."""
         yp, prm, mask = pre_process(y, self.s, mask=mask)
         c = sigma_scale(sigma, self.adaptive, 4)
 
-        if self.backend == "pallas":
+        if self.backend == "pallas" and not train:
             from cdlnet_tpu.kernels.autodiff import csr_fused_2d
             from cdlnet_tpu.kernels.lista2d import lista2d_fused_supported
 
@@ -205,7 +209,7 @@ class CDLNetCSRf2:
         return out
 
     def apply(self, params: dict, y, z_prev=None, z_after=None, sigma=None,
-              mask=None, return_z=True):
+              mask=None, return_z=True, train=False):
         """Denoise one frame batch with optional previous/following codes.
         The dispatch on neighbor availability is static (per-call), matching
         the reference's per-iteration branch (model/net.py:544-564).
@@ -213,11 +217,13 @@ class CDLNetCSRf2:
         backend="pallas" maps the four dispatch cases onto the fused
         kernel's prox modes: ST / one-sided prox_CSR (z_prev with g1, or
         z_after with g2) / two-sided prox_CSR_f2 — neighbor codes ride
-        VMEM-resident next to the code being solved."""
+        VMEM-resident next to the code being solved. train=True uses the
+        XLA scan (no hand-written reverse for the CSR kernels — see
+        CDLNetCSR.apply)."""
         yp, prm, mask = pre_process(y, self.s, mask=mask)
         c = sigma_scale(sigma, self.adaptive, 4)
 
-        if self.backend == "pallas":
+        if self.backend == "pallas" and not train:
             from cdlnet_tpu.kernels.autodiff import csr_fused_2d
             from cdlnet_tpu.kernels.lista2d import lista2d_fused_supported
 

@@ -126,7 +126,8 @@ class GDLNet:
             out.append(jax.vmap(synth)(*args))
         return tuple(out)
 
-    def apply(self, params: dict, y, sigma=None, mask=None, return_z=True):
+    def apply(self, params: dict, y, sigma=None, mask=None, return_z=True,
+              train=False):
         """Denoise batch y (N, C, H, W). Returns (xhat, z).
 
         backend="pallas": the Gabor banks are synthesized on device as
@@ -135,9 +136,10 @@ class GDLNet:
         kernel, else the banded big-image kernels, else the XLA scan.
         Same caveats as CDLNet.apply: the fused VJPs produce PARAMETER
         gradients only (input/sigma/mask cotangents are zero — use
-        backend="xla" for input-gradient work), and on the banded path
-        (big images) return_z=True codes carry bfloat16 rounding (~0.5%
-        vs the fp32-exact whole-image kernel)."""
+        backend="xla" for input-gradient work), train=True routes
+        reverse-kernel-oversized shapes to the XLA scan, and on the
+        banded path (big images) return_z=True codes carry bfloat16
+        rounding (~0.5% vs the fp32-exact whole-image kernel)."""
         A_f, B_f = self.get_filters(params)
         yp, prm, mask = pre_process(y, self.s, mask=mask)
         c = sigma_scale(sigma, self.adaptive, 4)
@@ -147,7 +149,7 @@ class GDLNet:
             out = route_lista2d(
                 yp, A_f, B_f, params["t"], c,
                 M=self.M, C=self.C, P=self.P, s=self.s, K=self.K,
-                mask=mask, return_z=return_z,
+                mask=mask, return_z=return_z, train=train,
             )
             if out is not None:
                 xphat, z = out

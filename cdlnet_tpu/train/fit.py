@@ -107,13 +107,16 @@ def _model_forward(model, params, y, sigma, mask, state=None, train=False):
     backend="pallas" models (the code tensor is never needed inside a loss).
 
     Stateful families (DnCNN/FFDNet BatchNorm running stats) take `state` and
-    `train`; new_state is None for everything else."""
+    `train`; new_state is None for everything else. For the LISTA families
+    train=True routes shapes whose fused reverse kernel does not fit VMEM
+    to the XLA scan (the custom-VJP's XLA-gradient fallback would re-run
+    the forward inside the backward and lose to plain XLA)."""
     if state is not None:
         out, new_state = model.apply(
             params, y, sigma, mask=mask, state=state, train=train, return_z=False
         )
         return out[0], new_state
-    out = model.apply(params, y, sigma, mask=mask, return_z=False)
+    out = model.apply(params, y, sigma, mask=mask, return_z=False, train=train)
     if isinstance(out, tuple) and isinstance(out[0], tuple):
         # DnCNN-style ((xhat, n), state) called without explicit state —
         # eval-mode passthrough on init-value running stats

@@ -45,20 +45,20 @@ def make_csr_train_step(model, opt, *, noise_std, project=False):
         if not is_f2:
             z_curr = None
             # round 1: first-frame bank, then recurrence
-            prev_d, z_prev = model.apply(params, prev_hat, z_curr, s1)
-            curr_d, z_curr = model.apply(params, curr_hat, z_prev, s2)
+            prev_d, z_prev = model.apply(params, prev_hat, z_curr, s1, train=True)
+            curr_d, z_curr = model.apply(params, curr_hat, z_prev, s2, train=True)
             # round 2: now both carry codes
-            prev_d, z_prev = model.apply(params, prev_hat, z_curr, s1)
-            curr_d, z_curr = model.apply(params, curr_hat, z_prev, s2)
+            prev_d, z_prev = model.apply(params, prev_hat, z_curr, s1, train=True)
+            curr_d, z_curr = model.apply(params, curr_hat, z_prev, s2, train=True)
             return jnp.mean((prev_d - prev) ** 2) + jnp.mean((curr_d - curr) ** 2)
 
         after = batch[:, :, 2]
         after_hat, s3 = awgn(k3, after, nstd)
-        prev_d, z_prev = model.apply(params, prev_hat, None, None, s1)
-        curr_d, z_curr = model.apply(params, curr_hat, z_prev, None, s2)
-        after_d, z_after = model.apply(params, after_hat, z_prev, None, s3)
-        curr_d, z_curr = model.apply(params, curr_hat, z_prev, z_after, s2)
-        prev_d, z_prev = model.apply(params, prev_hat, None, z_after, s1)
+        prev_d, z_prev = model.apply(params, prev_hat, None, None, s1, train=True)
+        curr_d, z_curr = model.apply(params, curr_hat, z_prev, None, s2, train=True)
+        after_d, z_after = model.apply(params, after_hat, z_prev, None, s3, train=True)
+        curr_d, z_curr = model.apply(params, curr_hat, z_prev, z_after, s2, train=True)
+        prev_d, z_prev = model.apply(params, prev_hat, None, z_after, s1, train=True)
         return (
             jnp.mean((prev_d - prev) ** 2)
             + jnp.mean((curr_d - curr) ** 2)

@@ -554,3 +554,46 @@ def test_tiled_supported_and_routing(monkeypatch):
     x_ref, _ = mx.apply(params, y, 25.0)
     x_got, z_got = mp.apply(params, y, 25.0, return_z=True)
     np.testing.assert_allclose(np.asarray(x_got), np.asarray(x_ref), atol=5e-3)
+
+
+def test_train_routing_avoids_xla_vjp_fallback():
+    """train=True (a call that will be differentiated) must not pick a
+    pallas path whose reverse kernel does not fit VMEM: the custom-VJP's
+    XLA-gradient fallback re-runs the whole XLA forward inside the
+    backward, so fused-fwd + XLA-vjp costs MORE than plain XLA end-to-end
+    (measured 113 vs 68 ms/step at batch 4 x 256^2 flagship-2D)."""
+    from cdlnet_tpu.kernels.lista2d import lista2d_bwd_supported
+    from cdlnet_tpu.kernels.routing import route_lista2d
+
+    M, C, P, s, K = 169, 1, 7, 2, 30
+    # flagship training crop: reverse kernel fits -> fused path stays
+    assert lista2d_bwd_supported(M, C, P, s, K, 128, 128)
+    # big crops: the reverse kernel does not fit
+    for H in (256, 512):
+        assert not lista2d_bwd_supported(M, C, P, s, K, H, H)
+        yp = jnp.zeros((1, C, H, H), jnp.float32)
+        A = jnp.zeros((K, M, C, P, P), jnp.float32)
+        B = jnp.zeros((K, M, C, P, P), jnp.float32)
+        t = jnp.zeros((K, 2, M, 1, 1), jnp.float32)
+        out = route_lista2d(
+            yp, A, B, t, 25.0 / 255.0, M=M, C=C, P=P, s=s, K=K,
+            mask=None, return_z=False, train=True,
+        )
+        assert out is None  # caller falls back to the XLA scan
+
+
+def test_video_train_gate_requires_bwd_fit(monkeypatch):
+    """CDLNetVideo._use_pallas(train=True) requires the fp32-history
+    forward AND reverse kernels to fit; inference gating is unchanged."""
+    import cdlnet_tpu.kernels.lista3d_bwd as k3b
+
+    cfg = {"K": 2, "M": 8, "P": (5, 5, 3), "s": 2, "C": 1,
+           "adaptive": True, "depth": 8, "backend": "pallas"}
+    m = build_model("CDLNetVideo", dict(cfg))
+    params = m.init(jax.random.PRNGKey(0), init=False)
+    yp = jnp.zeros((1, 1, 8, 32, 32), jnp.float32)
+    assert m._use_pallas(params, yp, return_z=False, train=True)
+    monkeypatch.setattr(k3b, "lista3d_bwd_supported", lambda *a, **kw: False)
+    assert not m._use_pallas(params, yp, return_z=False, train=True)
+    # inference routing ignores the reverse-kernel gate
+    assert m._use_pallas(params, yp, return_z=False, train=False)
