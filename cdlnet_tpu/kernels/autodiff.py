@@ -19,10 +19,12 @@ gradients, train.py:87-93).
 3D (lista3d_fused_diff): also fully fused. The pair-path forward already
 streams each iteration's code and residual through HBM, so
 return_hists=True simply stacks them as scan outputs (fp32 carry for
-training), and the backward is a reverse lax.scan over four pair-style
-kernels (kernels/lista3d_bwd) — synthesis adjoint, synthesis weight-grad,
-analysis weight-grad + stack cotangent, and the stack adjoint — with the
-ST subgradient read straight off the stored codes.
+training), and the backward is a reverse lax.scan over TWO merged
+pair-style kernels (kernels/lista3d_bwd) — the whole analysis adjoint
+(weight-grad + stack cotangent kept in VMEM scratch + per-source-slice
+depth-tap planes) and the whole synthesis adjoint (dz-dot + weight-grad
+sharing each window stack, plus dv/dt emission) — with the ST
+subgradient read straight off the stored codes.
 
 Input cotangents are ZERO BY CONSTRUCTION on the fused paths: training
 differentiates w.r.t. parameters only (MC-SURE's divergence term is a
@@ -42,6 +44,29 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+
+def nondifferentiable(fn, hint: str):
+    """Wrap a positional-arg function so differentiating it raises a clear
+    NotImplementedError (``hint``) instead of the internal pallas-call JVP
+    assertion a bare kernel produces. Used on the inference-grade
+    return_z=True kernel paths, which have no VJP by design (the
+    differentiable paths are selected with return_z=False)."""
+    wrapped = jax.custom_jvp(fn)
+
+    @wrapped.defjvp
+    def _jvp(primals, tangents):
+        raise NotImplementedError(hint)
+
+    return wrapped
+
+
+_RETURN_Z_HINT = (
+    "backend='pallas' apply() with return_z=True runs the inference-grade "
+    "fused kernel, which has no gradient. To differentiate, call "
+    "apply(..., return_z=False, train=True) (what train.fit does), or use "
+    "backend='xla'."
+)
 
 
 # ---------------------------------------------------------------------------

@@ -8,25 +8,38 @@ subgradient comes straight from the stored code — sign(z_k) IS
 sign(v_k)*1{active} — and every contraction is MXU-shaped.
 
 The reverse loop is a lax.scan over k (mirroring the forward's structure)
-whose body runs four Pallas kernels per iteration:
+whose body runs TWO Pallas kernels per iteration:
 
-  _kernel_syn_adj    dz[d]  = sum_j B2m[j]^T stack2(ds[d - dq_j])
-                     (adjoint of the synthesis depth gather + roll-out)
-  _kernel_syn_wgrad  dB2m[j] += sum_{n,d} stack2(ds[d]) @ z[d + dq_j]^T
-                     (contract over Lhw — thousands deep)
-  _kernel_ana_wgrad  dA2m += -sum_{n,d} dv[d] @ stack(r_k)[d]^T, and
-                     w[d] = -A2m^T dv[d]  (the stack cotangent)
-  _kernel_stack_adj  dr[e] = sum_j unroll_j(w[e - dq_aj])
-                     (adjoint of the analysis window stacking)
+  _kernel_ana_bwd    dA2m += -sum_{n,d} dv[d] @ stack(r_k)[d]^T,
+                     w[d] = -A2m^T dv[d] (VMEM SCRATCH ONLY), and
+                     drj[d, j] = unroll_j(w[d] rows of depth-tap j)
+                     (the whole analysis adjoint for one (n, d) block)
+  _kernel_syn_bwd    dz[e]  = dv_k[e] + sum_j B2m[j]^T stack2_j,
+                     dB2m[j] += stack2_j @ z_{k-1}[e]^T,
+                     dt rows of iteration k-1, and
+                     dv_{k-1}[e] = 1{z_{k-1}[e] != 0} dz[e]
+                     with stack2_j = stack2(ds[e - dq_sj]) SHARED between
+                     the dz-dot and the dB-dot (the whole synthesis
+                     adjoint; z is read once per slice)
 
-dv / sign bookkeeping and the dt reductions are plain XLA elementwise work
-between the kernel calls. (Folding them INTO _kernel_ana_wgrad was tried
-and reverted: adding the dv and small dt outputs made XLA fuse the pallas
-custom-call with the reverse scan's output dynamic-update-slices into a
-fusion whose scoped-vmem stack exceeded the non-overridable 16 MB limit —
-"should not be possible ... please file a bug against XLA".) Weight gradients come back per-iteration as scan
-outputs and are transported to the torch weight layout through the vjp of
-the (linear) polyphase weight prep.
+plus a cheap XLA combine of the drj depth-tap planes (Qd zero-fill depth
+shifts over (Cp, Lhw) planes): dr[e] = sum_j unroll_j(w[e - dq_aj]),
+re-expressed per SOURCE slice so the (T*Cp, Lhw) stack cotangent w never
+round-trips HBM. The scan carries dv (the ST-masked cotangent), not dz.
+
+Why this shape (r1 ran FOUR kernels + XLA glue; see BASELINE.md for the
+measured effect): materializing w between ana_wgrad and stack_adj cost
+~670 MB of HBM traffic per flagship iteration; the split syn_adj (grid
+(N,Dc,Qd)) + syn_wgrad (grid (Qd,N,Dc)) pair read the 92 MB z-history
+slice Qd times per iteration and built every stack2 twice; and the XLA
+dv/dt/dz-add glue added four more full sweeps over (N, Dc, Mp, Lhw)
+tensors. NB small per-step scan outputs (dA/dB/dt) must pass through
+jax.lax.optimization_barrier before the scan stacks them, or XLA fuses
+the pallas custom-call with the scan's dynamic-update-slices into a
+fusion whose scoped-vmem stack exceeds a non-overridable 16 MB limit
+("should not be possible ... file a bug against XLA"). Weight gradients
+come back per-iteration as scan outputs and are transported to the torch
+weight layout through the vjp of the (linear) polyphase weight prep.
 """
 
 from __future__ import annotations
@@ -47,10 +60,13 @@ def lista3d_bwd_supported(M, C, P, s, K, D, H, W) -> bool:
     """True when the fused 3D backward kernels fit VMEM for a padded input.
 
     The forward gate (lista3d.lista3d_fused_supported, z_bytes=4) budgets
-    only the forward pair's working set; the reverse scan peaks higher in
-    _kernel_ana_wgrad — double-buffered (T*Cp, Lhw) w output blocks PLUS a
-    same-size stack scratch, dv blocks, Qd r-view blocks, and the resident
-    A2m/dA pair (~1.6x the forward's bytes). Mirror of
+    only the forward pair's working set; the reverse scan peaks higher —
+    take the larger of the two reverse kernels' working sets:
+    _kernel_ana_bwd holds two (T*Cp, Lhw) VMEM scratches (window stack +
+    the never-materialized w cotangent) plus double-buffered dv/drj and
+    Qd r-view blocks and the resident A2m/dA pair; _kernel_syn_bwd holds
+    double-buffered z/base/dv blocks, Qd g views, a (Qh*Qw*Cp, Lhw)
+    stack2 scratch and the resident B2m/dB banks. Mirror of
     lista2d.lista2d_bwd_supported; gate the fp32-history gradient path on
     BOTH estimates (autodiff._core3d_fwd) or near-boundary shapes pass the
     forward check and OOM Mosaic VMEM in the reverse scan at training time.
@@ -65,13 +81,21 @@ def lista3d_bwd_supported(M, C, P, s, K, D, H, W) -> bool:
     Cp = C * s**3
     Lhw = (H // s) * (W // s)
     Mp = -(-M // 8) * 8
-    est = (
-        3 * T * Cp * Lhw        # 2x double-buffered w out blocks + stack scratch
+    est_ana = (
+        2 * T * Cp * Lhw        # stack + w VMEM scratches
         + 2 * Mp * Lhw          # dv in blocks (double-buffered)
-        + 2 * Qd * Cp * Lhw     # Qd r-view blocks (double-buffered)
+        + 4 * Qd * Cp * Lhw     # Qd r views + drj out (double-buffered)
         + 2 * Mp * T * Cp       # resident A2m + revisited dA accumulator
         + (Qh + Qw) * Lhw       # col/row masks
     ) * 4
+    est_syn = (
+        Qh * Qw * Cp * Lhw      # stack2 scratch
+        + 6 * Mp * Lhw          # z + base in, dv out (double-buffered)
+        + 2 * Qd * Cp * Lhw     # Qd g views (double-buffered)
+        + 2 * Qd * Qh * Qw * Cp * Mp  # resident B2m + dB accumulator
+        + (Qh * Qw + 1) * Lhw   # sm masks + crow
+    ) * 4
+    est = max(est_ana, est_syn)
     from cdlnet_tpu.kernels.lista3d import _VMEM_BUDGET
 
     return est < _VMEM_BUDGET
@@ -81,93 +105,108 @@ def _roll(pltpu, buf, off, Lhw):
     return pltpu.roll(buf, (-off) % Lhw, 1) if off % Lhw else buf
 
 
-def _kernel_syn_adj(g_ref, B2m_ref, sm_ref, dz_ref,
-                    *, Qd, Qh, Qw, Cp, Wc, dlo, hlo, wlo):
-    """dz[d] += valid * B2m[j]^T @ stack2(g[d - dq_j]); grid (N, Dc, Qd),
-    depth tap j innermost revisiting the dz block. stack2_t =
-    roll(g * sm_t, -off_t) — adjoint of the forward's output-side rolls
-    (the roll/mask factors commute with the lane-pointwise contraction,
-    see lista3d._kernel_syn)."""
+def _kernel_syn_bwd(*refs, Qd, Qh, Qw, Cp, Wc, dlo, hlo, wlo,
+                    with_base=False):
+    """Whole synthesis-adjoint step for one (n, e) block — the r1 split
+    (syn_adj over a (N, Dc, Qd) grid + syn_wgrad over (Qd, N, Dc)) read
+    the 92 MB z-history slice Qd times per iteration and built every
+    stack2 twice; this merged kernel reads z ONCE and shares each
+    stack2_j between the dz-dot and the dB-dot:
+
+      stack2_j  = stack2(g[e - dq_sj]) * valid_j     (Qd g views)
+      dz[e]     = base[e] + sum_j B2m[j]^T @ stack2_j
+      dB2m[j]  += stack2_j @ z[e]^T                  (contract over Lhw)
+      dt[0]    += -sum_L sign(z[e]) dz[e]            (iteration k-1 rows!)
+      dt[1]    += -sum_L sign(z[e]) dz[e] * crow
+      dv[e]     = 1{z[e] != 0} * dz[e]               (ST subgradient)
+
+    where z is z_{k-1} — the NEXT reverse step's code — so the kernel
+    directly emits that step's dv and dt, and the scan carries dv instead
+    of dz (the analysis kernel needs only dv). Validity: the dz and dB
+    contributions of tap j both exist iff e - dq_sj is in range — one
+    mask. with_base=False is the init step (adjoint of the final
+    dictionary synthesis: g = dx2, z = z_{K-1}, bank B2m[0], zero base).
+    Grid (N, Dc); dB (Qd, Qh*Qw*Cp, Mp) and dt (2, Mp) are revisited
+    resident accumulators."""
     from jax.experimental.pallas import tpu as pltpu
 
-    d = pl.program_id(1)
+    gviews = refs[:Qd]
+    rest = refs[Qd:]
+    if with_base:
+        (z_ref, base_ref, B2m_ref, sm_ref, crow_ref,
+         dv_ref, dB_ref, dt_ref, stack_ref) = rest
+    else:
+        (z_ref, B2m_ref, sm_ref, crow_ref,
+         dv_ref, dB_ref, dt_ref, stack_ref) = rest
+        base_ref = None
+    n = pl.program_id(0)
+    e = pl.program_id(1)
     Dc = pl.num_programs(1)
-    j = pl.program_id(2)
-    Lhw = g_ref.shape[-1]
+    Lhw = z_ref.shape[-1]
     roll = functools.partial(_roll, pltpu, Lhw=Lhw)
 
-    @pl.when(j == 0)
+    @pl.when(jnp.logical_and(n == 0, e == 0))
     def _init():
-        dz_ref[0, 0] = jnp.zeros_like(dz_ref[0, 0])
+        dB_ref[:] = jnp.zeros_like(dB_ref)
+        dt_ref[:] = jnp.zeros_like(dt_ref)
 
-    dq = j - (Qd - 1) - dlo
-    valid = jnp.logical_and(d - dq >= 0, d - dq < Dc)
-    g = g_ref[0, 0].astype(jnp.float32)
-    rows = []
-    for qi in range(Qh):
-        for ri in range(Qw):
-            t = qi * Qw + ri
-            off = (qi - (Qh - 1) - hlo) * Wc + (ri - (Qw - 1) - wlo)
-            rows.append(roll(g * sm_ref[t][None, :], -off))
-    stack2 = jnp.concatenate(rows, axis=0)  # (Qh*Qw*Cp, Lhw)
-    dzc = jax.lax.dot_general(
-        B2m_ref[0], stack2, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (Mp, Lhw)
-    dz_ref[0, 0] += jnp.where(valid, 1.0, 0.0) * dzc
-
-
-def _kernel_syn_wgrad(g_ref, z_ref, sm_ref, dB_ref,
-                      *, Qd, Qh, Qw, Cp, Wc, dlo, hlo, wlo):
-    """dB2m[j] += valid * stack2(g[d]) @ z[d + dq_j]^T; grid (Qd, N, Dc) —
-    j OUTER so the (1, Qh*Qw*Cp, Mp) accumulator block is revisited over
-    consecutive (n, d) steps; contraction over Lhw. (A variant that built
-    stack2 once per (n, d) under a single full-dB program measured ~15%
-    SLOWER end-to-end — the per-j grid's block pipelining wins over saving
-    the repeated stack2 rolls.)"""
-    from jax.experimental.pallas import tpu as pltpu
-
-    j = pl.program_id(0)
-    n = pl.program_id(1)
-    d = pl.program_id(2)
-    Dc = pl.num_programs(2)
-    Lhw = g_ref.shape[-1]
-    roll = functools.partial(_roll, pltpu, Lhw=Lhw)
-
-    @pl.when(jnp.logical_and(n == 0, d == 0))
-    def _init():
-        dB_ref[0] = jnp.zeros_like(dB_ref[0])
-
-    dq = j - (Qd - 1) - dlo
-    valid = jnp.logical_and(d + dq >= 0, d + dq < Dc)
-    g = g_ref[0, 0].astype(jnp.float32)
-    rows = []
-    for qi in range(Qh):
-        for ri in range(Qw):
-            t = qi * Qw + ri
-            off = (qi - (Qh - 1) - hlo) * Wc + (ri - (Qw - 1) - wlo)
-            rows.append(roll(g * sm_ref[t][None, :], -off))
-    stack2 = jnp.concatenate(rows, axis=0)
-    zj = z_ref[0, 0].astype(jnp.float32)
-    dB_ref[0] += jnp.where(valid, 1.0, 0.0) * jax.lax.dot_general(
-        stack2, zj, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    z = z_ref[0, 0].astype(jnp.float32)
+    dz = (base_ref[0, 0].astype(jnp.float32) if with_base
+          else jnp.zeros_like(z))
+    for j in range(Qd):
+        dq = j - (Qd - 1) - dlo
+        valid = jnp.where(
+            jnp.logical_and(e - dq >= 0, e - dq < Dc), 1.0, 0.0)
+        g = gviews[j][0, 0].astype(jnp.float32) * valid
+        for qi in range(Qh):
+            for ri in range(Qw):
+                t = qi * Qw + ri
+                off = (qi - (Qh - 1) - hlo) * Wc + (ri - (Qw - 1) - wlo)
+                stack_ref[t * Cp : (t + 1) * Cp] = roll(
+                    g * sm_ref[t][None, :], -off)
+        dz += jax.lax.dot_general(
+            B2m_ref[j], stack_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dB_ref[j] += jax.lax.dot_general(
+            stack_ref[:], z, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    sgn = jnp.sign(z)
+    crow = crow_ref[0, 0][None, :]
+    dt_ref[0] += -jnp.sum(sgn * dz, axis=1)
+    dt_ref[1] += -jnp.sum(sgn * dz * crow, axis=1)
+    dv_ref[0, 0] = jnp.where(z != 0.0, dz, 0.0)
 
 
-def _kernel_ana_wgrad(*refs, Qd, Qh, Qw, Cp, Wc, dlo, hlo, wlo,
-                      want_w=True):
-    """dA2m += -dv[d] @ stack(r)[d]^T (revisited, contract Lhw) and
-    w[d] = -A2m^T @ dv[d]; grid (N, Dc). refs: Qd r views (1,1,Cp,Lhw),
-    dv (1,1,Mp,Lhw), A2m (Mp, T*Cp), acol (Qw, Lhw), arow (Qh, Lhw);
-    outputs dA (Mp, T*Cp), w (1,1,T*Cp,Lhw); scratch stack (T*Cp, Lhw).
-    Window stacking identical to lista3d._kernel_ana. want_w=False (the
-    k=0 step, whose dz chain ends) skips the w dot and its HBM write —
-    the w output is a dummy scalar."""
+def _kernel_ana_bwd(*refs, Qd, Qh, Qw, Cp, Wc, dlo, hlo, wlo,
+                    emit_dr=True):
+    """Whole analysis-adjoint step for one (n, d) block, fused so the
+    (T*Cp, Lhw) stack cotangent w NEVER touches HBM (it was ~40% of the
+    reverse scan's HBM traffic when materialized):
+
+      dA2m     += -dv @ stack(r)[d]^T         (revisited resident output)
+      w         = -A2m^T @ dv                 (VMEM scratch only)
+      drj[d,j]  = unroll_j(w rows of depth-tap j)   (Qd*Cp rows out)
+
+    The stack-adjoint's cross-slice gather dr[e] = sum_j unroll_j(w[e-dq_j])
+    is re-expressed per SOURCE slice: this kernel emits each depth tap's
+    contribution at its source d, and the caller combines them with Qd
+    zero-fill depth shifts over small (Cp, Lhw) planes in XLA. The ST
+    subgradient dv and the dt reductions live in _kernel_syn_bwd, which
+    produces each reverse step's dv as it finishes the step's cotangent.
+
+    Grid (N, Dc). refs: Qd r views (1,1,Cp,Lhw), dv (1,1,Mp,Lhw),
+    A2m (Mp, T*Cp), acol (Qw, Lhw), arow (Qh, Lhw); outputs
+    dA (Mp, T*Cp), drj (1,1,Qd*Cp,Lhw); scratch stack (T*Cp, Lhw),
+    w (T*Cp, Lhw). Window stacking identical to lista3d._kernel_ana.
+    emit_dr=False (the k=0 step, whose dz chain ends) skips the w dot and
+    the drj write."""
     from jax.experimental.pallas import tpu as pltpu
 
     rviews = refs[:Qd]
-    dv_ref, A2m_ref, acol_ref, arow_ref, dA_ref, w_ref, stack_ref = refs[Qd:]
+    (dv_ref, A2m_ref, acol_ref, arow_ref,
+     dA_ref, drj_ref, stack_ref, w_ref) = refs[Qd:]
     n = pl.program_id(0)
     d = pl.program_id(1)
     Dc = pl.num_programs(1)
@@ -177,6 +216,8 @@ def _kernel_ana_wgrad(*refs, Qd, Qh, Qw, Cp, Wc, dlo, hlo, wlo,
     @pl.when(jnp.logical_and(n == 0, d == 0))
     def _init():
         dA_ref[:] = jnp.zeros_like(dA_ref)
+
+    dv = dv_ref[0, 0].astype(jnp.float32)
 
     for j in range(Qd):
         dq = dlo + j
@@ -190,47 +231,28 @@ def _kernel_ana_wgrad(*refs, Qd, Qh, Qw, Cp, Wc, dlo, hlo, wlo,
                     roll(rowed, wlo + ri) * acol_ref[ri][None, :]
                 )
 
-    dv = dv_ref[0, 0].astype(jnp.float32)
     dA_ref[:] += -jax.lax.dot_general(
         dv, stack_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    if want_w:
-        w_ref[0, 0] = -jax.lax.dot_general(
+    if emit_dr:
+        dv_ref[0, 0] = dv
+        w_ref[:] = -jax.lax.dot_general(
             A2m_ref[:], dv, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-
-
-def _kernel_stack_adj(w_ref, acol_ref, arow_ref, dr_ref,
-                      *, Qd, Qh, Qw, Cp, Wc, dlo, hlo, wlo):
-    """dr[e] += valid * unroll_j(w[e - dq_aj] rows of depth-tap block j);
-    grid (N, Dc, Qd), j innermost revisiting the dr block. Adjoint of the
-    analysis stacking: inner = roll(acol_ri * w_t, -(wlo+ri)),
-    dr += roll(arow_qi * inner, -(hlo+qi)*Wc)."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    d = pl.program_id(1)
-    Dc = pl.num_programs(1)
-    j = pl.program_id(2)
-    Lhw = w_ref.shape[-1]
-    roll = functools.partial(_roll, pltpu, Lhw=Lhw)
-
-    @pl.when(j == 0)
-    def _init():
-        dr_ref[0, 0] = jnp.zeros_like(dr_ref[0, 0])
-
-    dq = dlo + j
-    valid = jnp.logical_and(d - dq >= 0, d - dq < Dc)
-    acc = jnp.zeros(dr_ref.shape[-2:], jnp.float32)
-    for qi in range(Qh):
-        inner = jnp.zeros(dr_ref.shape[-2:], jnp.float32)
-        for ri in range(Qw):
-            t = qi * Qw + ri  # depth-tap block selected by the BlockSpec
-            wt = w_ref[0, 0, t * Cp : (t + 1) * Cp].astype(jnp.float32)
-            inner += roll(acol_ref[ri][None, :] * wt, -(wlo + ri))
-        acc += roll(arow_ref[qi][None, :] * inner, -(hlo + qi) * Wc)
-    dr_ref[0, 0] += jnp.where(valid, 1.0, 0.0) * acc
+        # unroll each depth-tap row group of w at its SOURCE slice (the
+        # inverse in-plane rolls/masks of the stacking above)
+        for j in range(Qd):
+            acc = jnp.zeros((Cp, Lhw), jnp.float32)
+            for qi in range(Qh):
+                inner = jnp.zeros((Cp, Lhw), jnp.float32)
+                for ri in range(Qw):
+                    t = (j * Qh + qi) * Qw + ri
+                    wt = w_ref[t * Cp : (t + 1) * Cp]
+                    inner += roll(acol_ref[ri][None, :] * wt, -(wlo + ri))
+                acc += roll(arow_ref[qi][None, :] * inner, -(hlo + qi) * Wc)
+            drj_ref[0, 0, j * Cp : (j + 1) * Cp] = acc
 
 
 def lista3d_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist, stride=1,
@@ -292,56 +314,59 @@ def lista3d_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist, stride=1,
     geom = dict(Qd=Qd, Qh=Qh, Qw=Qw, Cp=Cp, Wc=Wc, dlo=dlo, hlo=hlo, wlo=wlo)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    def syn_adj(g, B2m_k):
-        kern = functools.partial(_kernel_syn_adj, **geom)
-        gview = pl.BlockSpec(
-            (1, 1, Cp, Lhw),
-            lambda n, d, j: (n, jnp.clip(d - (j - (Qd - 1) - dlo), 0, Dc - 1), 0, 0),
-            memory_space=pltpu.VMEM,
-        )
+    c_arr = jnp.asarray(c, jnp.float32).reshape(-1)
+    if c_arr.size == 1:
+        c_arr = jnp.broadcast_to(c_arr, (N,))
+    crow = jnp.broadcast_to(c_arr[:, None, None], (N, 1, Lhw)).astype(jnp.float32)
+
+    def syn_bwd(g, z, B2m_k, base=None):
+        """Merged synthesis adjoint; returns (dv, dB_k, dt) where dv/dt
+        belong to the NEXT reverse step (z is that step's code)."""
+        kern = functools.partial(_kernel_syn_bwd, **geom,
+                                 with_base=base is not None)
+        gviews = []
+        for j in range(Qd):
+            dq = j - (Qd - 1) - dlo
+            gviews.append(pl.BlockSpec(
+                (1, 1, Cp, Lhw),
+                lambda n, e, dq=dq: (n, jnp.clip(e - dq, 0, Dc - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ))
+        blk = pl.BlockSpec((1, 1, Mp, Lhw), lambda n, e: (n, e, 0, 0),
+                           memory_space=pltpu.VMEM)
+        ins = ([*([g] * Qd), z] + ([base] if base is not None else [])
+               + [B2m_k, sm, crow])
+        in_specs = [*gviews, blk] + ([blk] if base is not None else []) + [
+            full, full,
+            pl.BlockSpec((1, 1, Lhw), lambda n, e: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
         return pl.pallas_call(
             kern,
-            grid=(N, Dc, Qd),
-            in_specs=[gview,
-                      pl.BlockSpec((1, Qh * Qw * Cp, Mp),
-                                   lambda n, d, j: (j, 0, 0),
-                                   memory_space=pltpu.VMEM),
-                      full],
-            out_specs=pl.BlockSpec((1, 1, Mp, Lhw), lambda n, d, j: (n, d, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((N, Dc, Mp, Lhw), jnp.float32),
+            grid=(N, Dc),
+            in_specs=in_specs,
+            out_specs=[
+                blk,
+                pl.BlockSpec((Qd, Qh * Qw * Cp, Mp), lambda n, e: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, Mp), lambda n, e: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((N, Dc, Mp, Lhw), jnp.float32),
+                jax.ShapeDtypeStruct((Qd, Qh * Qw * Cp, Mp), jnp.float32),
+                jax.ShapeDtypeStruct((2, Mp), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((Qh * Qw * Cp, Lhw), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(g, B2m_k, sm)
+        )(*ins)
 
-    def syn_wgrad(g, z):
-        kern = functools.partial(_kernel_syn_wgrad, **geom)
-        zview = pl.BlockSpec(
-            (1, 1, Mp, Lhw),
-            lambda j, n, d: (n, jnp.clip(d + j - (Qd - 1) - dlo, 0, Dc - 1), 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        return pl.pallas_call(
-            kern,
-            grid=(Qd, N, Dc),
-            in_specs=[pl.BlockSpec((1, 1, Cp, Lhw), lambda j, n, d: (n, d, 0, 0),
-                                   memory_space=pltpu.VMEM),
-                      zview,
-                      full],
-            out_specs=pl.BlockSpec((1, Qh * Qw * Cp, Mp),
-                                   lambda j, n, d: (j, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((Qd, Qh * Qw * Cp, Mp), jnp.float32),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=128 * 1024 * 1024,
-            ),
-            interpret=interpret,
-        )(g, z, sm)
-
-    def ana_wgrad(dv, r, A2m_k, want_w=True):
-        kern = functools.partial(_kernel_ana_wgrad, **geom, want_w=want_w)
+    def ana_bwd(dv, r, A2m_k, emit_dr=True):
+        """One fused analysis-adjoint sweep; returns (dA_k, drj)."""
+        kern = functools.partial(_kernel_ana_bwd, **geom, emit_dr=emit_dr)
         rviews = []
         for j in range(Qd):
             dq = dlo + j
@@ -350,115 +375,94 @@ def lista3d_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist, stride=1,
                 lambda n, d, dq=dq: (n, jnp.clip(d + dq, 0, Dc - 1), 0, 0),
                 memory_space=pltpu.VMEM,
             ))
+        blk = pl.BlockSpec((1, 1, Mp, Lhw), lambda n, d: (n, d, 0, 0),
+                           memory_space=pltpu.VMEM)
+        dummy4 = pl.BlockSpec((1, 1, 1, 1), lambda n, d: (0, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kern,
             grid=(N, Dc),
-            in_specs=[*rviews,
-                      pl.BlockSpec((1, 1, Mp, Lhw), lambda n, d: (n, d, 0, 0),
-                                   memory_space=pltpu.VMEM),
-                      full, full, full],
+            in_specs=[*rviews, blk, full, full, full],
             out_specs=[
                 pl.BlockSpec((Mp, T * Cp), lambda n, d: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, T * Cp, Lhw), lambda n, d: (n, d, 0, 0),
+                pl.BlockSpec((1, 1, Qd * Cp, Lhw), lambda n, d: (n, d, 0, 0),
                              memory_space=pltpu.VMEM)
-                if want_w
-                else pl.BlockSpec((1, 1, 1, 1), lambda n, d: (0, 0, 0, 0),
-                                  memory_space=pltpu.VMEM),
+                if emit_dr else dummy4,
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((Mp, T * Cp), jnp.float32),
                 jax.ShapeDtypeStruct(
-                    (N, Dc, T * Cp, Lhw) if want_w else (1, 1, 1, 1),
-                    jnp.float32,
-                ),
+                    (N, Dc, Qd * Cp, Lhw) if emit_dr else (1, 1, 1, 1),
+                    jnp.float32),
             ],
-            scratch_shapes=[pltpu.VMEM((T * Cp, Lhw), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((T * Cp, Lhw), jnp.float32),
+                            pltpu.VMEM((T * Cp, Lhw), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024,
             ),
             interpret=interpret,
         )(*([r] * Qd), dv, A2m_k, acol, arow)
 
-    def stack_adj(w):
-        kern = functools.partial(_kernel_stack_adj, **geom)
-        # block selects BOTH the source depth slice and the depth-tap row
-        # group, so all in-kernel row indexing is static
-        wview = pl.BlockSpec(
-            (1, 1, Qh * Qw * Cp, Lhw),
-            lambda n, d, j: (n, jnp.clip(d - (dlo + j), 0, Dc - 1), j, 0),
-            memory_space=pltpu.VMEM,
-        )
-        return pl.pallas_call(
-            kern,
-            grid=(N, Dc, Qd),
-            in_specs=[wview, full, full],
-            out_specs=pl.BlockSpec((1, 1, Cp, Lhw), lambda n, d, j: (n, d, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((N, Dc, Cp, Lhw), jnp.float32),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=128 * 1024 * 1024,
-            ),
-            interpret=interpret,
-        )(w, acol, arow)
+    def combine_drj(drj):
+        """dr[e] = sum_j shift(drj[..., j block], +dq_aj): the cross-slice
+        gather of the stack adjoint, over (Cp, Lhw)-sized planes in XLA."""
+        dr = jnp.zeros((N, Dc, Cp, Lhw), jnp.float32)
+        for j in range(Qd):
+            dq = dlo + j
+            part = drj[:, :, j * Cp : (j + 1) * Cp]
+            if dq >= 0:
+                dr = dr.at[:, dq:].add(part[:, : Dc - dq])
+            else:
+                dr = dr.at[:, : Dc + dq].add(part[:, -dq:])
+        return dr
 
-    c_arr = jnp.asarray(c, jnp.float32).reshape(-1)
-    if c_arr.size == 1:
-        c_arr = jnp.broadcast_to(c_arr, (N,))
+    # --- init: adjoint of the final dictionary synthesis (B2m[0]);
+    # emits dv_{K-1}, dB2m[0] and the dt rows of iteration K-1 ---
+    dv, dB0, dtK = syn_bwd(dx2, z_hist[K - 1], B2m[0])
 
-    def dt_terms(z_k, dz):
-        """(dt0, dt1) rows for one iteration from stored code + cotangent."""
-        sgn = jnp.sign(z_k.astype(jnp.float32))
-        per_n = -jnp.sum(sgn * dz, axis=(1, 3))     # (N, Mp)
-        return jnp.sum(per_n, axis=0), jnp.sum(c_arr[:, None] * per_n, axis=0)
-
-    # --- init: adjoint of the final dictionary synthesis (B2m[0]) ---
-    zK = z_hist[K - 1]
-    dz = syn_adj(dx2, B2m[0])
-    dB0 = syn_wgrad(dx2, zK)
-
-    # --- reverse scan over k = K-1 .. 1 ---
-    def body(dz, xs):
-        z_k, z_km1, r_k, A2m_k, B2m_k = xs
-        zk32 = z_k.astype(jnp.float32)
-        dv = jnp.where(zk32 != 0.0, dz, 0.0)
-        dt0, dt1 = dt_terms(z_k, dz)
-        dA_k, w = ana_wgrad(dv, r_k, A2m_k)
-        dr = stack_adj(w)
+    # --- reverse scan over k = K-1 .. 1; the carry is dv_k (the
+    # ST-masked cotangent — the analysis adjoint never needs raw dz) ---
+    def body(dv, xs):
+        z_km1, r_k, A2m_k, B2m_k = xs
+        dA_k, drj = ana_bwd(dv, r_k, A2m_k)
+        dr = combine_drj(drj)
         ds = m2 * dr if use_mask else dr
-        dz_next = dv + syn_adj(ds, B2m_k)
-        dB_k = syn_wgrad(ds, z_km1)
-        return dz_next, (dA_k, dB_k, dt0, dt1)
+        dv_next, dB_k, dt = syn_bwd(ds, z_km1, B2m_k, base=dv)
+        # keep the small dA/dB/dt outputs OUT of the fusion XLA builds
+        # around the scan's dynamic-update-slices: that fusion's scoped
+        # vmem stack exceeds a non-overridable 16 MB limit (see module
+        # docstring / CLAUDE.md gotcha)
+        dA_k, dB_k, dt = jax.lax.optimization_barrier((dA_k, dB_k, dt))
+        # dt belongs to iteration k-1 (z_km1's step) — realigned below
+        return dv_next, (dA_k, dB_k, dt[0], dt[1])
 
     if K > 1:
         xs = (
-            z_hist[1:][::-1],          # z_k, k = K-1..1
-            z_hist[:-1][::-1],         # z_{k-1}
+            z_hist[:-1][::-1],         # z_{k-1}, k = K-1..1
             r_hist[::-1],              # r_k
             A2m[1:][::-1],
             B2m[1:][::-1],
         )
-        dz, (dA_rev, dB_rev, dt0_rev, dt1_rev) = lax.scan(body, dz, xs)
-        dA_rest = dA_rev[::-1]
-        dB_rest = dB_rev[::-1]
-        dt0_rest = dt0_rev[::-1]
-        dt1_rest = dt1_rev[::-1]
+        dv, (dA_rev, dB_rev, dt0_rev, dt1_rev) = lax.scan(body, dv, xs)
+        dA_rest = dA_rev[::-1]                  # dA rows k = 1..K-1
+        dB_rest = dB_rev[::-1]                  # dB rows k = 1..K-1
+        dt0_low = dt0_rev[::-1]                 # dt rows k = 0..K-2
+        dt1_low = dt1_rev[::-1]
     else:
         dA_rest = jnp.zeros((0, Mp, T * Cp), jnp.float32)
         dB_rest = jnp.zeros((0, Qd, Qh * Qw * Cp, Mp), jnp.float32)
-        dt0_rest = jnp.zeros((0, Mp), jnp.float32)
-        dt1_rest = jnp.zeros((0, Mp), jnp.float32)
+        dt0_low = jnp.zeros((0, Mp), jnp.float32)
+        dt1_low = jnp.zeros((0, Mp), jnp.float32)
 
-    # --- k = 0: z_0 = ST(0 - A2m[0] @ stack(-y2), tau_0) ---
-    z032 = z_hist[0].astype(jnp.float32)
-    dv0 = jnp.where(z032 != 0.0, dz, 0.0)
-    dt0_0, dt1_0 = dt_terms(z_hist[0], dz)
-    dA_0, _ = ana_wgrad(dv0, -y2.astype(jnp.float32), A2m[0], want_w=False)
+    # --- k = 0: z_0 = ST(0 - A2m[0] @ stack(-y2), tau_0); its dt rows
+    # were already emitted by the last body step (or by init when K=1) ---
+    dA_0, _ = ana_bwd(dv, -y2.astype(jnp.float32), A2m[0], emit_dr=False)
 
     dA2m = jnp.concatenate([dA_0[None], dA_rest], axis=0)       # (K, Mp, T*Cp)
     dB2m = jnp.concatenate([dB0[None], dB_rest], axis=0)        # (K, Qd, QhQwCp, Mp)
-    dt0 = jnp.concatenate([dt0_0[None], dt0_rest], axis=0)      # (K, Mp)
-    dt1 = jnp.concatenate([dt1_0[None], dt1_rest], axis=0)
+    dt0 = jnp.concatenate([dt0_low, dtK[0][None]], axis=0)      # (K, Mp)
+    dt1 = jnp.concatenate([dt1_low, dtK[1][None]], axis=0)
 
     dA = vjpA(dA2m)[0]
     dB = vjpB(dB2m)[0]
