@@ -11,6 +11,7 @@ list — post_process consumes it functionally.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from cdlnet_tpu.core.pad import (
@@ -45,9 +46,21 @@ def pre_process(x: jnp.ndarray, stride: int, mask=None):
 
 
 def post_process(x: jnp.ndarray, params):
-    """Invert pre_process: unpad then re-add the mean."""
+    """Invert pre_process: unpad then re-add the mean.
+
+    The optimization_barrier defends against a TPU-XLA miscompilation
+    observed on this platform (2026-08, tools/probe_xla_const_fusion.py):
+    fusing [transpose(x) - CONSTANT]^2 -> reduce reads the embedded
+    constant with a permuted layout, so e.g.
+    jit(lambda: mean((model_output - closed_over_target)**2)) silently
+    returns ~2*var(target) instead of the true MSE (arguments are
+    unaffected, gradients fuse separately and stay correct). Every model
+    output passes through here right after the polyphase depth_to_space
+    transpose, so severing the fusion at this point protects downstream
+    losses/metrics at the cost of one extra image-sized materialization
+    (~microseconds)."""
     xmean, pad = params
-    return unpad(x, pad) + xmean
+    return jax.lax.optimization_barrier(unpad(x, pad) + xmean)
 
 
 def pre_process_3d(x: jnp.ndarray, stride: int, mask=None):
@@ -68,6 +81,9 @@ def pre_process_3d(x: jnp.ndarray, stride: int, mask=None):
 
 
 def post_process_3d(x: jnp.ndarray, params):
-    """Invert pre_process_3d: unpad then re-add the mean."""
+    """Invert pre_process_3d: unpad then re-add the mean.
+
+    optimization_barrier: same constant-fusion miscompilation defense as
+    post_process (see its docstring / tools/probe_xla_const_fusion.py)."""
     xmean, pad = params
-    return unpad_3d(x, pad) + xmean
+    return jax.lax.optimization_barrier(unpad_3d(x, pad) + xmean)

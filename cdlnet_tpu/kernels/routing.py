@@ -40,8 +40,13 @@ def route_lista2d(yp, A, B, t, c, *, M, C, P, s, K, mask, return_z,
             from cdlnet_tpu.kernels.autodiff import lista2d_fused_diff
 
             return lista2d_fused_diff(yp, A, B, t, c, stride=s, mask=mask), None
-        return lista2d_fused(yp, A, B, t, c, stride=s, mask=mask,
-                             return_z=True)
+        from cdlnet_tpu.kernels.autodiff import _RETURN_Z_HINT, nondifferentiable
+
+        return nondifferentiable(
+            lambda yp, A, B, t, c: lista2d_fused(
+                yp, A, B, t, c, stride=s, mask=mask, return_z=True),
+            _RETURN_Z_HINT,
+        )(yp, A, B, t, c)
     from cdlnet_tpu.kernels.lista2d_tiled import (
         lista2d_tiled,
         lista2d_tiled_supported,
@@ -52,6 +57,11 @@ def route_lista2d(yp, A, B, t, c, *, M, C, P, s, K, mask, return_z,
             from cdlnet_tpu.kernels.autodiff import lista2d_tiled_diff
 
             return lista2d_tiled_diff(yp, A, B, t, c, stride=s, mask=mask), None
-        return lista2d_tiled(yp, A, B, t, c, stride=s, mask=mask,
-                             return_z=True)
+        from cdlnet_tpu.kernels.autodiff import _RETURN_Z_HINT, nondifferentiable
+
+        return nondifferentiable(
+            lambda yp, A, B, t, c: lista2d_tiled(
+                yp, A, B, t, c, stride=s, mask=mask, return_z=True),
+            _RETURN_Z_HINT,
+        )(yp, A, B, t, c)
     return None

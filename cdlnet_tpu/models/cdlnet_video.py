@@ -155,12 +155,17 @@ class CDLNetVideo:
                     stride=self.s, mask=mask,
                 )
                 return post_process_3d(xphat, prm), None
+            from cdlnet_tpu.kernels.autodiff import (
+                _RETURN_Z_HINT,
+                nondifferentiable,
+            )
             from cdlnet_tpu.kernels.lista3d import lista3d_fused
 
-            xphat, z = lista3d_fused(
-                yp, params["A"], params["B"], params["t"], c,
-                stride=self.s, mask=mask, return_z=True,
-            )
+            xphat, z = nondifferentiable(
+                lambda yp, A, B, t, c: lista3d_fused(
+                    yp, A, B, t, c, stride=self.s, mask=mask, return_z=True),
+                _RETURN_Z_HINT,
+            )(yp, params["A"], params["B"], params["t"], c)
             return post_process_3d(xphat, prm), z
         z = self._lista(params, yp, c, mask)
         xphat = conv_transpose3d(

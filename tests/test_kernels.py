@@ -261,6 +261,37 @@ def test_pallas_backend_trainable(monkeypatch):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-4)
 
 
+def test_return_z_true_grad_raises_clear_error():
+    """Differentiating backend='pallas' apply() with return_z=True (the
+    inference-grade raw kernels, no VJP) raises a NotImplementedError that
+    names the fix, instead of pallas' internal JVP AssertionError
+    (kernels/autodiff.nondifferentiable)."""
+    cfg2 = {"K": 3, "M": 8, "P": 5, "s": 2, "C": 1, "backend": "pallas"}
+    m2 = build_model("CDLNet", cfg2)
+    p2 = m2.init(jax.random.PRNGKey(0))
+    y2 = jnp.zeros((1, 1, 32, 32), jnp.float32)
+
+    def loss2(p):
+        xhat, _ = m2.apply(p, y2, 25.0)  # return_z defaults True
+        return jnp.mean(xhat**2)
+
+    with pytest.raises(NotImplementedError, match="return_z=False"):
+        jax.grad(loss2)(p2)
+
+    cfg3 = {"K": 2, "M": 8, "P": (5, 5, 3), "s": 2, "C": 1, "depth": 4,
+            "backend": "pallas"}
+    m3 = build_model("CDLNetVideo", cfg3)
+    p3 = m3.init(jax.random.PRNGKey(0))
+    y3 = jnp.zeros((1, 1, 4, 32, 32), jnp.float32)
+
+    def loss3(p):
+        xhat, _ = m3.apply(p, y3, 25.0)
+        return jnp.mean(xhat**2)
+
+    with pytest.raises(NotImplementedError, match="return_z=False"):
+        jax.grad(loss3)(p3)
+
+
 def test_fused2d_batch_folding_matches_scan():
     """Shared-sigma batches fold into one tall image inside the kernel;
     results must match the per-image XLA scan (no cross-image bleed)."""
