@@ -109,14 +109,22 @@ def _core3d_fwd(yp, A, B, t, c, mask, stride, interpret):
     )
     from cdlnet_tpu.kernels.lista3d_bwd import lista3d_bwd_supported
 
+    from cdlnet_tpu.kernels.lista3d_bwd_resident import (
+        lista3d_bwd_resident_supported,
+    )
+
     K, M = A.shape[0], A.shape[1]
     C = yp.shape[1]
     D, H, W = yp.shape[-3], yp.shape[-2], yp.shape[-1]
-    # the fp32-history path must fit BOTH the forward pair and the reverse
-    # kernels (the latter peak ~1.6x higher in _kernel_ana_wgrad)
+    # the fp32-history path must fit BOTH the forward pair and a reverse
+    # path (whole-reverse-resident kernel, else the scan-of-kernels
+    # reverse — each gated by its own VMEM estimate)
     if lista3d_fused_supported(
         M, C, A.shape[-3:], stride, K, D, H, W, z_bytes=4
-    ) and lista3d_bwd_supported(M, C, A.shape[-3:], stride, K, D, H, W):
+    ) and (
+        lista3d_bwd_resident_supported(M, C, A.shape[-3:], stride, K, D, H, W)
+        or lista3d_bwd_supported(M, C, A.shape[-3:], stride, K, D, H, W)
+    ):
         # fused gradient path: fp32 carry + stacked z/r histories
         x, _, (z_hist, r_hist) = lista3d_fused(
             yp, A, B, t, c, stride=stride, mask=mask, return_z=False,
@@ -140,12 +148,33 @@ def _core3d_bwd(stride, interpret, res, gx):
         )
         dA, dB, dt = vjp(gx)
     else:
-        from cdlnet_tpu.kernels.lista3d_bwd import lista3d_fused_bwd
+        import os
 
-        dA, dB, dt = lista3d_fused_bwd(
-            gx, yp, A, B, t, c, mask, z_hist, r_hist, stride=stride,
-            interpret=interpret,
+        from cdlnet_tpu.kernels.lista3d_bwd import lista3d_fused_bwd
+        from cdlnet_tpu.kernels.lista3d_bwd_resident import (
+            lista3d_bwd_resident_supported,
+            lista3d_fused_bwd_resident,
         )
+
+        K, M = A.shape[0], A.shape[1]
+        C = yp.shape[1]
+        D, H, W = yp.shape[-3], yp.shape[-2], yp.shape[-1]
+        # whole-reverse-resident kernel when it fits (dv never leaves
+        # VMEM: ~3.7x less HBM traffic than the scan reverse);
+        # CDLNET_LISTA3D_BWD_RESIDENT=0 forces the scan-of-kernels path
+        env = os.environ.get("CDLNET_LISTA3D_BWD_RESIDENT")
+        if env != "0" and lista3d_bwd_resident_supported(
+            M, C, A.shape[-3:], stride, K, D, H, W
+        ):
+            dA, dB, dt = lista3d_fused_bwd_resident(
+                gx, yp, A, B, t, c, mask, z_hist, r_hist, stride=stride,
+                interpret=interpret,
+            )
+        else:
+            dA, dB, dt = lista3d_fused_bwd(
+                gx, yp, A, B, t, c, mask, z_hist, r_hist, stride=stride,
+                interpret=interpret,
+            )
     dc = jnp.zeros_like(jnp.asarray(c))
     dmask = None if mask is None else jnp.zeros_like(mask)
     return (jnp.zeros_like(yp), dA, dB, dt, dc, dmask)

@@ -122,11 +122,19 @@ class CDLNetVideo:
             if params.get("residual") is not None:
                 return False
             from cdlnet_tpu.kernels.lista3d_bwd import lista3d_bwd_supported
+            from cdlnet_tpu.kernels.lista3d_bwd_resident import (
+                lista3d_bwd_resident_supported,
+            )
 
             return lista3d_fused_supported(
                 self.M, self.C, self.P, self.s, self.K, D, H, W, z_bytes=4
-            ) and lista3d_bwd_supported(
-                self.M, self.C, self.P, self.s, self.K, D, H, W
+            ) and (
+                lista3d_bwd_resident_supported(
+                    self.M, self.C, self.P, self.s, self.K, D, H, W
+                )
+                or lista3d_bwd_supported(
+                    self.M, self.C, self.P, self.s, self.K, D, H, W
+                )
             )
         return lista3d_fused_supported(
             self.M, self.C, self.P, self.s, self.K, D, H, W,

@@ -429,6 +429,56 @@ def test_fused3d_bwd_kernels_grads_match_xla(s, P, M, K, use_mask):
         assert rel < 1e-4, (name, rel)
 
 
+@pytest.mark.parametrize(
+    "s,P,M,K,use_mask",
+    [(2, (5, 5, 3), 6, 3, False), (2, (5, 5, 3), 6, 2, True),
+     (2, (5, 5, 3), 6, 1, False)],
+)
+def test_fused3d_bwd_resident_grads_match_xla(s, P, M, K, use_mask):
+    """The whole-reverse-RESIDENT 3D backward (kernels/lista3d_bwd_resident)
+    matches the XLA scan's autodiff on weight and threshold gradients."""
+    from cdlnet_tpu.kernels.lista3d import lista3d_fused
+    from cdlnet_tpu.kernels.lista3d_bwd_resident import (
+        lista3d_bwd_resident_supported,
+        lista3d_fused_bwd_resident,
+    )
+
+    C = 1
+    shape = (2, C, 8, 16, 16)
+    assert lista3d_bwd_resident_supported(M, C, P, s, K, *shape[2:])
+    yp = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32) * 0.3
+    A = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (K, M, C, *P), jnp.float32)
+    B = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (K, M, C, *P), jnp.float32)
+    t = 0.02 * jnp.abs(jax.random.normal(jax.random.PRNGKey(3), (K, 2, M, 1, 1, 1)))
+    c = jnp.asarray([0.1, 0.2]).reshape(2, 1, 1, 1, 1)
+    mask = (
+        (jax.random.uniform(jax.random.PRNGKey(9), shape) > 0.5).astype(jnp.float32)
+        if use_mask else None
+    )
+    tgt = jax.random.uniform(jax.random.PRNGKey(4), shape)
+    pads = tuple(p // 2 for p in P)
+
+    def loss_ref(params):
+        A_, B_, t_ = params
+        z = lista_3d(yp, A_, B_, t_, c, mask=mask, stride=s)
+        x = conv_transpose3d(z, B_[0], stride=s, padding=pads, output_padding=s - 1)
+        return jnp.mean((x - tgt) ** 2)
+
+    v_ref, g_ref = jax.value_and_grad(loss_ref)((A, B, t))
+
+    x, _, (zh, rh) = lista3d_fused(
+        yp, A, B, t, c, stride=s, mask=mask, return_z=False,
+        z_dtype=jnp.float32, interpret=True, return_hists=True,
+    )
+    dxp = 2.0 * (x - tgt) / x.size
+    g_res = lista3d_fused_bwd_resident(
+        dxp, yp, A, B, t, c, mask, zh, rh, stride=s, interpret=True
+    )
+    for name, a, b in zip("ABt", g_ref, g_res):
+        rel = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-12)
+        assert rel < 1e-4, (name, rel)
+
+
 def test_csr_pallas_backend_trainable(monkeypatch):
     """backend='pallas' CSR models are differentiable (fused forward + XLA
     gradient, autodiff.csr_fused_2d): grads — including through the
@@ -615,8 +665,10 @@ def test_train_routing_avoids_xla_vjp_fallback():
 
 def test_video_train_gate_requires_bwd_fit(monkeypatch):
     """CDLNetVideo._use_pallas(train=True) requires the fp32-history
-    forward AND reverse kernels to fit; inference gating is unchanged."""
+    forward AND a reverse path (resident or scan kernels) to fit;
+    inference gating is unchanged."""
     import cdlnet_tpu.kernels.lista3d_bwd as k3b
+    import cdlnet_tpu.kernels.lista3d_bwd_resident as k3r
 
     cfg = {"K": 2, "M": 8, "P": (5, 5, 3), "s": 2, "C": 1,
            "adaptive": True, "depth": 8, "backend": "pallas"}
@@ -625,6 +677,11 @@ def test_video_train_gate_requires_bwd_fit(monkeypatch):
     yp = jnp.zeros((1, 1, 8, 32, 32), jnp.float32)
     assert m._use_pallas(params, yp, return_z=False, train=True)
     monkeypatch.setattr(k3b, "lista3d_bwd_supported", lambda *a, **kw: False)
+    # the resident reverse alone still admits the shape...
+    assert m._use_pallas(params, yp, return_z=False, train=True)
+    monkeypatch.setattr(
+        k3r, "lista3d_bwd_resident_supported", lambda *a, **kw: False)
+    # ...but with both reverse gates closed, training routes to XLA
     assert not m._use_pallas(params, yp, return_z=False, train=True)
-    # inference routing ignores the reverse-kernel gate
+    # inference routing ignores the reverse-kernel gates
     assert m._use_pallas(params, yp, return_z=False, train=False)
