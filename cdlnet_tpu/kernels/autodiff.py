@@ -69,6 +69,23 @@ _RETURN_Z_HINT = (
 )
 
 
+def hist3d_dtype():
+    """Code-history dtype for the fused 3D training path.
+
+    The z history is the train step's dominant HBM term (~2.8 GB/step
+    fp32 at the flagship config: written by the forward, read back by the
+    reverse kernel). bfloat16 (the default) halves it — flagship train
+    step 26.8 -> 17.6 ms — at ~1e-2 relative gradient deviation; the
+    flagship-scale training gate (tools/parity_train3d.py) shows no
+    end-metric degradation (+0.02 dB over XLA). Set
+    CDLNET_LISTA3D_HIST_DTYPE=f32 for reassociation-exact gradients
+    (matches the XLA scan to 3e-4 on TPU, 1e-7 interpret)."""
+    import os
+
+    env = os.environ.get("CDLNET_LISTA3D_HIST_DTYPE", "bf16")
+    return jnp.float32 if env in ("f32", "fp32", "float32") else jnp.bfloat16
+
+
 # ---------------------------------------------------------------------------
 # 3D: fully fused custom VJP (pair-path forward collecting z/r histories +
 # reverse-scan backward over the lista3d_bwd kernels). fp32 code carry so
@@ -116,19 +133,22 @@ def _core3d_fwd(yp, A, B, t, c, mask, stride, interpret):
     K, M = A.shape[0], A.shape[1]
     C = yp.shape[1]
     D, H, W = yp.shape[-3], yp.shape[-2], yp.shape[-1]
-    # the fp32-history path must fit BOTH the forward pair and a reverse
-    # path (whole-reverse-resident kernel, else the scan-of-kernels
-    # reverse — each gated by its own VMEM estimate)
+    hist_dtype = hist3d_dtype()
+    # the history path must fit BOTH the forward pair and a reverse path
+    # (whole-reverse-resident kernel, else the scan-of-kernels reverse —
+    # each gated by its own VMEM estimate)
     if lista3d_fused_supported(
-        M, C, A.shape[-3:], stride, K, D, H, W, z_bytes=4
+        M, C, A.shape[-3:], stride, K, D, H, W,
+        z_bytes=jnp.dtype(hist_dtype).itemsize,
     ) and (
         lista3d_bwd_resident_supported(M, C, A.shape[-3:], stride, K, D, H, W)
         or lista3d_bwd_supported(M, C, A.shape[-3:], stride, K, D, H, W)
     ):
-        # fused gradient path: fp32 carry + stacked z/r histories
+        # fused gradient path: stacked z/r histories (see hist3d_dtype
+        # for the carry-dtype tradeoff)
         x, _, (z_hist, r_hist) = lista3d_fused(
             yp, A, B, t, c, stride=stride, mask=mask, return_z=False,
-            z_dtype=jnp.float32, interpret=interpret, return_hists=True,
+            z_dtype=hist_dtype, interpret=interpret, return_hists=True,
         )
         return x, (yp, A, B, t, c, mask, z_hist, r_hist)
     # fp32 working set too big: bf16 fused forward + XLA gradient fallback

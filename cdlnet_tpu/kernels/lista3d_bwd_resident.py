@@ -286,7 +286,7 @@ def _kernel_bwd_resident(*refs, K, Dc, Qd, Qh, Qw, Cp, Wc,
                 @pl.when(e + 1 < Dc)
                 def _pf():
                     dma_start(z_dma(k_next, e + 1, rem2(e + 1)))
-            z = zring_ref[zslot]
+            z = zring_ref[zslot].astype(jnp.float32)
             QhQw = Qh * Qw
             for j in range(Qd):
                 # tap j's cotangent window: ds[e - dq_sj] with
@@ -498,7 +498,7 @@ def lista3d_fused_bwd_resident(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
             pltpu.VMEM((Dw, Cp, Lhw), jnp.float32),          # ds window
             pltpu.VMEM((Dw, Cp, Lhw), jnp.float32),          # r window
             pltpu.VMEM((T * Cp, Lhw), jnp.float32),          # stack/w/stack2
-            pltpu.VMEM((2, Mp, Lhw), jnp.float32),           # z ring
+            pltpu.VMEM((2, Mp, Lhw), z_hist.dtype),          # z ring
             pltpu.VMEM((2, Mp, T * Cp), jnp.float32),        # A2m ring
             pltpu.VMEM((2, Mp, T * Cp), jnp.float32),        # B2m ring
             pltpu.VMEM((Mp, T * Cp), jnp.float32),           # dA staging
@@ -514,7 +514,7 @@ def lista3d_fused_bwd_resident(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
         ),
         interpret=interpret,
     )(dx2, y2, *ops_mask, crow, acol, arow, sm,
-      z_hist.astype(jnp.float32), rh.astype(jnp.float32), A2m, B2mt)
+      z_hist, rh.astype(jnp.float32), A2m, B2mt)
 
     dA2m = jnp.sum(outs[0], axis=0)          # (K, Mp, T*Cp)
     # dB comes back transposed (K, Mp, Qd*QhQw*Cp); restore the

@@ -390,9 +390,12 @@ def test_fused_bwd_kernel_grads_match_xla(s, P, C, M, K, use_mask, Nimg):
     "s,P,M,K,use_mask",
     [(2, (5, 5, 3), 6, 3, False), (2, (5, 5, 3), 6, 2, True)],
 )
-def test_fused3d_bwd_kernels_grads_match_xla(s, P, M, K, use_mask):
+def test_fused3d_bwd_kernels_grads_match_xla(s, P, M, K, use_mask,
+                                             monkeypatch):
     """The 3D reverse-scan backward (kernels/lista3d_bwd) matches the XLA
-    scan's autodiff on weight and threshold gradients."""
+    scan's autodiff on weight and threshold gradients (fp32 history mode;
+    the bf16 default is covered by test_fused3d_bwd_bf16_hist_tolerance)."""
+    monkeypatch.setenv("CDLNET_LISTA3D_HIST_DTYPE", "f32")
     from cdlnet_tpu.kernels.autodiff import lista3d_fused_diff
 
     C = 1
@@ -427,6 +430,46 @@ def test_fused3d_bwd_kernels_grads_match_xla(s, P, M, K, use_mask):
     for name, a, b in zip("ABt", g_ref, g_pal):
         rel = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-12)
         assert rel < 1e-4, (name, rel)
+
+
+def test_fused3d_bwd_bf16_hist_tolerance():
+    """The DEFAULT bf16 code-history training path (autodiff.hist3d_dtype)
+    stays within ~1e-2 relative of the XLA scan's gradients — the
+    end-metric impact is gated at flagship scale by
+    tools/parity_train3d.py (+0.02 dB over XLA)."""
+    from cdlnet_tpu.kernels.autodiff import hist3d_dtype, lista3d_fused_diff
+
+    assert hist3d_dtype() == jnp.bfloat16  # the documented default
+    s, P, M, K = 2, (5, 5, 3), 6, 2
+    shape = (1, 1, 8, 16, 16)
+    yp = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32) * 0.3
+    A = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (K, M, 1, *P), jnp.float32)
+    B = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (K, M, 1, *P), jnp.float32)
+    t = 0.02 * jnp.abs(jax.random.normal(jax.random.PRNGKey(3), (K, 2, M, 1, 1, 1)))
+    tgt = jax.random.uniform(jax.random.PRNGKey(4), shape)
+    pads = tuple(p // 2 for p in P)
+
+    def loss_ref(params):
+        A_, B_, t_ = params
+        z = lista_3d(yp, A_, B_, t_, 0.1, stride=s)
+        x = conv_transpose3d(z, B_[0], stride=s, padding=pads,
+                             output_padding=s - 1)
+        return jnp.mean((x - tgt) ** 2)
+
+    def loss_pal(params):
+        A_, B_, t_ = params
+        x = lista3d_fused_diff(yp, A_, B_, t_, 0.1, stride=s,
+                               interpret=True)
+        return jnp.mean((x - tgt) ** 2)
+
+    _, g_ref = jax.value_and_grad(loss_ref)((A, B, t))
+    _, g_pal = jax.value_and_grad(loss_pal)((A, B, t))
+    for name, a, b in zip("ABt", g_ref, g_pal):
+        rel = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-12)
+        # bf16 rounding compounds through the reverse chain: a few
+        # percent relative is expected (measured ~4e-2 here); the bound
+        # is a sanity check, the real gate is end-metric
+        assert rel < 1e-1, (name, rel)
 
 
 @pytest.mark.parametrize(
