@@ -70,20 +70,10 @@ _RETURN_Z_HINT = (
 
 
 def hist3d_dtype():
-    """Code-history dtype for the fused 3D training path.
+    """Back-compat alias of lista2d.hist_dtype (shared by 2D and 3D)."""
+    from cdlnet_tpu.kernels.lista2d import hist_dtype
 
-    The z history is the train step's dominant HBM term (~2.8 GB/step
-    fp32 at the flagship config: written by the forward, read back by the
-    reverse kernel). bfloat16 (the default) halves it — flagship train
-    step 26.8 -> 17.6 ms — at ~1e-2 relative gradient deviation; the
-    flagship-scale training gate (tools/parity_train3d.py) shows no
-    end-metric degradation (+0.02 dB over XLA). Set
-    CDLNET_LISTA3D_HIST_DTYPE=f32 for reassociation-exact gradients
-    (matches the XLA scan to 3e-4 on TPU, 1e-7 interpret)."""
-    import os
-
-    env = os.environ.get("CDLNET_LISTA3D_HIST_DTYPE", "bf16")
-    return jnp.float32 if env in ("f32", "fp32", "float32") else jnp.bfloat16
+    return hist_dtype()
 
 
 # ---------------------------------------------------------------------------

@@ -296,7 +296,7 @@ def _kernel(y2_ref, m2_ref, tbank_ref, crow_ref, A2m_ref, B2m_ref, acolm_ref,
     Mp8 = -(-z_ref.shape[0] // 8) * 8 if hist else 0
 
     def hist_stage():
-        zs_ref[0 : z_ref.shape[0]] = z_ref[:]
+        zs_ref[0 : z_ref.shape[0]] = z_ref[:].astype(zs_ref.dtype)
 
     def hist_dma(k):
         n = pl.program_id(0)
@@ -330,7 +330,7 @@ def _kernel(y2_ref, m2_ref, tbank_ref, crow_ref, A2m_ref, B2m_ref, acolm_ref,
         r_ref[:] = (m2_ref[0] * r_ref[:] - y2) if use_mask else (r_ref[:] - y2)
         if hist:
             hist_dma(k - 1).wait()
-            zs_ref[Mp8 : Mp8 + Cp] = r_ref[:]
+            zs_ref[Mp8 : Mp8 + Cp] = r_ref[:].astype(zs_ref.dtype)
         analysis_stack(r_ref[:])
         u_ref[:] = jax.lax.dot_general(
             A2m_ref[k], stack_ref[:], (((1,), (0,)), ((), ())),
@@ -476,10 +476,12 @@ def _kernel_bwd(dx2_ref, y2_ref, m2_ref, crow_ref, A2m_ref,
             _dma(j).wait()
 
     def z_of(slot):
-        return zb_ref[slot][0:M]
+        # upcast once per use: bf16 histories feed rolls (no bf16
+        # pltpu.roll) and fp32 accumulating dots
+        return zb_ref[slot][0:M].astype(jnp.float32)
 
     def r_of(slot):
-        return zb_ref[slot][Mp8 : Mp8 + Cp]
+        return zb_ref[slot][Mp8 : Mp8 + Cp].astype(jnp.float32)
 
     start_load(0)
     if K > 1:
@@ -555,6 +557,26 @@ def _estimate_bytes_bwd(M, C, P, s, K, H, W) -> int:
     masks = (2 * (Qh + Qw) + T) * L * 4
     blocked = 2 * (3 * Cp * L + 2 * K * M) * 4
     return scratch + temps + weights + masks + blocked
+
+
+def hist_dtype():
+    """Code/residual-history dtype for the fused TRAINING paths (2D+3D).
+
+    The per-iteration history is the train step's dominant HBM term
+    (written by the forward, read back by the reverse kernel: ~2.8 GB
+    fp32 per step at the 3D flagship config, ~1.8 GB at the 2D one).
+    bfloat16 (the default) halves it — 3D flagship train step
+    26.8 -> 17.6 ms — at a few-percent relative gradient deviation; the
+    flagship-scale training gates (tools/parity_train3d.py,
+    tools/flagship_gate.py protocols) show no end-metric degradation.
+    Set CDLNET_HIST_DTYPE=f32 (alias CDLNET_LISTA3D_HIST_DTYPE) for
+    reassociation-exact gradients (match the XLA scan to ~3e-4 on TPU,
+    ~1e-7 interpret)."""
+    import os
+
+    env = (os.environ.get("CDLNET_HIST_DTYPE")
+           or os.environ.get("CDLNET_LISTA3D_HIST_DTYPE", "bf16"))
+    return jnp.float32 if env in ("f32", "fp32", "float32") else jnp.bfloat16
 
 
 def lista2d_bwd_supported(M, C, P, s, K, H, W) -> bool:
@@ -649,7 +671,7 @@ def lista2d_fused_bwd(dxp, yp, A, B, t, c, mask, hist, stride=1,
             pltpu.VMEM((Cp, L), jnp.float32),       # r / dr / ds
             pltpu.VMEM((T * Cp, L), jnp.float32),   # stack / dstack / stack2
             pltpu.VMEM((3, -(-M // 8) * 8 + -(-Cp // 8) * 8, L),
-                       jnp.float32),                # 3-slot z+r history
+                       hist.dtype),                 # 3-slot z+r history
             pltpu.SemaphoreType.DMA((3,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -833,14 +855,17 @@ def lista2d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=False,
     if return_hist:
         # per-iteration codes z_k AND residuals r_k stream straight to HBM
         # (backward residuals); row groups padded to the sublane tile so
-        # the HBM slices are aligned: rows [0:M) = z_k, [Mp8:Mp8+Cp) = r_k
+        # the HBM slices are aligned: rows [0:M) = z_k, [Mp8:Mp8+Cp) = r_k.
+        # Dtype: hist_dtype() — bf16 by default (the history is the train
+        # step's dominant HBM term), f32 via CDLNET_HIST_DTYPE=f32
+        hd = hist_dtype()
         Mp8 = -(-M // 8) * 8
         Rp8 = -(-Cp // 8) * 8
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         out_shape.append(
-            jax.ShapeDtypeStruct((N, K, Mp8 + Rp8, L), jnp.float32)
+            jax.ShapeDtypeStruct((N, K, Mp8 + Rp8, L), hd)
         )
-        scratch.append(pltpu.VMEM((Mp8 + Rp8, L), jnp.float32))  # DMA staging
+        scratch.append(pltpu.VMEM((Mp8 + Rp8, L), hd))  # DMA staging
         scratch.append(pltpu.SemaphoreType.DMA(()))
 
     outs = pl.pallas_call(

@@ -230,7 +230,8 @@ def test_gdlnet_pallas_backend_interpret(monkeypatch):
 def test_pallas_backend_trainable(monkeypatch):
     """backend='pallas' with return_z=False is differentiable: custom VJP
     runs the fused forward (with code history) and the fused reverse
-    kernel; grads match the pure XLA backend."""
+    kernel; grads match the pure XLA backend (fp32-history mode)."""
+    monkeypatch.setenv("CDLNET_HIST_DTYPE", "f32")
     import cdlnet_tpu.kernels.lista2d as k2d
 
     orig = k2d.lista2d_fused
@@ -349,9 +350,13 @@ def test_csr_pallas_backend_interpret(name, monkeypatch):
     [(2, 7, 1, 8, 4, False, 3),   # folded per-sample-sigma batch
      (2, 5, 2, 6, 3, True, 2)],   # masked (JDD) path, unfolded
 )
-def test_fused_bwd_kernel_grads_match_xla(s, P, C, M, K, use_mask, Nimg):
+def test_fused_bwd_kernel_grads_match_xla(s, P, C, M, K, use_mask, Nimg,
+                                          monkeypatch):
     """The hand-written reverse kernel (lista2d._kernel_bwd) matches the
-    XLA scan's autodiff on weight and threshold gradients."""
+    XLA scan's autodiff on weight and threshold gradients (fp32-history
+    mode; the bf16 default is covered by
+    test_fused2d_bwd_bf16_hist_tolerance)."""
+    monkeypatch.setenv("CDLNET_HIST_DTYPE", "f32")
     from cdlnet_tpu.kernels.autodiff import lista2d_fused_diff
 
     yp = jax.random.normal(jax.random.PRNGKey(0), (Nimg, C, 16, 16), jnp.float32) * 0.3
@@ -430,6 +435,44 @@ def test_fused3d_bwd_kernels_grads_match_xla(s, P, M, K, use_mask,
     for name, a, b in zip("ABt", g_ref, g_pal):
         rel = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-12)
         assert rel < 1e-4, (name, rel)
+
+
+def test_fused2d_bwd_bf16_hist_tolerance():
+    """The DEFAULT bf16 history mode keeps 2D gradients within a few
+    percent of the XLA scan's (end-metric gated at flagship scale)."""
+    from cdlnet_tpu.kernels.autodiff import lista2d_fused_diff
+    from cdlnet_tpu.kernels.lista2d import hist_dtype
+
+    assert hist_dtype() == jnp.bfloat16  # the documented default
+    s, P, C, M, K = 2, 7, 1, 8, 4
+    yp = jax.random.normal(jax.random.PRNGKey(0), (2, C, 16, 16),
+                           jnp.float32) * 0.3
+    A = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (K, M, C, P, P),
+                                jnp.float32)
+    B = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (K, M, C, P, P),
+                                jnp.float32)
+    t = 0.02 * jnp.abs(jax.random.normal(jax.random.PRNGKey(3),
+                                         (K, 2, M, 1, 1)))
+    tgt = jax.random.uniform(jax.random.PRNGKey(4), yp.shape)
+
+    def loss_ref(params):
+        A_, B_, t_ = params
+        z = lista_2d(yp, A_, B_, t_, 0.1, stride=s)
+        x = conv_transpose2d(z, B_[0], stride=s, padding=(P - 1) // 2,
+                             output_padding=s - 1)
+        return jnp.mean((x - tgt) ** 2)
+
+    def loss_pal(params):
+        A_, B_, t_ = params
+        x = lista2d_fused_diff(yp, A_, B_, t_, 0.1, stride=s,
+                               interpret=True)
+        return jnp.mean((x - tgt) ** 2)
+
+    _, g_ref = jax.value_and_grad(loss_ref)((A, B, t))
+    _, g_pal = jax.value_and_grad(loss_pal)((A, B, t))
+    for name, a, b in zip("ABt", g_ref, g_pal):
+        rel = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-12)
+        assert rel < 1e-1, (name, rel)
 
 
 def test_fused3d_bwd_bf16_hist_tolerance():
@@ -563,6 +606,7 @@ def test_gdlnet_pallas_backend_trainable(monkeypatch):
     """GDLNet's pallas backend is differentiable end-to-end: the fused
     reverse kernel's dA/dB cotangents chain through the Gabor filter
     synthesis into the raw (alpha, a, w0, psi) parameters."""
+    monkeypatch.setenv("CDLNET_HIST_DTYPE", "f32")
     import cdlnet_tpu.kernels.lista2d as k2d
 
     orig = k2d.lista2d_fused
@@ -594,10 +638,12 @@ def test_gdlnet_pallas_backend_trainable(monkeypatch):
         assert rel < 1e-4, (k, rel)
 
 
-def test_fused_hist_matches_per_iteration_codes():
+def test_fused_hist_matches_per_iteration_codes(monkeypatch):
     """return_hist=True streams exactly the per-iteration codes (rows
     [0:M)) and residuals (rows [Mp8:Mp8+Cp)) the reverse kernel consumes —
-    pinned against the XLA scan's return_codes."""
+    pinned against the XLA scan's return_codes (fp32-history mode; the
+    bf16 default rounds the stored values by design)."""
+    monkeypatch.setenv("CDLNET_HIST_DTYPE", "f32")
     s, P, C, M, K = 2, 7, 1, 8, 3
     yp, A, B, t = _mk(s, P, C, M, K)
     c = jnp.asarray([0.1, 0.2]).reshape(2, 1, 1, 1)
