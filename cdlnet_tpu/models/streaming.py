@@ -77,3 +77,60 @@ def denoise_long_video(model, params, y, sigma=None, mask=None,
         )
         written = t0 + hi
     return out
+
+
+def _tile_starts(n, tile, step):
+    if n <= tile:
+        return [0]
+    return list(range(0, n - tile, step)) + [n - tile]
+
+
+def denoise_video_tiled(model, params, y, sigma=None, mask=None,
+                        chunk_depth=16, overlap=4,
+                        tile_hw=None, overlap_hw=16):
+    """Spatial overlap-discard tiling on top of the temporal streaming:
+    big frames split into tile_hw tiles (int or (th, tw)) with overlap_hw
+    pixels of context on each side, every tile streaming through
+    denoise_long_video. This keeps frames whose working set exceeds the
+    fused 3D kernels' VMEM gate (which would fall back to the XLA scan)
+    or device memory entirely on the fast path — e.g. 720p/1080p video
+    serves as 256^2-ish tiles at the fused kernels' flagship rate.
+
+    Approximation contract (same argument as the temporal overlap, module
+    docstring): the iteration couples pixels through the conv receptive
+    field, but the coupling decays geometrically, so modest overlaps give
+    near-exact agreement — measured vs the whole-frame forward at
+    spectral-init weights (K=4, P=7, s=2): overlap_hw 8 -> ~44 dB
+    agreement, 16 -> ~52 dB, 24 -> ~58 dB (trained thresholds decay
+    faster). Per-tile mean-subtraction (pre_process) also differs from
+    the whole frame's — included in those numbers.
+
+    tile_hw/overlap_hw should be multiples of the model stride so every
+    tile sees the same polyphase phase. tile sides must exceed
+    2*overlap_hw."""
+    N, C, D, H, W = y.shape
+    if tile_hw is None:
+        return denoise_long_video(model, params, y, sigma, mask=mask,
+                                  chunk_depth=chunk_depth, overlap=overlap)
+    th, tw = (tile_hw, tile_hw) if isinstance(tile_hw, int) else tile_hw
+    th, tw = min(th, H), min(tw, W)
+    if th <= 2 * overlap_hw and th < H or tw <= 2 * overlap_hw and tw < W:
+        raise ValueError(
+            f"tile_hw {(th, tw)} must exceed 2*overlap_hw {2 * overlap_hw}")
+
+    out = jnp.zeros_like(y)
+    for i0 in _tile_starts(H, th, th - 2 * overlap_hw):
+        ilo = 0 if i0 == 0 else overlap_hw
+        ihi = th if i0 + th >= H else th - overlap_hw
+        for j0 in _tile_starts(W, tw, tw - 2 * overlap_hw):
+            yt = y[:, :, :, i0 : i0 + th, j0 : j0 + tw]
+            mt = (mask[:, :, :, i0 : i0 + th, j0 : j0 + tw]
+                  if mask is not None else None)
+            xt = denoise_long_video(model, params, yt, sigma, mask=mt,
+                                    chunk_depth=chunk_depth, overlap=overlap)
+            jlo = 0 if j0 == 0 else overlap_hw
+            jhi = tw if j0 + tw >= W else tw - overlap_hw
+            out = out.at[:, :, :, i0 + ilo : i0 + ihi,
+                         j0 + jlo : j0 + jhi].set(
+                xt[:, :, :, ilo:ihi, jlo:jhi])
+    return out

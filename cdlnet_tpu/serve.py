@@ -187,15 +187,28 @@ class Denoiser:
         return out
 
     def denoise_video(self, clip: np.ndarray, sigma=None, chunk_depth=None,
-                      overlap=4) -> np.ndarray:
+                      overlap=4, tile_hw=None, overlap_hw=16) -> np.ndarray:
         """clip: (D, H, W), (C, D, H, W) or (N, C, D, H, W) in [0,1]. Long
         clips stream in fixed memory via overlap-discard chunks
-        (models/streaming.py) when chunk_depth is set."""
+        (models/streaming.py) when chunk_depth is set; big frames
+        additionally tile spatially when tile_hw is set (int or (th, tw)),
+        keeping e.g. 720p/1080p video on the fused-kernel fast path — one
+        compile per tile shape instead of per frame size."""
         clip = np.asarray(clip, np.float32)
         squeeze = 5 - clip.ndim
         for _ in range(squeeze):
             clip = clip[None]
-        if chunk_depth is not None and clip.shape[2] > chunk_depth:
+        if tile_hw is not None:
+            from cdlnet_tpu.models.streaming import denoise_video_tiled
+
+            out = np.asarray(
+                denoise_video_tiled(
+                    self.model, self.params, jnp.asarray(clip), sigma,
+                    chunk_depth=chunk_depth or clip.shape[2],
+                    overlap=overlap, tile_hw=tile_hw, overlap_hw=overlap_hw,
+                )
+            )
+        elif chunk_depth is not None and clip.shape[2] > chunk_depth:
             from cdlnet_tpu.models.streaming import denoise_long_video
 
             spatial = clip.shape[3:]

@@ -63,6 +63,15 @@ def test_video_and_streaming():
     assert out.shape == clip.shape and np.isfinite(out).all()
     out2 = d.denoise_video(clip[:8], sigma=25)
     assert out2.shape == (8, 30, 30)
+    # big-frame spatial tiling (one compile per tile shape, arbitrary frame
+    # sizes) — seams match the untiled forward closely
+    big = rng.uniform(0, 1, (8, 72, 88)).astype(np.float32)
+    tiled = d.denoise_video(big, sigma=25, tile_hw=48, overlap_hw=12)
+    whole = d.denoise_video(big, sigma=25)
+    assert tiled.shape == big.shape and np.isfinite(tiled).all()
+    err = float(np.mean((tiled - whole) ** 2))
+    sig = float(np.mean(whole**2))
+    assert 10 * np.log10(sig / max(err, 1e-20)) > 35
 
 
 def test_from_args_with_ckpt(tmp_path):

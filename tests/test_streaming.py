@@ -52,3 +52,56 @@ def test_streaming_rejects_bad_overlap():
     model, params, noisy = _model_and_clip(D=32)
     with pytest.raises(ValueError, match="must exceed"):
         denoise_long_video(model, params, noisy, 25.0, chunk_depth=8, overlap=4)
+
+
+def _model_and_bigframe_clip(H=96, W=96, D=8):
+    model = build_model(
+        "CDLNetVideo",
+        {"K": 4, "M": 8, "P": (7, 7, 3), "s": 2, "C": 1, "adaptive": True,
+         "depth": 8},
+    )
+    params = model.init(jax.random.PRNGKey(0), init=True)
+    params["t"] = params["t"] + 0.02
+    key = jax.random.PRNGKey(1)
+    clean = jax.random.uniform(key, (1, 1, D, H, W), jnp.float32)
+    noisy = clean + 0.1 * jax.random.normal(jax.random.fold_in(key, 1),
+                                            clean.shape)
+    return model, params, noisy
+
+
+def test_spatial_tiling_matches_whole_frame():
+    """denoise_video_tiled's spatial overlap-discard agrees with the
+    whole-frame forward, improving with overlap (models/streaming.py)."""
+    from cdlnet_tpu.models.streaming import denoise_video_tiled
+
+    model, params, noisy = _model_and_bigframe_clip()
+    full, _ = model.apply(params, noisy, 25.0)
+    agree = {}
+    for ov in (8, 16):
+        tiled = denoise_video_tiled(model, params, noisy, 25.0,
+                                    chunk_depth=8, tile_hw=48, overlap_hw=ov)
+        assert tiled.shape == full.shape
+        err = np.asarray(tiled - full)
+        sig = np.asarray(full)
+        agree[ov] = 10 * np.log10(np.mean(sig**2) / max(np.mean(err**2), 1e-20))
+    assert agree[8] > 35, agree
+    assert agree[16] > agree[8], agree
+
+
+def test_spatial_tiling_small_frame_passthrough():
+    from cdlnet_tpu.models.streaming import denoise_video_tiled
+
+    model, params, noisy = _model_and_bigframe_clip(H=32, W=32)
+    full, _ = model.apply(params, noisy, 25.0)
+    tiled = denoise_video_tiled(model, params, noisy, 25.0, chunk_depth=8,
+                                tile_hw=64, overlap_hw=16)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(full), atol=1e-6)
+
+
+def test_spatial_tiling_rejects_bad_overlap():
+    from cdlnet_tpu.models.streaming import denoise_video_tiled
+
+    model, params, noisy = _model_and_bigframe_clip()
+    with pytest.raises(ValueError, match="must exceed"):
+        denoise_video_tiled(model, params, noisy, 25.0, chunk_depth=8,
+                            tile_hw=32, overlap_hw=16)
