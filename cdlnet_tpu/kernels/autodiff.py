@@ -18,13 +18,17 @@ gradients, train.py:87-93).
 
 3D (lista3d_fused_diff): also fully fused. The pair-path forward already
 streams each iteration's code and residual through HBM, so
-return_hists=True simply stacks them as scan outputs (fp32 carry for
-training), and the backward is a reverse lax.scan over TWO merged
-pair-style kernels (kernels/lista3d_bwd) — the whole analysis adjoint
-(weight-grad + stack cotangent kept in VMEM scratch + per-source-slice
-depth-tap planes) and the whole synthesis adjoint (dz-dot + weight-grad
-sharing each window stack, plus dv/dt emission) — with the ST
-subgradient read straight off the stored codes.
+return_hists=True simply stacks them as scan outputs (hist3d_dtype carry
+— bf16 by default, CDLNET_HIST_DTYPE=f32 for exact grads; NB in 3D the
+carry IS the iteration state, so bf16 also rounds the training primal,
+unlike 2D where only the stored copies round). The backward is the
+whole-reverse-RESIDENT kernel (kernels/lista3d_bwd_resident: one program
+per sample, dv cotangent resident in VMEM across all K, DMA-streamed
+histories/banks) when its working set fits, else a reverse lax.scan over
+TWO merged pair-style kernels (kernels/lista3d_bwd) — the whole analysis
+adjoint and the whole synthesis adjoint — with the ST subgradient read
+straight off the stored codes. Routing lives in ONE place,
+lista3d_reverse_path / lista3d_train_supported.
 
 Input cotangents are ZERO BY CONSTRUCTION on the fused paths: training
 differentiates w.r.t. parameters only (MC-SURE's divergence term is a
@@ -33,9 +37,9 @@ parameter gradients). Do not use these wrappers for input-gradient work
 (saliency, input optimization) — use backend="xla" for that.
 
 When the reverse working set exceeds VMEM (big single images for 2D, big
-frames at fp32 carry for 3D), the custom VJPs keep the fused forward and
-fall back to the XLA scan's gradient internally (fused_fwd + xla_fwd +
-xla_bwd) — callers never lose the fused forward to a backward-size gate.
+frames for 3D), the custom VJPs keep the fused forward and fall back to
+the XLA scan's gradient internally (fused_fwd + xla_fwd + xla_bwd) —
+callers never lose the fused forward to a backward-size gate.
 """
 
 from __future__ import annotations
@@ -78,8 +82,9 @@ def hist3d_dtype():
 
 # ---------------------------------------------------------------------------
 # 3D: fully fused custom VJP (pair-path forward collecting z/r histories +
-# reverse-scan backward over the lista3d_bwd kernels). fp32 code carry so
-# gradients match the XLA scan's exactly (to MXU reassociation tolerance).
+# resident or scan reverse kernels). History carry per hist3d_dtype: bf16
+# default; CDLNET_HIST_DTYPE=f32 matches the XLA scan's gradients to MXU
+# reassociation tolerance.
 # ---------------------------------------------------------------------------
 
 
@@ -109,39 +114,59 @@ def _core3d(yp, A, B, t, c, mask, stride, interpret):
     return x
 
 
-def _core3d_fwd(yp, A, B, t, c, mask, stride, interpret):
-    from cdlnet_tpu.kernels.lista3d import (
-        lista3d_fused,
-        lista3d_fused_supported,
-    )
-    from cdlnet_tpu.kernels.lista3d_bwd import lista3d_bwd_supported
+def lista3d_reverse_path(M, C, P, s, K, D, H, W):
+    """Which fused 3D reverse path the VJP will run: "resident",
+    "scan", or None (XLA gradient fallback).
 
+    The ONE routing decision shared by _core3d_fwd (store histories or
+    not), _core3d_bwd (which reverse kernel), and
+    CDLNetVideo._use_pallas (route the training step to pallas at all) —
+    keeping three sites in sync by construction. Honors
+    CDLNET_LISTA3D_BWD_RESIDENT=0 (force the scan-of-kernels reverse),
+    still subject to the scan path's own VMEM gate."""
+    import os
+
+    from cdlnet_tpu.kernels.lista3d_bwd import lista3d_bwd_supported
     from cdlnet_tpu.kernels.lista3d_bwd_resident import (
         lista3d_bwd_resident_supported,
     )
 
+    env = os.environ.get("CDLNET_LISTA3D_BWD_RESIDENT")
+    if env != "0" and lista3d_bwd_resident_supported(M, C, P, s, K, D, H, W):
+        return "resident"
+    if lista3d_bwd_supported(M, C, P, s, K, D, H, W):
+        return "scan"
+    return None
+
+
+def lista3d_train_supported(M, C, P, s, K, D, H, W):
+    """True when the fully-fused 3D training path runs: the history
+    forward fits (at hist3d_dtype's z_bytes) AND a reverse kernel fits."""
+    from cdlnet_tpu.kernels.lista3d import lista3d_fused_supported
+
+    return lista3d_fused_supported(
+        M, C, P, s, K, D, H, W,
+        z_bytes=jnp.dtype(hist3d_dtype()).itemsize,
+    ) and lista3d_reverse_path(M, C, P, s, K, D, H, W) is not None
+
+
+def _core3d_fwd(yp, A, B, t, c, mask, stride, interpret):
+    from cdlnet_tpu.kernels.lista3d import lista3d_fused
+
     K, M = A.shape[0], A.shape[1]
     C = yp.shape[1]
     D, H, W = yp.shape[-3], yp.shape[-2], yp.shape[-1]
-    hist_dtype = hist3d_dtype()
-    # the history path must fit BOTH the forward pair and a reverse path
-    # (whole-reverse-resident kernel, else the scan-of-kernels reverse —
-    # each gated by its own VMEM estimate)
-    if lista3d_fused_supported(
-        M, C, A.shape[-3:], stride, K, D, H, W,
-        z_bytes=jnp.dtype(hist_dtype).itemsize,
-    ) and (
-        lista3d_bwd_resident_supported(M, C, A.shape[-3:], stride, K, D, H, W)
-        or lista3d_bwd_supported(M, C, A.shape[-3:], stride, K, D, H, W)
-    ):
-        # fused gradient path: stacked z/r histories (see hist3d_dtype
-        # for the carry-dtype tradeoff)
+    if lista3d_train_supported(M, C, A.shape[-3:], stride, K, D, H, W):
+        # fused gradient path: the z/r histories ARE the iteration carry,
+        # stacked as scan outputs — at the default bf16 hist3d_dtype the
+        # 3D training forward itself iterates in bf16 (unlike 2D, where
+        # the kernel computes fp32 and only the STORED copies round)
         x, _, (z_hist, r_hist) = lista3d_fused(
             yp, A, B, t, c, stride=stride, mask=mask, return_z=False,
-            z_dtype=hist_dtype, interpret=interpret, return_hists=True,
+            z_dtype=hist3d_dtype(), interpret=interpret, return_hists=True,
         )
         return x, (yp, A, B, t, c, mask, z_hist, r_hist)
-    # fp32 working set too big: bf16 fused forward + XLA gradient fallback
+    # history working set too big: bf16 fused forward + XLA grad fallback
     x, _ = lista3d_fused(
         yp, A, B, t, c, stride=stride, mask=mask, return_z=False,
         interpret=interpret,
@@ -158,33 +183,25 @@ def _core3d_bwd(stride, interpret, res, gx):
         )
         dA, dB, dt = vjp(gx)
     else:
-        import os
-
         from cdlnet_tpu.kernels.lista3d_bwd import lista3d_fused_bwd
         from cdlnet_tpu.kernels.lista3d_bwd_resident import (
-            lista3d_bwd_resident_supported,
             lista3d_fused_bwd_resident,
         )
 
         K, M = A.shape[0], A.shape[1]
         C = yp.shape[1]
         D, H, W = yp.shape[-3], yp.shape[-2], yp.shape[-1]
-        # whole-reverse-resident kernel when it fits (dv never leaves
-        # VMEM: ~3.7x less HBM traffic than the scan reverse);
-        # CDLNET_LISTA3D_BWD_RESIDENT=0 forces the scan-of-kernels path
-        env = os.environ.get("CDLNET_LISTA3D_BWD_RESIDENT")
-        if env != "0" and lista3d_bwd_resident_supported(
-            M, C, A.shape[-3:], stride, K, D, H, W
-        ):
-            dA, dB, dt = lista3d_fused_bwd_resident(
-                gx, yp, A, B, t, c, mask, z_hist, r_hist, stride=stride,
-                interpret=interpret,
-            )
-        else:
-            dA, dB, dt = lista3d_fused_bwd(
-                gx, yp, A, B, t, c, mask, z_hist, r_hist, stride=stride,
-                interpret=interpret,
-            )
+        # same routing decision _core3d_fwd made when it chose to store
+        # histories (resident when it fits unless the env forces scan —
+        # the whole-reverse-resident kernel keeps dv in VMEM, ~3.7x less
+        # HBM traffic than the scan reverse)
+        path = lista3d_reverse_path(M, C, A.shape[-3:], stride, K, D, H, W)
+        run = (lista3d_fused_bwd_resident if path == "resident"
+               else lista3d_fused_bwd)
+        dA, dB, dt = run(
+            gx, yp, A, B, t, c, mask, z_hist, r_hist, stride=stride,
+            interpret=interpret,
+        )
     dc = jnp.zeros_like(jnp.asarray(c))
     dmask = None if mask is None else jnp.zeros_like(mask)
     return (jnp.zeros_like(yp), dA, dB, dt, dc, dmask)
@@ -308,9 +325,12 @@ def lista2d_fused_diff(yp, A, B, t, c, stride=1, mask=None, interpret=False):
 def lista3d_fused_diff(yp, A, B, t, c, stride=1, mask=None, interpret=False):
     """Differentiable fused 3D LISTA + final synthesis. Returns xphat.
 
-    Fully fused: pair-path forward with fp32 code carry collecting the
-    per-iteration z/r histories (they stream through HBM anyway), reverse
-    scan over the lista3d_bwd kernels for the gradient."""
+    Fully fused: pair-path forward (hist3d_dtype code carry — bf16 by
+    default, so the training primal rounds with it; CDLNET_HIST_DTYPE=f32
+    for exactness) collecting the per-iteration z/r histories (they
+    stream through HBM anyway), then the whole-reverse-resident kernel —
+    or the lista3d_bwd reverse scan — for the gradient
+    (lista3d_reverse_path)."""
     return _core3d(yp, A, B, t, jnp.asarray(c), mask, stride, interpret)
 
 

@@ -569,9 +569,12 @@ def hist_dtype():
     26.8 -> 17.6 ms — at a few-percent relative gradient deviation; the
     flagship-scale training gates (tools/parity_train3d.py,
     tools/flagship_gate.py protocols) show no end-metric degradation.
-    Set CDLNET_HIST_DTYPE=f32 (alias CDLNET_LISTA3D_HIST_DTYPE) for
-    reassociation-exact gradients (match the XLA scan to ~3e-4 on TPU,
-    ~1e-7 interpret)."""
+    Scope differs by dimension: the 2D kernel computes fp32 and only the
+    STORED history copies round, while the 3D pair path's history IS the
+    iteration carry, so bf16 there also rounds the training primal
+    (matching the bf16 inference default). Set CDLNET_HIST_DTYPE=f32
+    (alias CDLNET_LISTA3D_HIST_DTYPE) for reassociation-exact gradients
+    (match the XLA scan to ~3e-4 on TPU, ~1e-7 interpret)."""
     import os
 
     env = (os.environ.get("CDLNET_HIST_DTYPE")

@@ -236,7 +236,6 @@ def _kernel_ana_bwd(*refs, Qd, Qh, Qw, Cp, Wc, dlo, hlo, wlo,
         preferred_element_type=jnp.float32,
     )
     if emit_dr:
-        dv_ref[0, 0] = dv
         w_ref[:] = -jax.lax.dot_general(
             A2m_ref[:], dv, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,

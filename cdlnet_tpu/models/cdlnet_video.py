@@ -121,22 +121,10 @@ class CDLNetVideo:
             # backward and loses to plain XLA end-to-end
             if params.get("residual") is not None:
                 return False
-            from cdlnet_tpu.kernels.autodiff import hist3d_dtype
-            from cdlnet_tpu.kernels.lista3d_bwd import lista3d_bwd_supported
-            from cdlnet_tpu.kernels.lista3d_bwd_resident import (
-                lista3d_bwd_resident_supported,
-            )
+            from cdlnet_tpu.kernels.autodiff import lista3d_train_supported
 
-            return lista3d_fused_supported(
-                self.M, self.C, self.P, self.s, self.K, D, H, W,
-                z_bytes=jnp.dtype(hist3d_dtype()).itemsize,
-            ) and (
-                lista3d_bwd_resident_supported(
-                    self.M, self.C, self.P, self.s, self.K, D, H, W
-                )
-                or lista3d_bwd_supported(
-                    self.M, self.C, self.P, self.s, self.K, D, H, W
-                )
+            return lista3d_train_supported(
+                self.M, self.C, self.P, self.s, self.K, D, H, W
             )
         return lista3d_fused_supported(
             self.M, self.C, self.P, self.s, self.K, D, H, W,

@@ -155,8 +155,9 @@ def test_fused3d_supported_predicate():
 
 
 def test_fused3d_bwd_gate_tighter_than_fwd():
-    """The fp32-history gradient path gates on the BACKWARD estimate too
-    (_kernel_ana_wgrad peaks ~1.6x the forward pair, ADVICE r1): there is a
+    """The history gradient path gates on the BACKWARD estimate too (the
+    reverse kernels' working sets exceed the forward pair's — counted in
+    lista3d_bwd_supported's est_ana/est_syn; ADVICE r1): there is a
     frame-size band where the forward fits but the reverse kernels do not —
     those shapes must take the XLA-gradient fallback, not OOM Mosaic."""
     from cdlnet_tpu.kernels.lista3d_bwd import lista3d_bwd_supported
@@ -435,6 +436,28 @@ def test_fused3d_bwd_kernels_grads_match_xla(s, P, M, K, use_mask,
     for name, a, b in zip("ABt", g_ref, g_pal):
         rel = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-12)
         assert rel < 1e-4, (name, rel)
+
+
+def test_lista3d_reverse_path_routing(monkeypatch):
+    """lista3d_reverse_path: resident when it fits, scan when forced or
+    resident doesn't fit, None (XLA fallback) when NEITHER gate passes —
+    including under CDLNET_LISTA3D_BWD_RESIDENT=0 (previously the env
+    force skipped the scan path's own VMEM gate)."""
+    import cdlnet_tpu.kernels.lista3d_bwd as k3b
+    import cdlnet_tpu.kernels.lista3d_bwd_resident as k3r
+    from cdlnet_tpu.kernels.autodiff import lista3d_reverse_path
+
+    args = (8, 1, (5, 5, 3), 2, 2, 8, 32, 32)
+    assert lista3d_reverse_path(*args) == "resident"
+    monkeypatch.setenv("CDLNET_LISTA3D_BWD_RESIDENT", "0")
+    assert lista3d_reverse_path(*args) == "scan"
+    monkeypatch.setattr(k3b, "lista3d_bwd_supported", lambda *a, **kw: False)
+    assert lista3d_reverse_path(*args) is None  # env force respects gates
+    monkeypatch.delenv("CDLNET_LISTA3D_BWD_RESIDENT")
+    assert lista3d_reverse_path(*args) == "resident"
+    monkeypatch.setattr(
+        k3r, "lista3d_bwd_resident_supported", lambda *a, **kw: False)
+    assert lista3d_reverse_path(*args) is None
 
 
 def test_fused2d_bwd_bf16_hist_tolerance():
