@@ -344,17 +344,44 @@ def _tiled2d(yp, A, B, t, c, mask, stride, interpret):
 
 
 def _tiled2d_fwd(yp, A, B, t, c, mask, stride, interpret):
-    return _tiled2d(yp, A, B, t, c, mask, stride, interpret), \
-        (yp, A, B, t, c, mask)
+    from cdlnet_tpu.kernels.lista2d import hist_dtype
+    from cdlnet_tpu.kernels.lista2d_tiled import lista2d_tiled
+    from cdlnet_tpu.kernels.lista2d_tiled_bwd import (
+        lista2d_tiled_bwd_supported,
+    )
+
+    K, M = A.shape[0], A.shape[1]
+    C = yp.shape[1]
+    H, W = yp.shape[-2], yp.shape[-1]
+    if lista2d_tiled_bwd_supported(M, C, A.shape[-1], stride, K, H, W):
+        # banded fused gradient path: stack the code/residual streams the
+        # banded forward carries through HBM anyway
+        x, _, (z_hist, r_hist) = lista2d_tiled(
+            yp, A, B, t, c, stride=stride, mask=mask, return_z=False,
+            z_dtype=hist_dtype(), interpret=interpret, return_hists=True,
+        )
+        return x, (yp, A, B, t, c, mask, z_hist, r_hist)
+    x = _tiled2d(yp, A, B, t, c, mask, stride, interpret)
+    return x, (yp, A, B, t, c, mask, None, None)
 
 
 def _tiled2d_bwd(stride, interpret, res, gx):
-    yp, A, B, t, c, mask = res
-    _, vjp = jax.vjp(
-        lambda A, B, t: _xla_forward_2d(yp, A, B, t, c, mask, stride),
-        A, B, t,
-    )
-    dA, dB, dt = vjp(gx)
+    yp, A, B, t, c, mask, z_hist, r_hist = res
+    if z_hist is None:  # XLA-gradient fallback
+        _, vjp = jax.vjp(
+            lambda A, B, t: _xla_forward_2d(yp, A, B, t, c, mask, stride),
+            A, B, t,
+        )
+        dA, dB, dt = vjp(gx)
+    else:
+        from cdlnet_tpu.kernels.lista2d_tiled_bwd import (
+            lista2d_tiled_fused_bwd,
+        )
+
+        dA, dB, dt = lista2d_tiled_fused_bwd(
+            gx, yp, A, B, t, c, mask, z_hist, r_hist, stride=stride,
+            interpret=interpret,
+        )
     dc = jnp.zeros_like(jnp.asarray(c))
     dmask = None if mask is None else jnp.zeros_like(mask)
     return (jnp.zeros_like(yp), dA, dB, dt, dc, dmask)
@@ -364,9 +391,10 @@ _tiled2d.defvjp(_tiled2d_fwd, _tiled2d_bwd)
 
 
 def lista2d_tiled_diff(yp, A, B, t, c, stride=1, mask=None, interpret=False):
-    """Banded big-image fused forward (kernels/lista2d_tiled) with the XLA
-    scan's gradient (the banded path is inference-grade; training crops
-    always fit the whole-K-resident differentiable kernel). Returns xphat."""
+    """Banded big-image fused forward (kernels/lista2d_tiled),
+    differentiable. When the banded whole-reverse-resident kernel fits
+    (kernels/lista2d_tiled_bwd), the gradient is fully fused; otherwise
+    the custom VJP falls back to the XLA scan's gradient. Returns xphat."""
     return _tiled2d(yp, A, B, t, jnp.asarray(c), mask, stride, interpret)
 
 

@@ -178,11 +178,17 @@ def _kernel_ana_band(ru_ref, rc_ref, rd_ref, z_ref, tb_ref, cv_ref, A2m_ref,
 
 
 def lista2d_tiled(yp, A, B, t, c, stride=1, mask=None, return_z=False,
-                  z_dtype=jnp.bfloat16, interpret=False, band=None):
+                  z_dtype=jnp.bfloat16, interpret=False, band=None,
+                  return_hists=False):
     """Banded per-iteration fused 2D LISTA for big images. Same contract
     as lista2d_fused: returns (xphat, z or None), matching the XLA scan
     to the z_dtype carry tolerance (~0.5% codes, <0.02 dB on trained
-    models; pass z_dtype=jnp.float32 for fp32-exactness)."""
+    models; pass z_dtype=jnp.float32 for fp32-exactness).
+
+    return_hists=True (training residuals for the banded reverse kernel,
+    kernels/lista2d_tiled_bwd) additionally returns (z_hist (K, N, nb, M,
+    Lb) in z_dtype, r_hist (K-1, N, nb, Cp, Lb) fp32) — the scan stacks
+    the code/residual streams it carries through HBM anyway."""
     from jax.experimental.pallas import tpu as pltpu
 
     N, C, H, W = yp.shape
@@ -305,14 +311,15 @@ def lista2d_tiled(yp, A, B, t, c, stride=1, mask=None, return_z=False,
     # k = 0: z = ST(A0 y2, tau0) via analyze(r=-y2, z=0)
     z0 = jnp.zeros((N, nb, M, Lb), z_dtype)
     z = analyze(-y2.astype(jnp.float32), z0, A2m[0], tbank[0], True)
+    z_first = z
 
     def body(z, xs):
         A2m_k, B2m_k, tb_k = xs
         r = synthesize(z, B2m_k, sub_y=True)
         z = analyze(r, z, A2m_k, tb_k, False)
-        return z, None
+        return z, ((z, r) if return_hists else None)
 
-    z, _ = lax.scan(body, z, (A2m[1:], B2m[1:], tbank[1:]))
+    z, hists = lax.scan(body, z, (A2m[1:], B2m[1:], tbank[1:]))
 
     x2 = synthesize(z, B2m[0], sub_y=False)  # (N, nb, Cp, Lb)
     xphat = pp.depth_to_space(
@@ -325,4 +332,8 @@ def lista2d_tiled(yp, A, B, t, c, stride=1, mask=None, return_z=False,
         if return_z
         else None
     )
+    if return_hists:
+        zs, rs = hists
+        z_hist = jnp.concatenate([z_first[None], zs], axis=0)
+        return xphat, z_out, (z_hist, rs)
     return xphat, z_out

@@ -20,12 +20,14 @@ def route_lista2d(yp, A, B, t, c, *, M, C, P, s, K, mask, return_z,
     whole-image path (document at the model layer).
 
     train=True declares the call will be differentiated (a training
-    step). Shapes whose hand-written reverse kernel does not fit VMEM
-    then route to None (pure XLA): the custom-VJP's internal XLA-gradient
-    fallback re-runs the whole XLA forward inside the backward, so
-    "fused forward + XLA vjp" costs MORE than plain XLA end-to-end
-    (measured 113 vs 68 ms/step at batch 4 x 256^2 flagship-2D) — the
-    fused primal only pays off when its reverse kernel runs too."""
+    step). Shapes whose whole-image reverse kernel does not fit VMEM
+    route to the BANDED kernels when the banded reverse
+    (kernels/lista2d_tiled_bwd) fits, else to None (pure XLA): the
+    custom-VJP's internal XLA-gradient fallback re-runs the whole XLA
+    forward inside the backward, so "fused forward + XLA vjp" costs MORE
+    than plain XLA end-to-end (measured 113 vs 68 ms/step at batch
+    4 x 256^2 flagship-2D) — a fused primal only pays off when its
+    reverse kernel runs too."""
     from cdlnet_tpu.kernels.lista2d import (
         lista2d_bwd_supported,
         lista2d_fused,
@@ -34,6 +36,17 @@ def route_lista2d(yp, A, B, t, c, *, M, C, P, s, K, mask, return_z,
 
     H, W = yp.shape[-2], yp.shape[-1]
     if train and not return_z and not lista2d_bwd_supported(M, C, P, s, K, H, W):
+        from cdlnet_tpu.kernels.lista2d_tiled import lista2d_tiled_supported
+        from cdlnet_tpu.kernels.lista2d_tiled_bwd import (
+            lista2d_tiled_bwd_supported,
+        )
+
+        if lista2d_tiled_supported(M, C, P, s, K, H, W) and \
+                lista2d_tiled_bwd_supported(M, C, P, s, K, H, W):
+            from cdlnet_tpu.kernels.autodiff import lista2d_tiled_diff
+
+            return lista2d_tiled_diff(yp, A, B, t, c, stride=s,
+                                      mask=mask), None
         return None
     if lista2d_fused_supported(M, C, P, s, K, H, W, return_z=return_z):
         if not return_z:

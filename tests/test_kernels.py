@@ -438,6 +438,60 @@ def test_fused3d_bwd_kernels_grads_match_xla(s, P, M, K, use_mask,
         assert rel < 1e-4, (name, rel)
 
 
+@pytest.mark.parametrize(
+    "s,P,M,K,use_mask,band",
+    [(2, 7, 8, 3, False, 8), (2, 5, 8, 2, True, 8)],
+)
+def test_tiled_bwd_kernel_grads_match_xla(s, P, M, K, use_mask, band,
+                                          monkeypatch):
+    """The banded whole-reverse-resident 2D backward
+    (kernels/lista2d_tiled_bwd) matches the XLA scan's autodiff on
+    weight/threshold gradients (fp32-history mode; multi-band, with
+    per-sample sigma and the masked JDD path)."""
+    monkeypatch.setenv("CDLNET_HIST_DTYPE", "f32")
+    from cdlnet_tpu.kernels.lista2d_tiled import lista2d_tiled
+    from cdlnet_tpu.kernels.lista2d_tiled_bwd import lista2d_tiled_fused_bwd
+
+    C = 1
+    N, H, W = 2, 32, 512  # Wc = 256 (lane-aligned), Hc = 16 -> 2 bands
+    yp = jax.random.normal(jax.random.PRNGKey(0), (N, C, H, W),
+                           jnp.float32) * 0.3
+    A = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (K, M, C, P, P),
+                                jnp.float32)
+    B = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (K, M, C, P, P),
+                                jnp.float32)
+    t = 0.02 * jnp.abs(jax.random.normal(jax.random.PRNGKey(3),
+                                         (K, 2, M, 1, 1)))
+    c = jnp.asarray([0.1, 0.2]).reshape(2, 1, 1, 1)
+    mask = (
+        (jax.random.uniform(jax.random.PRNGKey(9), yp.shape) > 0.5)
+        .astype(jnp.float32) if use_mask else None
+    )
+    tgt = jax.random.uniform(jax.random.PRNGKey(4), yp.shape)
+    pads = (P - 1) // 2
+
+    def loss_ref(params):
+        A_, B_, t_ = params
+        z = lista_2d(yp, A_, B_, t_, c, mask=mask, stride=s)
+        x = conv_transpose2d(z, B_[0], stride=s, padding=pads,
+                             output_padding=s - 1)
+        return jnp.mean((x - tgt) ** 2)
+
+    _, g_ref = jax.value_and_grad(loss_ref)((A, B, t))
+
+    x, _, (zh, rh) = lista2d_tiled(
+        yp, A, B, t, c, stride=s, mask=mask, return_z=False,
+        z_dtype=jnp.float32, interpret=True, return_hists=True, band=band,
+    )
+    dxp = 2.0 * (x - tgt) / x.size
+    g_tl = lista2d_tiled_fused_bwd(
+        dxp, yp, A, B, t, c, mask, zh, rh, stride=s, interpret=True
+    )
+    for name, a, b in zip("ABt", g_ref, g_tl):
+        rel = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-12)
+        assert rel < 1e-4, (name, rel)
+
+
 def test_lista3d_reverse_path_routing(monkeypatch):
     """lista3d_reverse_path: resident when it fits, scan when forced or
     resident doesn't fit, None (XLA fallback) when NEITHER gate passes —
@@ -749,30 +803,50 @@ def test_tiled_supported_and_routing(monkeypatch):
     np.testing.assert_allclose(np.asarray(x_got), np.asarray(x_ref), atol=5e-3)
 
 
-def test_train_routing_avoids_xla_vjp_fallback():
+def test_train_routing_avoids_xla_vjp_fallback(monkeypatch):
     """train=True (a call that will be differentiated) must not pick a
     pallas path whose reverse kernel does not fit VMEM: the custom-VJP's
     XLA-gradient fallback re-runs the whole XLA forward inside the
     backward, so fused-fwd + XLA-vjp costs MORE than plain XLA end-to-end
-    (measured 113 vs 68 ms/step at batch 4 x 256^2 flagship-2D)."""
+    (measured 113 vs 68 ms/step at batch 4 x 256^2 flagship-2D). Big
+    LANE-ALIGNED crops route to the banded fused path
+    (kernels/lista2d_tiled_bwd); unalignable ones to None (pure XLA)."""
+    import cdlnet_tpu.kernels.autodiff as ad
     from cdlnet_tpu.kernels.lista2d import lista2d_bwd_supported
+    from cdlnet_tpu.kernels.lista2d_tiled_bwd import (
+        lista2d_tiled_bwd_supported,
+    )
     from cdlnet_tpu.kernels.routing import route_lista2d
 
     M, C, P, s, K = 169, 1, 7, 2, 30
-    # flagship training crop: reverse kernel fits -> fused path stays
+    # flagship training crop: whole-image reverse kernel fits
     assert lista2d_bwd_supported(M, C, P, s, K, 128, 128)
-    # big crops: the reverse kernel does not fit
+
+    marker = object()
+    monkeypatch.setattr(ad, "lista2d_tiled_diff",
+                        lambda *a, **kw: marker)
+
+    A = jnp.zeros((K, M, C, P, P), jnp.float32)
+    B = jnp.zeros((K, M, C, P, P), jnp.float32)
+    t = jnp.zeros((K, 2, M, 1, 1), jnp.float32)
+
+    # big aligned crops: whole-image reverse does not fit, banded does
     for H in (256, 512):
         assert not lista2d_bwd_supported(M, C, P, s, K, H, H)
-        yp = jnp.zeros((1, C, H, H), jnp.float32)
-        A = jnp.zeros((K, M, C, P, P), jnp.float32)
-        B = jnp.zeros((K, M, C, P, P), jnp.float32)
-        t = jnp.zeros((K, 2, M, 1, 1), jnp.float32)
+        assert lista2d_tiled_bwd_supported(M, C, P, s, K, H, H)
         out = route_lista2d(
-            yp, A, B, t, 25.0 / 255.0, M=M, C=C, P=P, s=s, K=K,
-            mask=None, return_z=False, train=True,
+            jnp.zeros((1, C, H, H), jnp.float32), A, B, t, 25.0 / 255.0,
+            M=M, C=C, P=P, s=s, K=K, mask=None, return_z=False, train=True,
         )
-        assert out is None  # caller falls back to the XLA scan
+        assert out is not None and out[0] is marker
+
+    # lane-unalignable width (Wc=130): no fused reverse -> pure XLA
+    assert not lista2d_tiled_bwd_supported(M, C, P, s, K, 260, 260)
+    out = route_lista2d(
+        jnp.zeros((1, C, 260, 260), jnp.float32), A, B, t, 25.0 / 255.0,
+        M=M, C=C, P=P, s=s, K=K, mask=None, return_z=False, train=True,
+    )
+    assert out is None
 
 
 def test_video_train_gate_requires_bwd_fit(monkeypatch):
