@@ -100,10 +100,13 @@ class CDLNet:
         VJPs produce PARAMETER gradients only: cotangents w.r.t. the
         input y / sigma / mask are zero by construction — for saliency,
         input optimization, or nested differentiation use backend="xla".
-        train=True (set by the training step) routes shapes whose reverse
-        kernel does not fit VMEM to the XLA scan instead: the VJP's
-        internal XLA-gradient fallback would re-run the forward and lose
-        to plain XLA end-to-end (see routing.route_lista2d).
+        train=True (set by the training step) picks a path whose REVERSE
+        kernel also fits: the whole-image reverse for training crops, the
+        banded whole-reverse-resident kernel
+        (kernels/lista2d_tiled_bwd) for big lane-aligned crops, else the
+        XLA scan — the VJP's internal XLA-gradient fallback would re-run
+        the forward and lose to plain XLA end-to-end
+        (see routing.route_lista2d).
         NB on the
         banded path (big images) the returned z carries bfloat16 rounding
         (~0.5% vs the fp32-exact whole-image path) — code-statistics work
