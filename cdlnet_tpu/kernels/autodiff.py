@@ -361,7 +361,9 @@ def _tiled2d_fwd(yp, A, B, t, c, mask, stride, interpret):
             z_dtype=hist_dtype(), interpret=interpret, return_hists=True,
         )
         return x, (yp, A, B, t, c, mask, z_hist, r_hist)
-    x = _tiled2d(yp, A, B, t, c, mask, stride, interpret)
+    # banded reverse doesn't fit: banded forward + XLA gradient fallback
+    x, _ = lista2d_tiled(yp, A, B, t, c, stride=stride, mask=mask,
+                         return_z=False, interpret=interpret)
     return x, (yp, A, B, t, c, mask, None, None)
 
 

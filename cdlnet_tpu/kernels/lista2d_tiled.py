@@ -16,8 +16,14 @@ lane-roll; interior columns are sliced out after the roll, so no row
 border masks are needed at all — only the Wc-periodic column masks.
 All dots keep the whole-image kernels' MXU shapes (T*Cp-deep analysis
 contraction, merged (T*Cp)-row synthesis dot with output-side rolls).
-Inference-only: the reference's training crops (128^2) always fit the
-whole-K-resident differentiable kernel.
+
+Training: big crops use this forward too. With return_hists=True the scan
+stacks the code/residual streams it already carries through HBM, and the
+banded whole-reverse-resident kernel (kernels/lista2d_tiled_bwd) consumes
+them — lista2d_tiled_diff's custom VJP wires the pair up, and
+routing.route_lista2d sends big lane-aligned training crops here. The
+reference's 128^2 training crops still take the whole-K-resident
+differentiable kernel (kernels/lista2d).
 """
 
 from __future__ import annotations
@@ -72,14 +78,17 @@ def lista2d_tiled_supported(M, C, P, s, K, H, W) -> bool:
     return _pick_band(M, C, P, s, H // s, W // s) is not None
 
 
-def _pick_band(M, C, P, s, Hc, Wc):
+def _pick_band(M, C, P, s, Hc, Wc, z_bytes=2):
     """Largest fitting band height. Hc need NOT be divisible: the wrapper
     zero-pads the code grid to a band multiple and masks pad rows every
-    iteration (exactly the conv's zero-padding semantics)."""
+    iteration (exactly the conv's zero-padding semantics). z_bytes is the
+    code-carry width — 2 for bf16 inference, the hist dtype's width for
+    the training forward (lista2d_tiled picks with its actual z_dtype)."""
     P_, pads, Qh, Qw, qlh, qlw, Hh = _geometry(P, s)
     T, Cp = Qh * Qw, C * s * s
     for Bh in (128, 64, 32, 16, 8):
-        if Bh > Hh and _band_bytes(M, Cp, T, Bh, Wc, Hh) < _VMEM_BUDGET:
+        if Bh > Hh and _band_bytes(M, Cp, T, Bh, Wc, Hh,
+                                   z_bytes=z_bytes) < _VMEM_BUDGET:
             return Bh
     return None
 
@@ -198,7 +207,8 @@ def lista2d_tiled(yp, A, B, t, c, stride=1, mask=None, return_z=False,
     Hc, Wc = H // s, W // s
     Cp = C * s * s
     T = Qh * Qw
-    Bh = band if band is not None else _pick_band(M, C, P, s, Hc, Wc)
+    Bh = band if band is not None else _pick_band(
+        M, C, P, s, Hc, Wc, z_bytes=jnp.dtype(z_dtype).itemsize)
     assert Bh is not None, "caller must gate on lista2d_tiled_supported"
     Hcp = -(-Hc // Bh) * Bh   # ragged Hc: zero-pad rows, mask each iteration
     nb = Hcp // Bh

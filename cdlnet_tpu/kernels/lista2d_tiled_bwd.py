@@ -15,10 +15,11 @@ BANDS playing the depth-slice role:
     (only ~2 x (Mp8, Bh*Wc) of the z history is ever resident);
   - all algebra is the whole-image reverse kernel's (lista2d._kernel_bwd)
     expressed on guarded flat windows: in-plane taps are lane rolls whose
-    masks (acolm/arowm/smm, zero-extended into the guards) already encode
-    the image borders, so band edges need no special cases — roll-backs
+    masks (acolm/smm, zero-extended into the guards) already encode the
+    image borders, so band edges need no special cases — roll-backs
     simply scatter-accumulate into the guard columns and the guards of
-    masks kill out-of-image contributions.
+    masks kill out-of-image contributions. (No separate row mask is
+    needed: the guard zeros already kill cross-row roll wraparound.)
 
 Weight banks ride in (K, Mp8, T*Cp) layout and dB comes back transposed,
 keeping every HBM slice's lane extent 128-aligned (Mosaic rejects
@@ -36,6 +37,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from cdlnet_tpu.kernels.dma import make_dma_helpers
 from cdlnet_tpu.kernels.lista2d import _axis_masks, _prep_A2m, _prep_B2m
 from cdlnet_tpu.kernels.lista2d_tiled import _VMEM_BUDGET, _geometry
 from cdlnet_tpu.ops import polyphase as pp
@@ -49,25 +51,36 @@ def _bwd_geometry(P, s, Hc, Wc):
     return pads, Qh, Qw, q_lo_h, q_lo_w, T, G
 
 
-def _bwd_fits(M, C, P, s, Hc, Wc, Bh):
+def _bwd_fits(M, C, P, s, Hc, Wc, Bh, use_mask=True, hist_bytes=None):
     """Reverse working-set estimate for the band height the FORWARD picked
     (the histories arrive banded at that Bh, so there is no separate
-    choice here)."""
+    choice here). Counts every VMEM resident: the explicit scratches, the
+    double-buffered blocked inputs (dx2/y2[/m2] — Mosaic allocates 2 slots
+    per grid-varying block), the whole-array VMEM masks, and the z ring at
+    the history dtype (bf16 by default, 4 B under CDLNET_HIST_DTYPE=f32).
+    use_mask defaults True so gates that don't know mask-ness stay
+    conservative."""
+    from cdlnet_tpu.kernels.lista2d import hist_dtype
+
+    if hist_bytes is None:
+        hist_bytes = jnp.dtype(hist_dtype()).itemsize
     pads, Qh, Qw, qlh, qlw, T, G = _bwd_geometry(P, s, Hc, Wc)
     Cp = C * s * s
     Cp8 = -(-Cp // 8) * 8
     Mp8 = -(-M // 8) * 8
     Lg = Hc * Wc + 2 * G
     Lb = Bh * Wc
+    n_in = 2 + (1 if use_mask else 0)  # dx2, y2 [, m2] blocked inputs
     est = (
-        Mp8 * Lg                       # dv resident (guarded)
-        + 4 * Cp8 * Lg                 # ds, r, + dx2/y2 blocks
-        + (Qh + Qw + T) * Lg           # guarded masks
-        + T * Cp * Lb                  # stack / stack2 (shared)
-        + 2 * Mp8 * Lb // 2            # 2-slot bf16 z ring
-        + 2 * Mp8 * Lb                 # dz/dv band temporaries
-        + 6 * Mp8 * T * Cp             # bank slots + staging
-    ) * 4
+        Mp8 * Lg * 4                   # dv resident (guarded)
+        + 2 * Cp8 * Lg * 4             # ds, r scratches (guarded)
+        + n_in * 2 * Cp * Lg * 4       # double-buffered input blocks
+        + (Qw + T) * Lg * 4            # guarded masks (acolm, smm)
+        + T * Cp * Lb * 4              # stack / stack2 (shared)
+        + 2 * Mp8 * Lb * hist_bytes    # 2-slot z ring (hist dtype)
+        + 2 * Mp8 * Lb * 4             # dz/dv band temporaries
+        + 6 * Mp8 * T * Cp * 4         # bank slots + staging
+    )
     return est < _VMEM_BUDGET
 
 
@@ -76,7 +89,9 @@ def lista2d_tiled_bwd_supported(M, C, P, s, K, H, W) -> bool:
     lane-aligned code rows (Wc % 128 == 0 keeps every band window, mask
     slice, and z-band DMA 128-aligned), band-divisible height (no ragged
     rows — the implicit-vm argument needs every hist row real), and the
-    reverse working set fits at the forward's band pick."""
+    reverse working set fits at the band the TRAINING forward will pick
+    (it runs at hist_dtype, so the pick is made at that z width too)."""
+    from cdlnet_tpu.kernels.lista2d import hist_dtype
     from cdlnet_tpu.kernels.lista2d_tiled import _pick_band
 
     if H % s or W % s:
@@ -84,10 +99,11 @@ def lista2d_tiled_bwd_supported(M, C, P, s, K, H, W) -> bool:
     Hc, Wc = H // s, W // s
     if Wc % 128:
         return False
-    Bh = _pick_band(M, C, P, s, Hc, Wc)
+    hb = jnp.dtype(hist_dtype()).itemsize
+    Bh = _pick_band(M, C, P, s, Hc, Wc, z_bytes=hb)
     if Bh is None or Hc % Bh or (Bh * Wc) % 128:
         return False
-    return _bwd_fits(M, C, P, s, Hc, Wc, Bh)
+    return _bwd_fits(M, C, P, s, Hc, Wc, Bh, hist_bytes=hb)
 
 
 def _kernel_tiled_bwd(*refs, K, nb, Bh, Qh, Qw, Cp, Wc, G,
@@ -95,7 +111,7 @@ def _kernel_tiled_bwd(*refs, K, nb, Bh, Qh, Qw, Cp, Wc, G,
     """Whole reverse loop for one sample. Grid (N,).
 
     inputs:  dx2f (1,Cp,Lg), y2f (1,Cp,Lg), [m2f (1,Cp,Lg)],
-             cv (1,1,1), acolm (Qw,Lg), arowm (Qh,Lg), smm (T,Lg),
+             cv (1,1,1), acolm (Qw,Lg), smm (T,Lg),
              zh ANY (K,N,Mp8,L) [hist-dtype], rh ANY (max(K-1,1),N,Cp8,Lg),
              a2m ANY (K,Mp8,T*Cp), b2m ANY (K,Mp8,T*Cp) [transposed]
     outputs: dA ANY (N,K,Mp8,T*Cp), dB ANY (N,K,Mp8,T*Cp) [transposed],
@@ -113,7 +129,7 @@ def _kernel_tiled_bwd(*refs, K, nb, Bh, Qh, Qw, Cp, Wc, G,
     m2_ref = None
     if use_mask:
         m2_ref = refs[i]; i += 1
-    (cv_ref, acolm_ref, arowm_ref, smm_ref, zh_ref, rh_ref, a2m_ref,
+    (cv_ref, acolm_ref, smm_ref, zh_ref, rh_ref, a2m_ref,
      b2m_ref, dA_ref, dB_ref, dt_ref, dv_ref, dsf_ref, rf_ref,
      stack_ref, zring_ref, aring_ref, bring_ref,
      dAs_ref, dBs_ref, zsem, asem, bsem, rsem, osem) = refs[i:]
@@ -130,62 +146,22 @@ def _kernel_tiled_bwd(*refs, K, nb, Bh, Qh, Qw, Cp, Wc, G,
     def roll(buf, off, width):
         return pltpu.roll(buf, (-off) % width, 1) if off % width else buf
 
-    def rem2(x):
-        return x % 2 if isinstance(x, int) else jax.lax.rem(x, 2)
+    dcopy, dma_start, dma_wait, floop, rem2 = make_dma_helpers(interp)
 
-    def floop(nn, body, init=0):
-        if interp:
-            c = init
-            for x in range(nn):
-                c = body(x, c)
-            return c
-        return jax.lax.fori_loop(0, nn, body, init)
-
-    # ---------------- DMA helpers ---------------------------------------
+    # ---------------- DMA helpers (descriptors rebuilt at wait) ----------
     def z_dma(k, b, slot):
         # interior band slice of the flat (unguarded) z history
-        return pltpu.make_async_copy(
-            zh_ref.at[k, n, :, pl.ds(b * Lb, Lb)], zring_ref.at[slot],
-            zsem.at[slot])
+        return dcopy(zh_ref.at[k, n, :, pl.ds(b * Lb, Lb)],
+                     zring_ref.at[slot], zsem.at[slot])
 
     def a_dma(k, slot):
-        return pltpu.make_async_copy(a2m_ref.at[k], aring_ref.at[slot],
-                                     asem.at[slot])
+        return dcopy(a2m_ref.at[k], aring_ref.at[slot], asem.at[slot])
 
     def b_dma(k, slot):
-        return pltpu.make_async_copy(b2m_ref.at[k], bring_ref.at[slot],
-                                     bsem.at[slot])
+        return dcopy(b2m_ref.at[k], bring_ref.at[slot], bsem.at[slot])
 
     def r_dma(k):
-        return pltpu.make_async_copy(rh_ref.at[k, n], rf_ref, rsem)
-
-    if interp:
-        class _I:
-            def __init__(self, src, dst):
-                self.src, self.dst = src, dst
-
-            def _interp_run(self):
-                self.dst[...] = self.src[...]
-
-        def z_dma(k, b, slot):  # noqa: F811
-            return _I(zh_ref.at[k, n, :, pl.ds(b * Lb, Lb)],
-                      zring_ref.at[slot])
-
-        def a_dma(k, slot):  # noqa: F811
-            return _I(a2m_ref.at[k], aring_ref.at[slot])
-
-        def b_dma(k, slot):  # noqa: F811
-            return _I(b2m_ref.at[k], bring_ref.at[slot])
-
-        def r_dma(k):  # noqa: F811
-            return _I(rh_ref.at[k, n], rf_ref)
-
-    def dma_start(d):
-        d._interp_run() if interp else d.start()
-
-    def dma_wait(d):
-        if not interp:
-            d.wait()
+        return dcopy(rh_ref.at[k, n], rf_ref, rsem)
 
     # ---------------- shared tap machinery -------------------------------
     def band_win(ref, b):
@@ -314,8 +290,7 @@ def _kernel_tiled_bwd(*refs, K, nb, Bh, Qh, Qw, Cp, Wc, G,
         dt_ref[k_next] += dtk
 
     def write_out(ref, staging, k, sem):
-        c = (pltpu.make_async_copy(staging, ref.at[n, k], sem)
-             if not interp else _I(staging, ref.at[n, k]))
+        c = dcopy(staging, ref.at[n, k], sem)
         dma_start(c)
         dma_wait(c)
 
@@ -364,8 +339,8 @@ def _kernel_tiled_bwd(*refs, K, nb, Bh, Qh, Qw, Cp, Wc, G,
     # in the fwd formulation (r := -y2), so emit dA with r = -y2 directly.
     rf_ref[:] = jnp.zeros_like(rf_ref)
     rf_ref[:Cp] = -y2_ref[0].astype(jnp.float32)
-    dma_start(a_dma(0, 0))
-    dma_wait(a_dma(0, 0))
+    # no A-bank DMA here: with emit_ds=False the phase computes only
+    # dA_0 = -dv @ stack(r_0)^T, which reads no weights
     ana_phase(0, emit_ds=False)
     write_out(dA_ref, dAs_ref, 0, osem)
 
@@ -448,7 +423,6 @@ def lista2d_tiled_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
     acolm = jnp.pad(
         jnp.asarray(_axis_masks([r_lo + ri for ri in range(Qw)], Hc, Wc, 1)),
         ((0, 0), (G, G)))
-    arow = jnp.asarray(_axis_masks([q_lo + qi for qi in range(Qh)], Hc, Wc, 0))
     acol_s = jnp.asarray(
         _axis_masks([ri - (Qw - 1) - r_lo for ri in range(Qw)], Hc, Wc, 1))
     arow_s = jnp.asarray(
@@ -456,7 +430,6 @@ def lista2d_tiled_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
     smm = jnp.pad(
         (arow_s[:, None, :] * acol_s[None, :, :]).reshape(T, Hc * Wc),
         ((0, 0), (G, G)))
-    arowm = jnp.pad(arow, ((0, 0), (G, G)))
 
     c_arr = jnp.asarray(c, jnp.float32).reshape(-1)
     if c_arr.size == 1:
@@ -471,7 +444,6 @@ def lista2d_tiled_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
                                    memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     anyspace = pl.BlockSpec(memory_space=pl.ANY)
-    Lw = Lb + 2 * G
 
     outs = pl.pallas_call(
         kern,
@@ -482,7 +454,7 @@ def lista2d_tiled_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
             + [
                 pl.BlockSpec((1, 1, 1), lambda n: (n, 0, 0),
                              memory_space=pltpu.VMEM),   # cv
-                full, full, full,                        # acolm, arowm, smm
+                full, full,                              # acolm, smm
                 anyspace, anyspace, anyspace, anyspace,  # zh, rh, a2m, b2m
             ]
         ),
@@ -517,7 +489,7 @@ def lista2d_tiled_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(dx2f, y2f, *ops_mask, cv, acolm, arowm, smm, zh, rh, A2mt, B2mt)
+    )(dx2f, y2f, *ops_mask, cv, acolm, smm, zh, rh, A2mt, B2mt)
 
     dA2m = jnp.sum(outs[0], axis=0)[:, :M]               # (K, M, T*Cp)
     dB2m = jnp.sum(outs[1], axis=0)[:, :M].transpose(0, 2, 1)  # (K,T*Cp,M)

@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from cdlnet_tpu.kernels.dma import make_dma_helpers
 from cdlnet_tpu.kernels.lista2d import _axis_masks
 from cdlnet_tpu.kernels.lista3d import _VMEM_BUDGET, _geom
 from cdlnet_tpu.ops import polyphase as pp
@@ -123,64 +124,20 @@ def _kernel_bwd_resident(*refs, K, Dc, Qd, Qh, Qw, Cp, Wc,
     def roll(buf, off):
         return pltpu.roll(buf, (-off) % Lhw, 1) if off % Lhw else buf
 
-    def rem2(x):
-        return x % 2 if isinstance(x, int) else jax.lax.rem(x, 2)
-
-    def floop(nn, body):
-        """fori_loop, statically unrolled in interpret mode (fori + ANY-ref
-        access trips a jax interpret-lowering KeyError — CLAUDE.md)."""
-        if interp:
-            for x in range(nn):
-                body(x, 0)
-        else:
-            jax.lax.fori_loop(0, nn, body, 0)
+    dcopy, dma_start, dma_wait, floop, rem2 = make_dma_helpers(interp)
 
     # ---------------- DMA helpers (descriptors reconstructed at wait) ----
     def z_dma(k, e, slot):
-        return pltpu.make_async_copy(
-            zh_ref.at[k, n, e], zring_ref.at[slot], zsem.at[slot])
+        return dcopy(zh_ref.at[k, n, e], zring_ref.at[slot], zsem.at[slot])
 
     def a_dma(k, slot):
-        return pltpu.make_async_copy(a2m_ref.at[k], aring_ref.at[slot],
-                                     asem.at[slot])
+        return dcopy(a2m_ref.at[k], aring_ref.at[slot], asem.at[slot])
 
     def b_dma(k, slot):
-        return pltpu.make_async_copy(b2m_ref.at[k], bring_ref.at[slot],
-                                     bsem.at[slot])
+        return dcopy(b2m_ref.at[k], bring_ref.at[slot], bsem.at[slot])
 
     def r_dma(k):  # whole depth slice of iteration k's residual
-        return pltpu.make_async_copy(
-            rh_ref.at[k, n], rwin_ref.at[pl.ds(Glo, Dc)], rsem)
-
-    def dma_start(d):
-        if interp:
-            d._interp_run()
-        else:
-            d.start()
-
-    def dma_wait(d):
-        if not interp:
-            d.wait()
-
-    if interp:
-        class _I:  # synchronous emulation: DMA engines absent on CPU
-            def __init__(self, src, dst):
-                self.src, self.dst = src, dst
-
-            def _interp_run(self):
-                self.dst[...] = self.src[...]
-
-        def z_dma(k, e, slot):  # noqa: F811
-            return _I(zh_ref.at[k, n, e], zring_ref.at[slot])
-
-        def a_dma(k, slot):  # noqa: F811
-            return _I(a2m_ref.at[k], aring_ref.at[slot])
-
-        def b_dma(k, slot):  # noqa: F811
-            return _I(b2m_ref.at[k], bring_ref.at[slot])
-
-        def r_dma(k):  # noqa: F811
-            return _I(rh_ref.at[k, n], rwin_ref.at[pl.ds(Glo, Dc)])
+        return dcopy(rh_ref.at[k, n], rwin_ref.at[pl.ds(Glo, Dc)], rsem)
 
     # ---------------- once per program: zero guards + init dt -----------
     @pl.when(n == 0)
@@ -331,14 +288,12 @@ def _kernel_bwd_resident(*refs, K, Dc, Qd, Qh, Qw, Cp, Wc,
         dt_ref[k_next] += dtk
 
     def write_dA(k):
-        c = (pltpu.make_async_copy(dAs_ref, dA_ref.at[n, k], osem)
-             if not interp else _I(dAs_ref, dA_ref.at[n, k]))
+        c = dcopy(dAs_ref, dA_ref.at[n, k], osem)
         dma_start(c)
         dma_wait(c)
 
     def write_dB(k):
-        c = (pltpu.make_async_copy(dBs_ref, dB_ref.at[n, k], osem)
-             if not interp else _I(dBs_ref, dB_ref.at[n, k]))
+        c = dcopy(dBs_ref, dB_ref.at[n, k], osem)
         dma_start(c)
         dma_wait(c)
 

@@ -136,10 +136,12 @@ class GDLNet:
         kernel, else the banded big-image kernels, else the XLA scan.
         Same caveats as CDLNet.apply: the fused VJPs produce PARAMETER
         gradients only (input/sigma/mask cotangents are zero — use
-        backend="xla" for input-gradient work), train=True routes
-        reverse-kernel-oversized shapes to the XLA scan, and on the
-        banded path (big images) return_z=True codes carry bfloat16
-        rounding (~0.5% vs the fp32-exact whole-image kernel)."""
+        backend="xla" for input-gradient work); train=True picks a path
+        whose REVERSE kernel also fits (whole-image reverse for training
+        crops, the banded whole-reverse-resident kernel for big
+        lane-aligned crops, else the XLA scan); and on the banded path
+        (big images) return_z=True codes carry bfloat16 rounding (~0.5%
+        vs the fp32-exact whole-image kernel)."""
         A_f, B_f = self.get_filters(params)
         yp, prm, mask = pre_process(y, self.s, mask=mask)
         c = sigma_scale(sigma, self.adaptive, 4)
