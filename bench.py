@@ -29,8 +29,34 @@ CLIP = (1, 1, 16, 128, 128)
 SIGMA = 25.0
 
 
+def _arm_watchdog():
+    """Exit non-zero if the bench wedges (e.g. the TPU tunnel is down:
+    backend init then blocks in C and no Python-level timeout can
+    interrupt it). A daemon thread + os._exit is the only reliable
+    escape; the driver records rc and stderr tail."""
+    import sys
+    import threading
+
+    budget = float(os.environ.get("CDLNET_BENCH_TIMEOUT_S", "1500"))
+
+    def _fire():
+        print(
+            f"bench watchdog: no result after {budget:.0f}s "
+            "(TPU tunnel down or compile wedged); aborting",
+            file=sys.stderr, flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(budget, _fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     from cdlnet_tpu.utils import setup_compilation_cache
+
+    watchdog = _arm_watchdog()
 
     setup_compilation_cache()
     import jax
@@ -105,6 +131,7 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / TORCH_CPU_BASELINE_FPS, 2),
     }
+    watchdog.cancel()
     print(json.dumps(result))
     # diagnostics to stderr-adjacent line (driver parses the last JSON line;
     # keep diagnostics in the JSON-free preamble instead)
