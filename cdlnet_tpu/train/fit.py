@@ -8,7 +8,10 @@ Structure (reference train.py:32-158):
   - the per-batch step (noise injection -> forward -> loss -> clipped Adam
     update -> constraint projection) is a single jitted function; noise is
     generated on device from a threaded PRNG key;
-  - PSNR bookkeeping as -10*log10(batch loss), appended to {phase}.txt;
+  - PSNR bookkeeping as -10*log10(batch loss), appended to {phase}.txt
+    (byte-format-compatible with the reference's de-facto eval API) AND to
+    a structured metrics.jsonl (one JSON object per phase/event — the
+    observability layer SURVEY.md §5 calls for on top of the txt mirror);
   - divergence backtracking: if a phase's PSNR drops more than
     backtrack_thresh below its best (or loss is NaN/Inf), restore the last
     checkpoint (params AND optimizer state), scale lr by 0.8, rewind the
@@ -21,6 +24,7 @@ with project=False / backtrack_thresh=None for strict parity experiments.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import time
@@ -251,6 +255,10 @@ def fit(
     os.makedirs(save_dir, exist_ok=True)
     ckpt_ext = ".orbax" if ckpt_format == "orbax" else ""
 
+    def log_metric(**kv):
+        with open(os.path.join(save_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps({"ts": round(time.time(), 3), **kv}) + "\n")
+
     # BatchNorm families (DnCNN/FFDNet): init_model bundles (params, state);
     # unpack and thread the running stats through the jitted steps. Checkpoints
     # store the same bundle so backtracking/resume restore the stats too.
@@ -369,6 +377,11 @@ def fit(
                     f"({time.time() - t_start:.1f}s, lr={get_lr(opt_state):.2e})"
                 )
             history.append((epoch, phase, psnr))
+            log_metric(
+                event="phase", epoch=epoch, phase=phase,
+                psnr=round(psnr, 4), lr=get_lr(opt_state),
+                steps=len(vals), sec=round(time.time() - t_start, 3),
+            )
 
             bad = math.isnan(last_loss) or math.isinf(last_loss)
             if psnr > top_psnr[phase]:
@@ -412,6 +425,11 @@ def fit(
                 print(f"Loss has diverged. Backtracking to {ckpt_path} ...")
                 with open(os.path.join(save_dir, "backtrack.txt"), "a") as f:
                     f.write(f"{epoch}  ")
+                log_metric(
+                    event="backtrack", epoch=epoch, phase=phase,
+                    psnr=round(psnr, 4), nan=bad,
+                    lr=get_lr(opt_state) * 0.8,
+                )
                 if epoch % save_freq == 0:
                     epoch = epoch - save_freq
                 else:

@@ -70,6 +70,18 @@ def test_fit_loss_decreases(tmp_path):
     assert os.path.exists(tmp_path / "train.txt")
     assert os.path.exists(tmp_path / "net.ckpt.npz")
     assert os.path.exists(tmp_path / "0.ckpt.npz")
+    # structured metrics mirror the txt protocol (one JSON object per phase)
+    import json
+
+    with open(tmp_path / "metrics.jsonl") as f:
+        rows = [json.loads(line) for line in f]
+    phases = [r for r in rows if r["event"] == "phase"]
+    assert len(phases) == len(history)
+    assert {r["phase"] for r in phases} == {"train", "val", "test"}
+    for r, (e, ph, p) in zip(phases, history):
+        assert r["epoch"] == e and r["phase"] == ph
+        assert r["psnr"] == pytest.approx(p, abs=1e-3)
+        assert r["steps"] > 0 and r["sec"] >= 0 and r["lr"] > 0
 
 
 def test_ckpt_restores_optimizer_state_exactly(tmp_path):
