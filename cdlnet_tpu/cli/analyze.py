@@ -26,7 +26,7 @@ from pprint import pprint
 
 import numpy as np
 
-from cdlnet_tpu.utils import img_load, img_save, make_grid, psnr as psnr_fn, setup_compilation_cache
+from cdlnet_tpu.utils import append_metric, img_load, img_save, make_grid, psnr as psnr_fn, setup_compilation_cache
 
 
 def build_argparser():
@@ -144,6 +144,9 @@ def test(model, params, loader, noise_levels, blind, save_dir, save, demosaic):
         print(f"sigma={sigma}: PSNR = {avg:.3f}")
         with open(fn, "a") as f:
             f.write(f"{sigma}, {avg:.3f}\n")
+        append_metric(save_dir, event="eval", dataset=dset,
+                      blind=str(blind), sigma=float(sigma),
+                      psnr=round(avg, 4), images=count)
     print(f"saved to file {fn}")
 
 

@@ -32,6 +32,7 @@ import numpy as np
 
 from cdlnet_tpu.cli.analyze import build_argparser, resolve_noise_levels
 from cdlnet_tpu.utils import (
+    append_metric,
     img_save,
     load_video,
     make_grid,
@@ -117,6 +118,9 @@ def test(model, params, loader, noise_levels, blind, save_dir, save, demosaic):
         print(f"sigma={sigma}: PSNR = {avg:.3f}")
         with open(fn, "a") as f:
             f.write(f"{sigma}, {avg:.3f}\n")
+        append_metric(save_dir, event="eval", dataset=dset,
+                      blind=str(blind), sigma=float(sigma),
+                      psnr=round(avg, 4), clips=count, frames=frames_done)
     print(f"saved to file {fn}")
 
 

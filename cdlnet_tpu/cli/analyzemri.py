@@ -32,7 +32,7 @@ from cdlnet_tpu.cli.analyze import (
     thresholds as thresholds2d,
 )
 from cdlnet_tpu.cli.analyze3d import _save_frames
-from cdlnet_tpu.utils import setup_compilation_cache
+from cdlnet_tpu.utils import append_metric, setup_compilation_cache
 
 
 def _ssim_frames(x, xhat):
@@ -120,6 +120,10 @@ def test(model, params, mtype, loader, noise_levels, blind, save_dir, save, demo
         print(f"sigma={sigma}: PSNR = {avg_psnr:.3f}, SSIM = {avg_ssim:.4f}")
         with open(fn, "a") as f:
             f.write(f"{sigma}, PSNR: {avg_psnr:.3f}, SSIM: {avg_ssim:.4f}\n")
+        append_metric(save_dir, event="eval", dataset=dset,
+                      blind=str(blind), sigma=float(sigma),
+                      psnr=round(avg_psnr, 4), ssim=round(avg_ssim, 5),
+                      volumes=count, frames=frames_done)
     print(f"saved to file {fn}")
 
 

@@ -24,7 +24,6 @@ with project=False / backtrack_thresh=None for strict parity experiments.
 
 from __future__ import annotations
 
-import json
 import math
 import os
 import time
@@ -36,7 +35,7 @@ from cdlnet_tpu.data.noise import awgn, awgn3d, gen_bayer_mask, gen_bayer_mask3d
 from cdlnet_tpu.data.prefetch import device_prefetch
 from cdlnet_tpu.models.base import build_model
 from cdlnet_tpu.train.checkpoint import load_ckpt, save_ckpt
-from cdlnet_tpu.utils import maybe_start_trace, stop_trace, trace_span
+from cdlnet_tpu.utils import append_metric, maybe_start_trace, stop_trace, trace_span
 from cdlnet_tpu.train.losses import combined_loss, mse_loss
 from cdlnet_tpu.train.optim import get_lr, make_optimizer, set_lr
 
@@ -256,8 +255,7 @@ def fit(
     ckpt_ext = ".orbax" if ckpt_format == "orbax" else ""
 
     def log_metric(**kv):
-        with open(os.path.join(save_dir, "metrics.jsonl"), "a") as f:
-            f.write(json.dumps({"ts": round(time.time(), 3), **kv}) + "\n")
+        append_metric(save_dir, **kv)
 
     # BatchNorm families (DnCNN/FFDNet): init_model bundles (params, state);
     # unpack and thread the running stats through the jitted steps. Checkpoints

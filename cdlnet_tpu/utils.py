@@ -79,6 +79,18 @@ def stop_trace():
     jax.profiler.stop_trace()
 
 
+def append_metric(save_dir: str, **kv):
+    """Append one JSON object to {save_dir}/metrics.jsonl — the structured
+    mirror of the reference's txt log protocol ({phase}.txt,
+    test_{dset}_{blind}.txt, backtrack.txt), which stays byte-compatible.
+    Shared by the trainer and the analyzers."""
+    import json
+    import time
+
+    with open(os.path.join(save_dir, "metrics.jsonl"), "a") as f:
+        f.write(json.dumps({"ts": round(time.time(), 3), **kv}) + "\n")
+
+
 def psnr(a, b, data_range: float = 1.0) -> float:
     """-10 log10(MSE) (reference protocol, analyze.py:104)."""
     mse = float(np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2))

@@ -7,6 +7,7 @@
   logs, weight-introspection PNGs, passthrough artifacts.
 """
 
+import json
 import os
 
 import numpy as np
@@ -205,6 +206,14 @@ def test_analyze2d_cli_end_to_end_and_txt_byte_format(tmp_path):
     assert os.path.exists(os.path.join(save, "tau.png"))
     assert os.path.exists(os.path.join(save, "D_learned.png"))
     assert os.path.exists(os.path.join(save, "test_output", "output_00001.png"))
+    # structured mirror of the txt lines
+    with open(os.path.join(save, "metrics.jsonl")) as f:
+        rows = [json.loads(line) for line in f if line.strip()]
+    evals = [r for r in rows if r["event"] == "eval"]
+    assert [r["sigma"] for r in evals] == [15.0, 25.0]
+    for r, line in zip(evals, lines[:2]):
+        assert f"{r['psnr']:.3f}" == line.split(", ")[1]
+        assert r["dataset"] == "test" and r["images"] > 0
 
 
 def test_analyze2d_cli_dncnn_stateful_eval(tmp_path):
