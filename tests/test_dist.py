@@ -221,3 +221,68 @@ def test_make_hybrid_mesh_single_slice():
     assert initialize_distributed() is False  # single-process no-op
     mesh = make_hybrid_mesh({"data": 2, "depth": -1})
     assert dict(mesh.shape) == {"replica": 1, "data": 2, "depth": 4}
+
+
+def test_two_process_distributed_dp_matches_single(tmp_path):
+    """REAL multi-process runtime: two OS processes, each with 2 virtual
+    CPU devices, joined by jax.distributed.initialize over a localhost
+    coordinator (Gloo collectives) through dist.init.initialize_distributed.
+    Both ranks run 3 DP train steps over the 4-device global mesh via
+    make_dp_train_step (incl. prepare()'s cross-process device_put) and
+    must agree with each other AND with the unsharded single-process step
+    — the multi-host leg of SURVEY.md §2.5's comm-backend requirement."""
+    import os
+    import re
+    import socket
+    import subprocess
+    import sys
+
+    from cdlnet_tpu.models import build_model
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from dist_two_process_case import CASE, loss_for
+
+    # reference: unsharded steps in this process
+    model = build_model(CASE["mtype"], CASE["model"])
+    params = model.init(jax.random.PRNGKey(0), init=False)
+    opt = make_optimizer(1e-3, clip_grad=1.0)
+    ostate = opt.init(params)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=CASE["batch"]).astype(np.float32)
+    y = (x + 0.1 * rng.standard_normal(x.shape)).astype(np.float32)
+    loss_fn = loss_for(model)
+
+    @jax.jit
+    def step(p, o, b, key):
+        loss, grads = jax.value_and_grad(loss_fn)(p, b, key)
+        updates, o = opt.update(grads, o, p)
+        p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
+        return model.project(p), o, loss
+
+    for i in range(CASE["steps"]):
+        params, ostate, _ = step(params, ostate, (y, x), jax.random.PRNGKey(i))
+    ck_ref = sum(float(jnp.sum(jnp.abs(v)))
+                 for v in jax.tree_util.tree_leaves(params))
+
+    with socket.socket() as s:  # free localhost port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "dist_two_process_worker.py")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen([sys.executable, worker, str(rank), str(port)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, env=env)
+        for rank in (0, 1)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    cks = {}
+    for out in outs:
+        m = re.search(r"CHECKSUM (\d) ([\d.]+)", out)
+        assert m, out
+        cks[int(m.group(1))] = float(m.group(2))
+    assert set(cks) == {0, 1}
+    assert cks[0] == cks[1]  # ranks bit-agree
+    np.testing.assert_allclose(cks[0], ck_ref, rtol=1e-5)
