@@ -54,3 +54,22 @@ for i in range(CASE["steps"]):
     params, ostate, loss = step(params, ostate, batch, jax.random.PRNGKey(i))
 ck = sum(float(jnp.sum(jnp.abs(v))) for v in jax.tree_util.tree_leaves(params))
 print(f"CHECKSUM {pid} {ck:.8f} LOSS {float(loss):.10f}", flush=True)
+
+# depth-halo sequence parallelism over the same 2-process mesh: the halo
+# ppermute crosses the process boundary (Gloo), unlike the virtual-mesh test
+from jax.sharding import NamedSharding, PartitionSpec as Pspec  # noqa: E402
+
+from cdlnet_tpu.dist.halo import sharded_lista_3d_forward  # noqa: E402
+from cdlnet_tpu.dist.mesh import make_mesh as _mm  # noqa: E402
+
+vmodel = build_model(CASE["vmtype"], CASE["vmodel"])
+vparams = vmodel.init(jax.random.PRNGKey(0), init=False)
+vparams = {k: v * 0.1 if k in ("A", "B") else jnp.abs(v) + 0.01
+           for k, v in vparams.items()}
+dmesh = make_mesh({"depth": -1})
+clip = rng.uniform(size=CASE["clip"]).astype(np.float32)
+clip_s = jax.device_put(
+    jnp.asarray(clip), NamedSharding(dmesh, Pspec(None, None, "depth")))
+xhat, _ = sharded_lista_3d_forward(vmodel, vparams, clip_s, 25.0, mesh=dmesh)
+hck = float(jnp.sum(jnp.abs(xhat)))
+print(f"HALOSUM {pid} {hck:.6f}", flush=True)

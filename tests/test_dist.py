@@ -278,11 +278,25 @@ def test_two_process_distributed_dp_matches_single(tmp_path):
     ]
     outs = [p.communicate(timeout=300)[0] for p in procs]
     assert all(p.returncode == 0 for p in procs), outs
-    cks = {}
+    cks, hcks = {}, {}
     for out in outs:
         m = re.search(r"CHECKSUM (\d) ([\d.]+)", out)
         assert m, out
         cks[int(m.group(1))] = float(m.group(2))
+        m = re.search(r"HALOSUM (\d) ([\d.]+)", out)
+        assert m, out
+        hcks[int(m.group(1))] = float(m.group(2))
     assert set(cks) == {0, 1}
     assert cks[0] == cks[1]  # ranks bit-agree
     np.testing.assert_allclose(cks[0], ck_ref, rtol=1e-5)
+
+    # depth-halo leg: unsharded reference forward in this process
+    vmodel = build_model(CASE["vmtype"], CASE["vmodel"])
+    vparams = vmodel.init(jax.random.PRNGKey(0), init=False)
+    vparams = {k: v * 0.1 if k in ("A", "B") else jnp.abs(v) + 0.01
+               for k, v in vparams.items()}
+    clip = rng.uniform(size=CASE["clip"]).astype(np.float32)
+    xhat, _ = vmodel.apply(vparams, jnp.asarray(clip), 25.0)
+    href = float(jnp.sum(jnp.abs(xhat)))
+    assert hcks[0] == hcks[1]
+    np.testing.assert_allclose(hcks[0], href, rtol=1e-4)
