@@ -16,6 +16,8 @@ with the MAD/PCA estimator (nle/) per input, like the analyzers' --blind.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -121,6 +123,24 @@ class Denoiser:
         if isinstance(params, tuple):  # DnCNN-style (params, state)
             params = params[0]
         return cls(model, params, **kw)
+
+    @classmethod
+    def from_dir(cls, path: str, **kw):
+        """Build from a trained-model directory holding an args.json (e.g.
+        examples/cdlnet-demo). The checkpoint path inside args.json is
+        re-anchored to the directory when its recorded (train-time) path
+        does not exist on this machine, so committed model dirs serve
+        anywhere."""
+        import json
+
+        with open(os.path.join(path, "args.json")) as f:
+            args = json.load(f)
+        ck = (args.get("paths") or {}).get("ckpt")
+        if ck and not os.path.exists(ck):
+            local = os.path.join(path, os.path.basename(ck))
+            if os.path.exists(local):
+                args["paths"]["ckpt"] = local
+        return cls.from_args(args, **kw)
 
     def _blind_forward(self, p, y):
         from cdlnet_tpu import nle

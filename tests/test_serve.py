@@ -92,6 +92,41 @@ def test_from_args_with_ckpt(tmp_path):
     assert out.shape == (32, 32)
 
 
+def test_from_dir_reanchors_moved_checkpoint(tmp_path):
+    """Denoiser.from_dir serves a COPIED model directory: the args.json
+    ckpt path recorded at train time no longer exists, so the loader
+    re-anchors it next to the args.json. Uses the committed example."""
+    import shutil
+
+    src = os.path.join(os.path.dirname(__file__), "..", "examples",
+                       "cdlnet-demo")
+    dst = tmp_path / "moved-model"
+    os.makedirs(dst)
+    for name in ("args.json", "net.ckpt.npz"):
+        shutil.copy(os.path.join(src, name), dst / name)
+    # poison the recorded path to guarantee the re-anchor branch runs
+    with open(dst / "args.json") as f:
+        args = json.load(f)
+    args["paths"]["ckpt"] = "/nonexistent/dir/net.ckpt.npz"
+    with open(dst / "args.json", "w") as f:
+        json.dump(args, f)
+
+    d = Denoiser.from_dir(str(dst), backend="xla")
+    rng = np.random.default_rng(0)
+    # in-distribution smooth field: per-PIXEL frequency as in the training
+    # corpus (a size-relative grid would compress the pattern into texture
+    # the dictionary never saw)
+    ii, jj = np.meshgrid(np.arange(48) * 6.0 / 128, np.arange(48) * 6.0 / 128,
+                         indexing="ij")
+    x = (0.5 + 0.2 * np.sin(2 * jj) * np.cos(3 * ii)).astype(np.float32)
+    y = (x + (25 / 255.0) * rng.standard_normal(x.shape)).astype(np.float32)
+    out = d.denoise_image(y, sigma=25)
+    # a trained checkpoint must actually denoise, not just run
+    mse_in = float(np.mean((y - x) ** 2))
+    mse_out = float(np.mean((out - x) ** 2))
+    assert mse_out < mse_in
+
+
 def test_from_args_backendless_models():
     """from_args must not inject 'backend' into model families without one
     (DnCNN/FFDNet/CSR), and their forwards must run through the wrapper."""
