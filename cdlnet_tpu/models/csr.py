@@ -134,8 +134,6 @@ class CDLNetCSR:
                 yp.shape[-2], yp.shape[-1], return_z=True,
                 n_codes=0 if z_prev is None else 1,
             ):
-                # csr_fused_2d is differentiable (fused forward + XLA
-                # gradient), so backend="pallas" CSR configs train too
                 if z_prev is None:
                     Bk = jnp.concatenate(
                         [params["B"][:1], params["B2"][1:]], axis=0
