@@ -121,6 +121,10 @@ def test_analyze3d_cli_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(pdir, "psnr.txt"))
     assert os.path.exists(os.path.join(pdir, "csc00.png"))
     assert os.path.exists(os.path.join(pdir, "compare_00001.png"))
+    with open(os.path.join(save, "metrics.jsonl")) as f:
+        rows = [json.loads(x) for x in f if x.strip()]
+    (r,) = [x for x in rows if x["event"] == "eval"]
+    assert r["sigma"] == 25.0 and r["clips"] > 0 and r["frames"] > 0
 
 
 def _write_h5_volumes(dir_, n_files=1, slices=4, size=24):
@@ -268,3 +272,8 @@ def test_analyzemri_txt_byte_format(tmp_path):
     p = float(line.split("PSNR: ")[1].split(",")[0])
     s = float(line.split("SSIM: ")[1])
     assert line == f"25, PSNR: {p:.3f}, SSIM: {s:.4f}"
+    with open(os.path.join(args["paths"]["save"], "metrics.jsonl")) as f:
+        rows = [json.loads(x) for x in f if x.strip()]
+    (r,) = [x for x in rows if x["event"] == "eval"]
+    assert f"{r['psnr']:.3f}" == f"{p:.3f}" and f"{r['ssim']:.4f}" == f"{s:.4f}"
+    assert r["volumes"] > 0 and r["frames"] > 0
