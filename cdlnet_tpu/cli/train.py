@@ -18,7 +18,6 @@ volumetric paths). Workload selection:
 from __future__ import annotations
 
 import json
-import sys
 from pprint import pprint
 
 from cdlnet_tpu.utils import setup_compilation_cache
@@ -109,12 +108,35 @@ def main(args: dict):
 
 
 def cli():
-    """Console entry point (cdlnet-train)."""
-    if len(sys.argv) < 2:
-        print("ERROR: usage: cdlnet-train [path/to/arg_file.json]")
-        sys.exit(1)
-    with open(sys.argv[1]) as f:
+    """Console entry point (cdlnet-train). Args.json schema + an optional
+    --backend override (same surface as the analyzers' flag)."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="cdlnet-train",
+        description="Train from a reference-schema args.json.",
+    )
+    p.add_argument("arg_file", help="path/to/args.json (reference schema)")
+    p.add_argument(
+        "--backend", choices=["auto", "pallas", "xla"], default=None,
+        help="override model.backend from the config (families without a "
+        "backend field ignore the flag)",
+    )
+    a = p.parse_args()
+    with open(a.arg_file) as f:
         args = json.load(f)
+    if a.backend is not None:
+        import dataclasses
+
+        from cdlnet_tpu.models.base import MODEL_REGISTRY
+
+        cls_ = MODEL_REGISTRY.get(
+            {"JDD_CDLNet": "CDLNet"}.get(args["type"], args["type"])
+        )
+        if cls_ is not None and any(
+            f.name == "backend" for f in dataclasses.fields(cls_)
+        ):
+            args["model"] = dict(args.get("model", {}), backend=a.backend)
     pprint(args)
     main(args)
 
