@@ -120,7 +120,7 @@ def test(model, params, loader, noise_levels, blind, save_dir, save, demosaic):
             f.write(f"{sigma}, {avg:.3f}\n")
         append_metric(save_dir, event="eval", dataset=dset,
                       blind=str(blind), sigma=float(sigma),
-                      psnr=round(avg, 4), clips=count, frames=frames_done)
+                      psnr=avg, clips=count, frames=frames_done)
     print(f"saved to file {fn}")
 
 

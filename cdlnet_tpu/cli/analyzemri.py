@@ -122,7 +122,7 @@ def test(model, params, mtype, loader, noise_levels, blind, save_dir, save, demo
             f.write(f"{sigma}, PSNR: {avg_psnr:.3f}, SSIM: {avg_ssim:.4f}\n")
         append_metric(save_dir, event="eval", dataset=dset,
                       blind=str(blind), sigma=float(sigma),
-                      psnr=round(avg_psnr, 4), ssim=round(avg_ssim, 5),
+                      psnr=avg_psnr, ssim=avg_ssim,
                       volumes=count, frames=frames_done)
     print(f"saved to file {fn}")
 

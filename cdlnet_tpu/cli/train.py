@@ -126,17 +126,15 @@ def cli():
     with open(a.arg_file) as f:
         args = json.load(f)
     if a.backend is not None:
-        import dataclasses
+        # same resolution as the analyzers: "auto" resolves to a concrete
+        # backend (pallas on accelerators), families without the knob are
+        # left untouched. setup_compilation_cache() FIRST: resolution reads
+        # jax.default_backend(), and the platform override (CDLNET_PLATFORM)
+        # must land before that first backend initialization
+        from cdlnet_tpu.cli.analyze import apply_backend
 
-        from cdlnet_tpu.models.base import MODEL_REGISTRY
-
-        cls_ = MODEL_REGISTRY.get(
-            {"JDD_CDLNet": "CDLNet"}.get(args["type"], args["type"])
-        )
-        if cls_ is not None and any(
-            f.name == "backend" for f in dataclasses.fields(cls_)
-        ):
-            args["model"] = dict(args.get("model", {}), backend=a.backend)
+        setup_compilation_cache()
+        args = apply_backend(a, args)
     pprint(args)
     main(args)
 

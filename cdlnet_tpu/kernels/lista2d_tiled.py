@@ -70,12 +70,16 @@ def _band_bytes(M, Cp, T, Bh, Wc, Hh, z_bytes=2):
     return views + zh + stack + synout + io
 
 
-def lista2d_tiled_supported(M, C, P, s, K, H, W) -> bool:
+def lista2d_tiled_supported(M, C, P, s, K, H, W, z_bytes=2) -> bool:
     """True when the banded pair path applies (stride-divisible shape and
-    a valid band size exists). Complements lista2d_fused_supported."""
+    a valid band size exists). Complements lista2d_fused_supported.
+    z_bytes must match the z_dtype the call will use (2 for the default
+    bf16 carry; pass 4 when calling lista2d_tiled(z_dtype=jnp.float32) —
+    the band pick is dtype-dependent, so gating at the wrong width can
+    admit a shape whose fp32 call has no fitting band)."""
     if H % s or W % s:
         return False
-    return _pick_band(M, C, P, s, H // s, W // s) is not None
+    return _pick_band(M, C, P, s, H // s, W // s, z_bytes=z_bytes) is not None
 
 
 def _pick_band(M, C, P, s, Hc, Wc, z_bytes=2):
@@ -192,7 +196,9 @@ def lista2d_tiled(yp, A, B, t, c, stride=1, mask=None, return_z=False,
     """Banded per-iteration fused 2D LISTA for big images. Same contract
     as lista2d_fused: returns (xphat, z or None), matching the XLA scan
     to the z_dtype carry tolerance (~0.5% codes, <0.02 dB on trained
-    models; pass z_dtype=jnp.float32 for fp32-exactness).
+    models; pass z_dtype=jnp.float32 for fp32-exactness — and gate such
+    calls with lista2d_tiled_supported(..., z_bytes=4), since the band
+    pick is made at the requested code width).
 
     return_hists=True (training residuals for the banded reverse kernel,
     kernels/lista2d_tiled_bwd) additionally returns (z_hist (K, N, nb, M,

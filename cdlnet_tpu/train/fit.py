@@ -375,11 +375,7 @@ def fit(
                     f"({time.time() - t_start:.1f}s, lr={get_lr(opt_state):.2e})"
                 )
             history.append((epoch, phase, psnr))
-            log_metric(
-                event="phase", epoch=epoch, phase=phase,
-                psnr=round(psnr, 4), lr=get_lr(opt_state),
-                steps=len(vals), sec=round(time.time() - t_start, 3),
-            )
+            phase_sec = time.time() - t_start
 
             bad = math.isnan(last_loss) or math.isinf(last_loss)
             if psnr > top_psnr[phase]:
@@ -391,8 +387,16 @@ def fit(
                 diverged = True
                 break  # phase loop — mirror train.py:116-117
 
+            # metrics row emitted WITH the txt line (after the divergence
+            # check) so metrics.jsonl phase rows mirror {phase}.txt 1:1;
+            # diverged epochs surface as backtrack/backtrack_disarmed events
             with open(os.path.join(save_dir, f"{phase}.txt"), "a") as f:
                 f.write(f"{psnr:.3f}, ")
+            log_metric(
+                event="phase", epoch=epoch, phase=phase, psnr=psnr,
+                lr=get_lr(opt_state), steps=len(vals),
+                sec=round(phase_sec, 3),
+            )
 
         if diverged:
             # The reference policy livelocks when steady-state PSNR noise
@@ -414,6 +418,10 @@ def fit(
                     "best PSNR — fluctuation, not divergence; disabling the "
                     "backtracking policy for the rest of this run."
                 )
+                log_metric(
+                    event="backtrack_disarmed", epoch=epoch, phase=phase,
+                    psnr=psnr, after=consecutive_backtracks - 1,
+                )
                 backtrack_thresh = None
                 diverged = False  # fall through: sched/save still run
             else:
@@ -425,8 +433,7 @@ def fit(
                     f.write(f"{epoch}  ")
                 log_metric(
                     event="backtrack", epoch=epoch, phase=phase,
-                    psnr=round(psnr, 4), nan=bad,
-                    lr=get_lr(opt_state) * 0.8,
+                    psnr=psnr, nan=bad, lr=get_lr(opt_state) * 0.8,
                 )
                 if epoch % save_freq == 0:
                     epoch = epoch - save_freq
