@@ -46,7 +46,18 @@ def _unflatten(prefix: str, template, data: dict):
 
 
 # --- orbax async backend (SURVEY.md §5: preemption-safe checkpointing) ---
+#
+# Preemption safety is SIDE-WRITE + PROMOTE, not force-overwrite: orbax's
+# save(force=True) DELETES the existing complete checkpoint before the
+# async write lands (verified by SIGKILL mid-save: both checkpoints lost),
+# so instead every save goes to {path}.new — orbax itself writes a
+# *.orbax-checkpoint-tmp dir and renames it to {path}.new only on
+# completion — and a finished {path}.new is promoted over {path} at the
+# next save/wait/load. At every instant at least one COMPLETE checkpoint
+# exists: a kill mid-write leaves {path} (plus an ignored tmp dir); a kill
+# between completion and promotion leaves {path}.new, which load promotes.
 _ORBAX = None
+_ORBAX_PENDING: set = set()
 
 
 def _orbax_ckptr():
@@ -58,15 +69,40 @@ def _orbax_ckptr():
     return _ORBAX
 
 
-def wait_for_checkpoints():
-    """Block until any in-flight async (orbax) checkpoint save completes.
-    Call before process exit or before restoring the same path."""
+def _orbax_promote(path: str):
+    """Fold a COMPLETED side-write ({path}.new) over {path}. Only call with
+    no async write of this path in flight. Crash-safe: .new is complete by
+    construction (orbax renames its tmp dir only on completion), and a
+    crash between rmtree and rename leaves .new for the next promotion."""
+    import shutil
+
+    new = path + ".new"
+    if os.path.isdir(new):
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.rename(new, path)
+
+
+def _orbax_settle():
+    """Wait for the in-flight write (if any) and promote every completed
+    side-write."""
     if _ORBAX is not None:
         _ORBAX.wait_until_finished()
+    while _ORBAX_PENDING:
+        _orbax_promote(_ORBAX_PENDING.pop())
+
+
+def wait_for_checkpoints():
+    """Block until any in-flight async (orbax) checkpoint save completes
+    and promote it. Call before process exit or before restoring the same
+    path."""
+    _orbax_settle()
 
 
 def save_ckpt(path: str, params, epoch: int = 0, opt_state=None, lr: float = None, extra: dict = None):
     """Save params (+optimizer state) to an .npz bundle."""
+    import shutil
+
     data = _flatten("p::", params)
     if opt_state is not None:
         data.update(_flatten("o::", opt_state))
@@ -75,19 +111,35 @@ def save_ckpt(path: str, params, epoch: int = 0, opt_state=None, lr: float = Non
         meta.update(extra)
     data["meta::json"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     if path.endswith(".orbax"):
-        # async: returns as soon as arrays are snapshotted off the live
-        # buffers; the write completes in a background thread (safe against
-        # preemption between epochs — a torn write never replaces the
-        # previous complete checkpoint directory)
+        # async side-write: returns as soon as arrays are snapshotted off
+        # the live buffers; see the preemption-safety note above
         ckptr = _orbax_ckptr()
-        ckptr.wait_until_finished()
-        ckptr.save(os.path.abspath(path), data, force=True)
+        _orbax_settle()
+        apath = os.path.abspath(path)
+        _orbax_promote(apath)  # fold a .new left by a previous process
+        new = apath + ".new"
+        for stale in (new, new + ".orbax-checkpoint-tmp"):
+            if os.path.isdir(stale):  # torn leftovers from a preemption
+                shutil.rmtree(stale)
+        ckptr.save(new, data)
+        _ORBAX_PENDING.add(apath)
         return
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path if path.endswith(".npz") else path + ".npz", **data)
+    final = path if path.endswith(".npz") else path + ".npz"
+    # atomic replace: a preemption mid-write never clobbers the previous
+    # complete bundle (np.savez in place would)
+    tmp = final + ".tmp.npz"
+    np.savez(tmp, **data)
+    os.replace(tmp, final)
 
 
 def _resolve(path: str) -> str:
+    # settle + promote first: after a preemption the newest complete
+    # checkpoint may still be sitting at {path}.new
+    _orbax_settle()
+    for cand in (path, path + ".orbax"):
+        if cand.endswith(".orbax"):
+            _orbax_promote(os.path.abspath(cand))
     if os.path.exists(path):
         return path
     if os.path.exists(path + ".npz"):

@@ -290,3 +290,90 @@ def test_backtracking_disarms_after_cap(tmp_path, monkeypatch):
     )
     # run terminated (no livelock) and produced at most epochs+cap entries
     assert len(history) < 40
+
+
+def test_orbax_preemption_mid_write_keeps_previous(tmp_path):
+    """SIGKILL while the async orbax write is in flight must leave the
+    PREVIOUS complete checkpoint restorable. (The naive force=True
+    overwrite deletes the old directory before the new write lands —
+    verified to lose both checkpoints — hence the side-write + promote
+    scheme in train/checkpoint.py.)"""
+    import signal
+    import subprocess
+    import sys
+    import textwrap
+
+    from cdlnet_tpu.train.checkpoint import wait_for_checkpoints
+
+    path = str(tmp_path / "net.ckpt.orbax")
+    worker = textwrap.dedent(f"""
+        import jax; jax.config.update("jax_platforms", "cpu")
+        import numpy as np
+        from cdlnet_tpu.train.checkpoint import save_ckpt, wait_for_checkpoints
+        p1 = {{"w": np.full((16, 1024, 1024), 1.0, np.float32)}}
+        save_ckpt({path!r}, p1, epoch=1)
+        wait_for_checkpoints()
+        print("V1DONE", flush=True)
+        p2 = {{"w": np.full((16, 1024, 1024), 2.0, np.float32)}}
+        save_ckpt({path!r}, p2, epoch=2)
+        print("V2STARTED", flush=True)
+        import time; time.sleep(60)
+    """)
+    proc = subprocess.Popen([sys.executable, "-c", worker],
+                            stdout=subprocess.PIPE, text=True)
+    assert proc.stdout.readline().strip() == "V1DONE"
+    assert proc.stdout.readline().strip() == "V2STARTED"
+    proc.send_signal(signal.SIGKILL)  # mid-write (64 MB still streaming)
+    proc.wait()
+
+    tmpl = {"w": np.zeros((16, 1024, 1024), np.float32)}
+    params, _, epoch, _ = load_ckpt(path, tmpl)
+    assert epoch in (1, 2)  # 2 only if the write actually finished in time
+    val = float(np.asarray(params["w"])[0, 0, 0])
+    assert val == float(epoch)  # never torn
+
+    # the torn leftovers must not poison later saves
+    p3 = {"w": np.full((16, 1024, 1024), 3.0, np.float32)}
+    save_ckpt(path, p3, epoch=3)
+    wait_for_checkpoints()
+    params, _, epoch, _ = load_ckpt(path, tmpl)
+    assert epoch == 3 and float(np.asarray(params["w"])[0, 0, 0]) == 3.0
+
+
+def test_orbax_preemption_before_promotion_restores_newest(tmp_path):
+    """A kill AFTER the side-write completed but BEFORE promotion leaves
+    {path}.new; load must promote and restore the newer checkpoint."""
+    import orbax.checkpoint as ocp
+
+    from cdlnet_tpu.train.checkpoint import _flatten
+
+    path = str(tmp_path / "net.ckpt.orbax")
+    p1 = {"w": np.full((4, 8), 1.0, np.float32)}
+    save_ckpt(path, p1, epoch=1)
+    from cdlnet_tpu.train.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()
+    # emulate the crash window: a COMPLETE V2 sitting at {path}.new
+    data = _flatten("p::", {"w": np.full((4, 8), 2.0, np.float32)})
+    data["meta::json"] = np.frombuffer(
+        json.dumps({"epoch": 2, "lr": None}).encode(), dtype=np.uint8
+    )
+    ocp.Checkpointer(ocp.PyTreeCheckpointHandler()).save(
+        os.path.abspath(path) + ".new", data
+    )
+    tmpl = {"w": np.zeros((4, 8), np.float32)}
+    params, _, epoch, _ = load_ckpt(path, tmpl)
+    assert epoch == 2 and float(np.asarray(params["w"])[0, 0]) == 2.0
+    assert not os.path.isdir(path + ".new")  # promoted
+
+
+def test_npz_ckpt_write_is_atomic(tmp_path):
+    """npz saves go through a tmp file + os.replace, so no partially
+    written bundle ever sits at the final path."""
+    path = str(tmp_path / "net.ckpt.npz")
+    p1 = {"w": np.full((4, 8), 1.0, np.float32)}
+    save_ckpt(path, p1, epoch=1)
+    assert not os.path.exists(path + ".tmp.npz")
+    tmpl = {"w": np.zeros((4, 8), np.float32)}
+    _, _, epoch, _ = load_ckpt(path, tmpl)
+    assert epoch == 1
