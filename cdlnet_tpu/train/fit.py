@@ -216,7 +216,20 @@ def make_train_step(model, opt, *, workload="2d", noise_std=(25, 25), demosaic=F
     return train_step, eval_step
 
 
-def fit(
+def fit(*args, **kwargs):
+    """See _fit_impl for the full contract; this wrapper only guarantees
+    in-flight async checkpoint writes settle (wait + promote) even when
+    training raises — otherwise a crash leaves orbax commit threads to
+    die noisily at interpreter shutdown."""
+    from cdlnet_tpu.train.checkpoint import wait_for_checkpoints
+
+    try:
+        return _fit_impl(*args, **kwargs)
+    finally:
+        wait_for_checkpoints()
+
+
+def _fit_impl(
     model,
     params,
     opt,

@@ -28,6 +28,7 @@ from cdlnet_tpu.data.noise import awgn
 from cdlnet_tpu.data.prefetch import device_prefetch
 from cdlnet_tpu.models import CDLNetCSRf2
 from cdlnet_tpu.train.checkpoint import save_ckpt
+from cdlnet_tpu.utils import append_metric
 from cdlnet_tpu.train.optim import get_lr, set_lr
 
 
@@ -81,7 +82,18 @@ def make_csr_train_step(model, opt, *, noise_std, project=False):
     return train_step, eval_step
 
 
-def fit_csr(
+def fit_csr(*args, **kwargs):
+    """See _fit_csr_impl; wrapper settles async checkpoint writes even
+    when training raises (same contract as fit)."""
+    from cdlnet_tpu.train.checkpoint import wait_for_checkpoints
+
+    try:
+        return _fit_csr_impl(*args, **kwargs)
+    finally:
+        wait_for_checkpoints()
+
+
+def _fit_csr_impl(
     model,
     params,
     opt,
@@ -103,9 +115,11 @@ def fit_csr(
     mcsure=False,  # accepted for schema parity; CSR has no MC-SURE path
     demosaic=False,
     mesh=None,  # data-parallel mesh spec or Mesh (see fit())
+    ckpt_format="npz",  # "npz" | "orbax" (async, preemption-safe)
     **_ignored,
 ):
     os.makedirs(save_dir, exist_ok=True)
+    ckpt_ext = ".orbax" if ckpt_format == "orbax" else ""
     shard_batch = None
     if mesh is not None:
         from cdlnet_tpu.dist.mesh import make_mesh
@@ -131,7 +145,8 @@ def fit_csr(
     mid = (noise_std[0] + noise_std[1]) / 2.0
     _, eval_step = make_csr_train_step(model, opt, noise_std=mid, project=project)
 
-    save_ckpt(os.path.join(save_dir, "0.ckpt"), params, 0, opt_state, get_lr(opt_state))
+    save_ckpt(os.path.join(save_dir, "0.ckpt" + ckpt_ext), params, 0,
+              opt_state, get_lr(opt_state))
     top_psnr = {"train": 0.0, "val": 0.0, "test": 0.0}
     history = []
     key = jax.random.PRNGKey(seed)
@@ -167,15 +182,21 @@ def fit_csr(
             top_psnr[phase] = max(top_psnr[phase], psnr)
             with open(os.path.join(save_dir, f"{phase}.txt"), "a") as f:
                 f.write(f"{psnr:.3f}, ")
+            append_metric(
+                save_dir, event="phase", epoch=epoch, phase=phase,
+                psnr=psnr, lr=get_lr(opt_state), steps=len(vals),
+                sec=round(time.time() - t0, 3),
+            )
 
         if sched is not None and epoch % sched["step_size"] == 0:
             opt_state = set_lr(opt_state, get_lr(opt_state) * sched["gamma"])
         if epoch % save_freq == 0:
             save_ckpt(
-                os.path.join(save_dir, f"net_epoch_{epoch}.ckpt"),
+                os.path.join(save_dir, f"net_epoch_{epoch}.ckpt" + ckpt_ext),
                 params, epoch, opt_state, get_lr(opt_state),
             )
-            save_ckpt(os.path.join(save_dir, "net.ckpt"), params, epoch, opt_state, get_lr(opt_state))
+            save_ckpt(os.path.join(save_dir, "net.ckpt" + ckpt_ext),
+                      params, epoch, opt_state, get_lr(opt_state))
             if epoch_fun is not None:
                 epoch_fun(epoch)
         epoch += 1
