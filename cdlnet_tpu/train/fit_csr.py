@@ -118,6 +118,10 @@ def _fit_csr_impl(
     ckpt_format="npz",  # "npz" | "orbax" (async, preemption-safe)
     **_ignored,
 ):
+    if _ignored:
+        # schema-parity keys the CSR path has no use for (e.g. loss) land
+        # here; name them so config typos don't vanish silently
+        print(f"fit_csr: ignoring fit args {sorted(_ignored)}")
     os.makedirs(save_dir, exist_ok=True)
     ckpt_ext = ".orbax" if ckpt_format == "orbax" else ""
     shard_batch = None
