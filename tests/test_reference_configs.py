@@ -133,3 +133,75 @@ def test_reference_gdlnet_schema():
     )
     params = m.init(jax.random.PRNGKey(0), init=False)
     assert "alpha" in params or "alpha_shared" in params or len(params) > 0
+
+
+@pytest.mark.parametrize("rel", CONFIGS)
+def test_reference_config_trains_one_step(rel):
+    """Every committed reference config TRAINS (one jitted step with its
+    verbatim fit block: noise_std, mcsure/demosaic/loss flags). Models are
+    shrunk (K/M/depth) for speed; the schema path is exercised unchanged."""
+    path = os.path.join(REF, rel)
+    if not os.path.exists(path):
+        pytest.skip(f"{rel} not in reference snapshot")
+    with open(path) as f:
+        args = json.load(f)
+
+    import jax.numpy as jnp
+
+    from cdlnet_tpu.models import build_model
+    from cdlnet_tpu.train.optim import make_optimizer
+
+    fit_args = args["train"].get("fit", {})
+    mtype = args["type"]
+    margs = dict(args["model"])
+    margs.pop("init", None)
+    shrink = {"K": 2, "M": 8}
+    if "depth" in margs:
+        shrink["depth"] = 4
+    if isinstance(margs.get("P"), (list, tuple)):
+        shrink["P"] = [min(p, 5) for p in margs["P"]]
+    elif mtype in ("CDLNetVideo",):
+        shrink["P"] = 5
+    margs.update(shrink)
+    model = build_model(mtype, margs)
+    params = model.init(jax.random.PRNGKey(0), init=False)
+    if isinstance(params, tuple):  # BN families
+        params, state = params
+    opt = make_optimizer(1e-3, clip_grad=fit_args.get("clip_grad", 1))
+
+    noise_std = fit_args.get("noise_std", 25)
+    key_b, key_s = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
+    C = margs.get("C", 1)
+
+    if mtype in ("CDLNet_CSR", "CDLNet_CSRf2"):
+        from cdlnet_tpu.train.fit_csr import make_csr_train_step
+
+        opt_state = opt.init(params)
+        step, _ = make_csr_train_step(model, opt, noise_std=noise_std)
+        batch = jax.random.uniform(key_b, (1, C, 3, 16, 16), jnp.float32)
+        params, opt_state, loss = step(params, opt_state, batch, key_s)
+        assert jnp.isfinite(loss)
+        return
+
+    from cdlnet_tpu.train.fit import make_train_step
+
+    stateful = mtype in ("DnCNN", "FFDNet")
+    if stateful:
+        opt_state = opt.init(params)
+    else:
+        opt_state = opt.init(params)
+    workload = "3d" if mtype == "CDLNetVideo" else "2d"
+    step, _ = make_train_step(
+        model, opt, workload=workload, noise_std=noise_std,
+        demosaic=fit_args.get("demosaic", False),
+        mcsure=fit_args.get("mcsure", False),
+        loss_type="combmse" if fit_args.get("combmse") else "mse",
+        stateful=stateful,
+    )
+    shape = (1, C, 4, 16, 16) if workload == "3d" else (2, C, 16, 16)
+    batch = jax.random.uniform(key_b, shape, jnp.float32)
+    if stateful:
+        params, state, opt_state, loss = step(params, state, opt_state, batch, key_s)
+    else:
+        params, opt_state, loss = step(params, opt_state, batch, key_s)
+    assert jnp.isfinite(loss)
