@@ -192,8 +192,10 @@ def test_analyze2d_cli_end_to_end_and_txt_byte_format(tmp_path):
         "paths": {"save": str(tmp_path / "save"), "ckpt": None},
         "train": {"loaders": {}, "fit": {"noise_std": 25}, "opt": {"lr": 1e-3}},
     }
+    img0 = os.path.join(test_dir, sorted(os.listdir(test_dir))[0])
     ARGS = build_argparser().parse_args(
         [os.devnull, "--test", test_dir, "--noise_level", "15", "25",
+         "--passthrough", img0,
          "--thresholds", "--filters", "--dictionary", "--save"]
     )
     analyze.main(ARGS, args)
@@ -210,6 +212,11 @@ def test_analyze2d_cli_end_to_end_and_txt_byte_format(tmp_path):
     assert os.path.exists(os.path.join(save, "tau.png"))
     assert os.path.exists(os.path.join(save, "D_learned.png"))
     assert os.path.exists(os.path.join(save, "test_output", "output_00001.png"))
+    # per-iteration sparse-code dumps + compare strip (analyze.py:231-276)
+    pdir = os.path.join(
+        save, f"passthrough_{os.path.splitext(os.path.basename(img0))[0]}")
+    assert os.path.exists(os.path.join(pdir, "csc00.png"))
+    assert os.path.exists(os.path.join(pdir, "compare.png"))
     # structured mirror of the txt lines
     with open(os.path.join(save, "metrics.jsonl")) as f:
         rows = [json.loads(line) for line in f if line.strip()]
