@@ -284,3 +284,35 @@ def test_analyzemri_txt_byte_format(tmp_path):
     (r,) = [x for x in rows if x["event"] == "eval"]
     assert f"{r['psnr']:.3f}" == f"{p:.3f}" and f"{r['ssim']:.4f}" == f"{s:.4f}"
     assert r["volumes"] > 0 and r["frames"] > 0
+
+
+def test_analyze2d_cli_blind_mad(tmp_path):
+    """--blind MAD drives the jittable NLE through the CLI: a separate
+    test_{dset}_MAD.txt appears and the blind PSNR tracks the known-sigma
+    one (MAD is near-exact on AWGN over smooth synthetic images)."""
+    from cdlnet_tpu.cli import analyze
+    from cdlnet_tpu.cli.analyze import build_argparser
+    from cdlnet_tpu.data.synthetic import gen_synthetic_image_dirs
+
+    root = gen_synthetic_image_dirs(
+        str(tmp_path / "imgs"), n_images=2, size=48, splits=("test",)
+    )
+    args = {
+        "type": "CDLNet",
+        "model": {"K": 2, "M": 6, "P": 5, "s": 2, "C": 1,
+                  "adaptive": True, "init": False},
+        "paths": {"save": str(tmp_path / "save"), "ckpt": None},
+        "train": {"loaders": {}, "fit": {"noise_std": 25}, "opt": {"lr": 1e-3}},
+    }
+    ARGS = build_argparser().parse_args(
+        [os.devnull, "--test", os.path.join(root, "test"),
+         "--noise_level", "25", "--blind", "MAD"]
+    )
+    analyze.main(ARGS, args)
+    txt = os.path.join(args["paths"]["save"], "test_test_MAD.txt")
+    assert os.path.exists(txt)
+    line = open(txt).read().strip()
+    assert line.startswith("25, ") and np.isfinite(float(line.split(", ")[1]))
+    with open(os.path.join(args["paths"]["save"], "metrics.jsonl")) as f:
+        rows = [json.loads(x) for x in f if x.strip()]
+    assert [r["blind"] for r in rows if r["event"] == "eval"] == ["MAD"]
