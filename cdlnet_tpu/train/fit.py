@@ -24,6 +24,7 @@ with project=False / backtrack_thresh=None for strict parity experiments.
 
 from __future__ import annotations
 
+import inspect
 import math
 import os
 import time
@@ -217,10 +218,10 @@ def make_train_step(model, opt, *, workload="2d", noise_std=(25, 25), demosaic=F
 
 
 def fit(*args, **kwargs):
-    """See _fit_impl for the full contract; this wrapper only guarantees
-    in-flight async checkpoint writes settle (wait + promote) even when
-    training raises — otherwise a crash leaves orbax commit threads to
-    die noisily at interpreter shutdown."""
+    # __doc__/__signature__ are copied from _fit_impl below; this wrapper
+    # only guarantees in-flight async checkpoint writes settle (wait +
+    # promote) even when training raises — otherwise a crash leaves orbax
+    # commit threads to die noisily at interpreter shutdown.
     from cdlnet_tpu.train.checkpoint import wait_for_checkpoints
 
     try:
@@ -484,3 +485,8 @@ def _fit_impl(
 
     wait_for_checkpoints()
     return _bundle(params, state), opt_state, history
+
+
+# expose the real contract on the public wrapper (help(), generated docs)
+fit.__signature__ = inspect.signature(_fit_impl)
+fit.__doc__ = _fit_impl.__doc__

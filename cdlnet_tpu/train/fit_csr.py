@@ -17,6 +17,7 @@ net.project()); pass project=True to enable it as a policy improvement.
 
 from __future__ import annotations
 
+import inspect
 import math
 import os
 import time
@@ -33,6 +34,9 @@ from cdlnet_tpu.train.optim import get_lr, set_lr
 
 
 def make_csr_train_step(model, opt, *, noise_std, project=False):
+    """Build the jitted CSR train/eval steps (2-frame alternating recurrence
+    for CDLNet_CSR, 3-frame bidirectional for CDLNet_CSRf2 — reference
+    traincsr.py:192-217 / :247-273)."""
     nstd = tuple(noise_std) if isinstance(noise_std, (list, tuple)) else noise_std
     is_f2 = isinstance(model, CDLNetCSRf2)
 
@@ -83,8 +87,8 @@ def make_csr_train_step(model, opt, *, noise_std, project=False):
 
 
 def fit_csr(*args, **kwargs):
-    """See _fit_csr_impl; wrapper settles async checkpoint writes even
-    when training raises (same contract as fit)."""
+    # __doc__/__signature__ copied from _fit_csr_impl below; wrapper settles
+    # async checkpoint writes even when training raises (same contract as fit).
     from cdlnet_tpu.train.checkpoint import wait_for_checkpoints
 
     try:
@@ -118,6 +122,12 @@ def _fit_csr_impl(
     ckpt_format="npz",  # "npz" | "orbax" (async, preemption-safe)
     **_ignored,
 ):
+    """Fit a frame-recurrent CSR(f2) model (reference traincsr.py:50-147).
+
+    Per-epoch alternating-frame recurrence training with the same artifact
+    protocol as fit(): {phase}.txt + metrics.jsonl rows, npz/orbax
+    checkpoints, save_args round-trip. Returns (params, opt_state, history).
+    """
     if _ignored:
         # schema-parity keys the CSR path has no use for (e.g. loss) land
         # here; name them so config typos don't vanish silently
@@ -206,3 +216,8 @@ def _fit_csr_impl(
         epoch += 1
 
     return params, opt_state, history
+
+
+# expose the real contract on the public wrapper (help(), generated docs)
+fit_csr.__signature__ = inspect.signature(_fit_csr_impl)
+fit_csr.__doc__ = _fit_csr_impl.__doc__
