@@ -222,7 +222,7 @@ def _kernel_ana(*refs, Qd, Qh, Qw, Cp, Wc, dlo, hlo, wlo):
 def _kernel_resident(y2_ref, m2_ref, A2m_ref, B2w_ref, tau_ref, acol_ref,
                      arow_ref, sm_ref, *out_and_scratch,
                      K, Dc, Qd, Qh, Qw, Cp, Wc, dlo, hlo, wlo,
-                     use_mask, return_z):
+                     use_mask, return_z, preroll=False):
     """Whole-K-loop fused 3D LISTA: the code tensor z and both weight banks
     stay in VMEM across ALL K iterations — HBM sees the clip's inputs,
     weights, and outputs once, independent of K (usable VMEM on this part
@@ -240,6 +240,17 @@ def _kernel_resident(y2_ref, m2_ref, A2m_ref, B2w_ref, tau_ref, acol_ref,
     Grid (N,); fori over k (dynamic weight indexing) and over depth slices
     (dynamic contiguous windows) — static unrolling of the depth loop made
     Mosaic compile times explode.
+
+    preroll=True (CDLNET_LISTA3D_PREROLL, profiled variant): the analysis
+    stack build is the kernel's VPU wall — per output frame d it re-rolls
+    and re-masks r[d+j] by all Qh*Qw in-plane taps for each of the Qd depth
+    taps, so every r frame gets rolled Qd times over. Instead, hoist the 16
+    rolled+masked copies of EACH r frame into a per-frame scratch once per
+    iteration ((Dc+guards, Qh*Qw*Cp, Lhw), guard frames zero), and let the
+    analysis dot read a contiguous Qd-frame WINDOW of it — the window's
+    (j, qi, ri, cp) row order matches the stack's tap-major order exactly.
+    Roll/mask/store work drops ~Qd x for +(Dc+guards-ish)*QhQw*Cp*Lhw*4
+    bytes of VMEM.
     """
     from jax.experimental.pallas import tpu as pltpu
 
@@ -276,6 +287,16 @@ def _kernel_resident(y2_ref, m2_ref, A2m_ref, B2w_ref, tau_ref, acol_ref,
 
     jax.lax.fori_loop(0, r_ref.shape[0], zero_r, 0)
 
+    if preroll:
+        # guard frames of the rolled-copies scratch must read as zero
+        # (rolled copies of the zero r guards); interior frames are fully
+        # overwritten before every use
+        def zero_rolled(i, _):
+            stack_ref[i] = jnp.zeros_like(stack_ref[i])
+            return 0
+
+        jax.lax.fori_loop(0, stack_ref.shape[0], zero_rolled, 0)
+
     def synthesis_into_r(k, sub_y):
         """r[d] <- [mask *] (B_k z)[d] [- y2[d]] for all d."""
 
@@ -303,8 +324,50 @@ def _kernel_resident(y2_ref, m2_ref, A2m_ref, B2w_ref, tau_ref, acol_ref,
 
         jax.lax.fori_loop(0, Dc, dstep, 0)
 
+    def _thresh_store(k, d, zero_prev):
+        tau = tau_ref[0, k][:, None]
+        prev = (
+            jnp.zeros((Mp, Lhw), jnp.float32) if zero_prev else z_ref[d + Gz]
+        )
+        z_ref[d + Gz] = st(prev - u_ref[:], tau)
+
     def analysis_update(k, zero_prev):
         """z[d] <- ST(z[d] - A2m[k] stack(r)[d], tau[k])."""
+        if preroll:
+            # phase 1: roll+mask each r frame by the Qh*Qw in-plane taps
+            # ONCE (stack_ref here is the (Dc+guards, Qh*Qw*Cp, Lhw)
+            # rolled-copies scratch; guards stay zero)
+            def build(dp, _):
+                src = r_ref[dp + Ga]
+                for qi in range(Qh):
+                    rowed = roll(src, (hlo + qi) * Wc) * arow_ref[qi][None, :]
+                    for ri in range(Qw):
+                        t2 = qi * Qw + ri
+                        stack_ref[dp + Ga, t2 * Cp : (t2 + 1) * Cp] = (
+                            roll(rowed, wlo + ri) * acol_ref[ri][None, :]
+                        )
+                return 0
+
+            jax.lax.fori_loop(0, Dc, build, 0)
+
+            # phase 2: per output frame, ONE dot over the contiguous
+            # Qd-frame window — row order (j, qi, ri, cp) matches A2m's
+            # tap-major columns
+            QhQwCp = Qh * Qw * Cp
+
+            def dstep_pre(d, _):
+                win = stack_ref[pl.ds(d + OFFA[0] + Ga, Qd)].reshape(
+                    Qd * QhQwCp, Lhw
+                )
+                u_ref[:] = jax.lax.dot_general(
+                    A2m_ref[k], win, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                _thresh_store(k, d, zero_prev)
+                return 0
+
+            jax.lax.fori_loop(0, Dc, dstep_pre, 0)
+            return
 
         def dstep(d, _):
             for j in range(Qd):
@@ -320,11 +383,7 @@ def _kernel_resident(y2_ref, m2_ref, A2m_ref, B2w_ref, tau_ref, acol_ref,
                 A2m_ref[k], stack_ref[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            tau = tau_ref[0, k][:, None]
-            prev = (
-                jnp.zeros((Mp, Lhw), jnp.float32) if zero_prev else z_ref[d + Gz]
-            )
-            z_ref[d + Gz] = st(prev - u_ref[:], tau)
+            _thresh_store(k, d, zero_prev)
             return 0
 
         jax.lax.fori_loop(0, Dc, dstep, 0)
@@ -449,15 +508,29 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
     sm = (srow[:, None, :] * scol[None, :, :]).reshape(Qh * Qw, Lhw)
 
     # --- whole-K-resident path: z + weights + scratch fit in VMEM ---
+    import os
+
+    # preroll (see _kernel_resident docstring): hoist the analysis
+    # roll+mask tap copies to once per r frame instead of once per
+    # (output frame, depth tap) — ~Qd x less VPU work for a bigger
+    # rolled-copies scratch. Opt-in until measured on hardware.
+    preroll = (
+        os.environ.get("CDLNET_LISTA3D_PREROLL", "0") == "1" and Qd > 1
+    )
+    _Ga, _Gahi = max(0, -dlo), max(0, dlo + Qd - 1)
+    stack_bytes = (
+        (Dc + _Ga + _Gahi) * Qh * Qw * Cp * Lhw * 4
+        if preroll
+        else T * Cp * Lhw * 4
+    )
     resident_bytes = (
         Dc * Mp * Lhw * 4            # z scratch
         + 2 * K * Mp * T * Cp * 4    # A2m + B2m (f32, resident)
-        + T * Cp * Lhw * 4           # stack
+        + stack_bytes                # tap stack / rolled-copies scratch
         + (Mp + Qh * Qw * Cp + Dc * Cp) * Lhw * 4   # u + merged-dot out + r
         + 4 * Dc * Cp * Lhw * 4      # y2/m2/x2 blocks (double-buffered)
         + (4 * Dc * Mp * Lhw * 4 if return_z else 0)  # z_out blocks
     )
-    import os
 
     # The resident kernel keeps z and all K weight banks in VMEM — no
     # per-iteration HBM z traffic — and with honest (RTT-cancelled) timing
@@ -487,7 +560,7 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
         Ga, Gahi = max(0, -dlo), max(0, dlo + Qd - 1)
         kern = functools.partial(
             _kernel_resident, **geom, K=K, Dc=Dc,
-            use_mask=use_mask, return_z=return_z,
+            use_mask=use_mask, return_z=return_z, preroll=preroll,
         )
         nblock = lambda ch: pl.BlockSpec(
             (1, Dc, ch, Lhw), lambda n: (n, 0, 0, 0), memory_space=pltpu.VMEM
@@ -514,7 +587,11 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
             scratch_shapes=[
                 pltpu.VMEM((Dc + Gz + Gzhi, Mp, Lhw), jnp.float32),  # z + guards
                 pltpu.VMEM((Dc + Ga + Gahi, Cp, Lhw), jnp.float32),  # r + guards
-                pltpu.VMEM((T * Cp, Lhw), jnp.float32),              # stack
+                pltpu.VMEM(                                          # tap stack /
+                    (Dc + Ga + Gahi, Qh * Qw * Cp, Lhw)              # rolled copies
+                    if preroll else (T * Cp, Lhw),
+                    jnp.float32,
+                ),
                 pltpu.VMEM((Mp, Lhw), jnp.float32),                  # u
                 pltpu.VMEM((Qh * Qw * Cp, Lhw), jnp.float32),        # merged-dot out
             ],

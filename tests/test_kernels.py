@@ -130,6 +130,36 @@ def test_fused3d_fp32_matches_scan_interpret(use_mask, P):
     np.testing.assert_allclose(np.asarray(x_got), np.asarray(x_ref), atol=1e-4)
 
 
+@pytest.mark.parametrize("use_mask,P,s", [(False, (7, 7, 5), 2),
+                                          (True, (5, 5, 3), 2),
+                                          (False, (5, 5, 3), 1)])
+def test_fused3d_preroll_matches_scan_interpret(use_mask, P, s, monkeypatch):
+    """CDLNET_LISTA3D_PREROLL=1: the resident kernel's hoisted
+    rolled-copies analysis (one roll+mask pass per r frame, window dot)
+    is bit-identical in interpret mode to the per-(frame, depth-tap)
+    stack build."""
+    monkeypatch.setenv("CDLNET_LISTA3D_PREROLL", "1")
+    C, M, K = 1, 13, 3
+    shape = (2, 1, 8, 16, 16)
+    yp, A, B, t = _mk3d(s, P, C, M, K, shape)
+    c = jnp.asarray([0.1, 0.2]).reshape(2, 1, 1, 1, 1)
+    mask = (
+        (jax.random.uniform(jax.random.PRNGKey(9), shape) > 0.5).astype(jnp.float32)
+        if use_mask
+        else None
+    )
+    z_ref = lista_3d(yp, A, B, t, c, mask=mask, stride=s)
+    pads = tuple(p // 2 for p in P)
+    x_ref = conv_transpose3d(
+        z_ref, B[0], stride=s, padding=pads, output_padding=s - 1
+    )
+    x_got, z_got = lista3d_fused(
+        yp, A, B, t, c, stride=s, mask=mask, z_dtype=jnp.float32, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(z_got), np.asarray(z_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(x_got), np.asarray(x_ref), atol=1e-4)
+
+
 def test_fused3d_bf16_carry_tolerance():
     """bf16 code carry stays within ~1% relative of the fp32 scan."""
     s, P, C, M, K = 2, (5, 5, 5), 1, 9, 3
