@@ -70,8 +70,16 @@ def lista3d_bwd_resident_supported(M, C, P, s, K, D, H, W) -> bool:
     Mp = -(-M // 8) * 8
     Glo, Ghi = max(0, -dlo), max(0, dhi)
     Dw = Dc + Glo + Ghi
+    import os
+
+    pre = (
+        Dw * Qh * Qw * Cp * Lhw    # preroll rolled-copies scratch
+        if os.environ.get("CDLNET_LISTA3D_BWD_PREROLL", "0") == "1" and Qd > 1
+        else 0
+    )
     est = (
         Dc * Mp * Lhw              # dv resident
+        + pre
         + 2 * Dw * Cp * Lhw        # ds + r guard windows
         + T * Cp * Lhw             # stack / w / stack2 (shared)
         + 2 * Mp * Lhw             # 2-slot z ring
@@ -86,7 +94,7 @@ def lista3d_bwd_resident_supported(M, C, P, s, K, D, H, W) -> bool:
 
 
 def _kernel_bwd_resident(*refs, K, Dc, Qd, Qh, Qw, Cp, Wc,
-                         dlo, hlo, wlo, use_mask, interp):
+                         dlo, hlo, wlo, use_mask, interp, preroll=False):
     """See module docstring. Grid (N,). refs:
 
     inputs:  dx2 (1,Dc,Cp,Lhw), y2 (1,Dc,Cp,Lhw), [m2 (1,Dc,Cp,Lhw)],
@@ -108,10 +116,16 @@ def _kernel_bwd_resident(*refs, K, Dc, Qd, Qh, Qw, Cp, Wc,
     m2_ref = None
     if use_mask:
         m2_ref = refs[i]; i += 1
+    rest = refs[i:]
     (crow_ref, acol_ref, arow_ref, sm_ref, zh_ref, rh_ref, a2m_ref,
      b2m_ref, dA_ref, dB_ref, dt_ref, dv_ref, ds_ref, rwin_ref,
-     stack_ref, zring_ref, aring_ref, bring_ref,
-     dAs_ref, dBs_ref, zsem, asem, bsem, rsem, osem) = refs[i:]
+     stack_ref) = rest[:15]
+    rest = rest[15:]
+    pre_ref = None
+    if preroll:
+        pre_ref, rest = rest[0], rest[1:]
+    (zring_ref, aring_ref, bring_ref,
+     dAs_ref, dBs_ref, zsem, asem, bsem, rsem, osem) = rest
     # the syn phase's stack2 window stack is (T*Cp, Lhw) — identical to
     # the ana phase's stack/w scratch, and the phases never overlap
     stack2_ref = stack_ref
@@ -148,6 +162,13 @@ def _kernel_bwd_resident(*refs, K, Dc, Qd, Qh, Qw, Cp, Wc,
         rwin_ref[g] = jnp.zeros_like(rwin_ref[0])
     for g in range(Ghi):
         rwin_ref[Glo + Dc + g] = jnp.zeros_like(rwin_ref[0])
+    if preroll:
+        # pre_ref guard frames stay zero forever (both phases write only
+        # interior frames, and every interior row is overwritten before use)
+        for g in range(Glo):
+            pre_ref[g] = jnp.zeros_like(pre_ref[0])
+        for g in range(Ghi):
+            pre_ref[Glo + Dc + g] = jnp.zeros_like(pre_ref[0])
 
     # ---------------- phase bodies --------------------------------------
     def zero_ds():
@@ -171,19 +192,43 @@ def _kernel_bwd_resident(*refs, K, Dc, Qd, Qh, Qw, Cp, Wc,
             zero_ds()
         dAs_ref[:] = jnp.zeros_like(dAs_ref)
 
-        def dstep(d, _):
-            dv = dv_ref[d]
-            for j in range(Qd):
-                rj = rwin_ref[d + j + Glo + dlo]  # guards are zero
+        if preroll:
+            # roll+mask each r frame by the Qh*Qw in-plane analysis taps
+            # ONCE (vs once per referencing output frame — ~Qd x less VPU
+            # work); the dAs dot reads a contiguous Qd-frame window whose
+            # (j, qi, ri, cp) row order matches the stack layout exactly
+            def rbuild(dp, _):
+                src = rwin_ref[dp + Glo]
                 for qi in range(Qh):
-                    rowed = roll(rj, (hlo + qi) * Wc) * arow_ref[qi][None, :]
+                    rowed = roll(src, (hlo + qi) * Wc) * arow_ref[qi][None, :]
                     for ri in range(Qw):
-                        tp = (j * Qh + qi) * Qw + ri
-                        stack_ref[tp * Cp : (tp + 1) * Cp] = (
+                        t2 = qi * Qw + ri
+                        pre_ref[dp + Glo, t2 * Cp : (t2 + 1) * Cp] = (
                             roll(rowed, wlo + ri) * acol_ref[ri][None, :]
                         )
+                return 0
+
+            floop(Dc, rbuild)
+
+        def dstep(d, _):
+            dv = dv_ref[d]
+            if preroll:
+                win = pre_ref[pl.ds(d + dlo + Glo, Qd)].reshape(
+                    Qd * Qh * Qw * Cp, Lhw
+                )
+            else:
+                for j in range(Qd):
+                    rj = rwin_ref[d + j + Glo + dlo]  # guards are zero
+                    for qi in range(Qh):
+                        rowed = roll(rj, (hlo + qi) * Wc) * arow_ref[qi][None, :]
+                        for ri in range(Qw):
+                            tp = (j * Qh + qi) * Qw + ri
+                            stack_ref[tp * Cp : (tp + 1) * Cp] = (
+                                roll(rowed, wlo + ri) * acol_ref[ri][None, :]
+                            )
+                win = stack_ref[:]
             dAs_ref[:] += -jax.lax.dot_general(
-                dv, stack_ref[:], (((1,), (1,)), ((), ())),
+                dv, win, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             if emit_ds:
@@ -232,6 +277,26 @@ def _kernel_bwd_resident(*refs, K, Dc, Qd, Qh, Qw, Cp, Wc,
             floop(Dc, mstep)
         zero_ds_guards()
         crow = crow_ref[0, 0][None, :]
+        QhQw = Qh * Qw
+
+        if preroll:
+            # roll+mask each ds frame by the Qh*Qw synthesis taps ONCE.
+            # The per-e window then ascends in FRAME order f = e + dlo + j'
+            # (j' = Qd-1-j), so the B2m bank and the staged dBs columns are
+            # j-REVERSED — the wrapper reverses the bank's depth axis on
+            # the way in and un-reverses dB on the way out.
+            def dsbuild(dp, _):
+                g = ds_ref[dp + Glo]
+                for qi in range(Qh):
+                    for ri in range(Qw):
+                        tp = qi * Qw + ri
+                        off = (qi - (Qh - 1) - hlo) * Wc + (
+                            ri - (Qw - 1) - wlo)
+                        pre_ref[dp + Glo, tp * Cp : (tp + 1) * Cp] = roll(
+                            g * sm_ref[tp][None, :], -off)
+                return 0
+
+            floop(Dc, dsbuild)
 
         def estep(e, dtk):
             zslot = rem2(e)
@@ -244,22 +309,27 @@ def _kernel_bwd_resident(*refs, K, Dc, Qd, Qh, Qw, Cp, Wc,
                 def _pf():
                     dma_start(z_dma(k_next, e + 1, rem2(e + 1)))
             z = zring_ref[zslot].astype(jnp.float32)
-            QhQw = Qh * Qw
-            for j in range(Qd):
-                # tap j's cotangent window: ds[e - dq_sj] with
-                # dq_sj = j - (Qd-1) - dlo (kernels/lista3d_bwd gviews);
-                # guard slices are zero <=> the scan version's valid mask
-                g = ds_ref[e + (Qd - 1) + dlo - j + Glo]
-                for qi in range(Qh):
-                    for ri in range(Qw):
-                        tp = qi * Qw + ri
-                        off = (qi - (Qh - 1) - hlo) * Wc + (
-                            ri - (Qw - 1) - wlo)
-                        stack2_ref[(j * QhQw + tp) * Cp :
-                                   (j * QhQw + tp + 1) * Cp] = roll(
-                            g * sm_ref[tp][None, :], -off)
+            if preroll:
+                stk2 = pre_ref[pl.ds(e + dlo + Glo, Qd)].reshape(
+                    Qd * QhQw * Cp, Lhw
+                )
+            else:
+                for j in range(Qd):
+                    # tap j's cotangent window: ds[e - dq_sj] with
+                    # dq_sj = j - (Qd-1) - dlo (kernels/lista3d_bwd gviews);
+                    # guard slices are zero <=> the scan version's valid mask
+                    g = ds_ref[e + (Qd - 1) + dlo - j + Glo]
+                    for qi in range(Qh):
+                        for ri in range(Qw):
+                            tp = qi * Qw + ri
+                            off = (qi - (Qh - 1) - hlo) * Wc + (
+                                ri - (Qw - 1) - wlo)
+                            stack2_ref[(j * QhQw + tp) * Cp :
+                                       (j * QhQw + tp + 1) * Cp] = roll(
+                                g * sm_ref[tp][None, :], -off)
+                stk2 = stack2_ref[:]
             dz = jax.lax.dot_general(
-                bring_ref[bslot], stack2_ref[:], (((1,), (0,)), ((), ())),
+                bring_ref[bslot], stk2, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             if with_base:
@@ -267,7 +337,7 @@ def _kernel_bwd_resident(*refs, K, Dc, Qd, Qh, Qw, Cp, Wc,
             # dB in TRANSPOSED (Mp, Qd*QhQw*Cp) layout: full staging
             # writes, lane-aligned DMA out; wrapper transposes back
             dBs_ref[:] += jax.lax.dot_general(
-                z, stack2_ref[:], (((1,), (1,)), ((), ())),
+                z, stk2, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             sgn = jnp.sign(z)
@@ -375,10 +445,21 @@ def lista3d_fused_bwd_resident(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
     A2m, vjpA = jax.vjp(lambda Aw: prep_A2m_3d(Aw, s, pads), A)
     B2m, vjpB = jax.vjp(lambda Bw: prep_B2m_3d(Bw, s, pads), B)
     A2m = A2m.astype(jnp.float32)
+
+    import os
+
+    # preroll (see _kernel_bwd_resident): hoist the ana/syn tap roll+mask
+    # builds to once per frame; the syn window ascends in frame order, so
+    # the B2m bank's depth-tap axis is reversed here (and dB un-reversed
+    # below). Opt-in until measured on hardware.
+    preroll = (
+        os.environ.get("CDLNET_LISTA3D_BWD_PREROLL", "0") == "1" and Qd > 1
+    )
+    B2mk = B2m[:, ::-1] if preroll else B2m
     # B bank in (K, Mp, Qd*QhQw*Cp) layout: Mp=176 on SUBLANES only —
     # Mosaic rejects HBM slices whose LANE extent is not 128-aligned
     B2mt = (
-        B2m.astype(jnp.float32)
+        B2mk.astype(jnp.float32)
         .transpose(0, 3, 1, 2)
         .reshape(K, Mp, T * Cp)
     )
@@ -417,7 +498,7 @@ def lista3d_fused_bwd_resident(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
     kern = functools.partial(
         _kernel_bwd_resident, K=K, Dc=Dc, Qd=Qd, Qh=Qh, Qw=Qw, Cp=Cp,
         Wc=Wc, dlo=dlo, hlo=hlo, wlo=wlo, use_mask=use_mask,
-        interp=interpret,
+        interp=interpret, preroll=preroll,
     )
     nblk = lambda ch: pl.BlockSpec((1, Dc, ch, Lhw), lambda n: (n, 0, 0, 0),
                                    memory_space=pltpu.VMEM)
@@ -453,6 +534,10 @@ def lista3d_fused_bwd_resident(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
             pltpu.VMEM((Dw, Cp, Lhw), jnp.float32),          # ds window
             pltpu.VMEM((Dw, Cp, Lhw), jnp.float32),          # r window
             pltpu.VMEM((T * Cp, Lhw), jnp.float32),          # stack/w/stack2
+        ]
+        + ([pltpu.VMEM((Dw, Qh * Qw * Cp, Lhw), jnp.float32)]  # rolled copies
+           if preroll else [])
+        + [
             pltpu.VMEM((2, Mp, Lhw), z_hist.dtype),          # z ring
             pltpu.VMEM((2, Mp, T * Cp), jnp.float32),        # A2m ring
             pltpu.VMEM((2, Mp, T * Cp), jnp.float32),        # B2m ring
@@ -473,12 +558,12 @@ def lista3d_fused_bwd_resident(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
 
     dA2m = jnp.sum(outs[0], axis=0)          # (K, Mp, T*Cp)
     # dB comes back transposed (K, Mp, Qd*QhQw*Cp); restore the
-    # (K, Qd, QhQwCp, Mp) layout vjpB transports
-    dB2m = (
-        jnp.sum(outs[1], axis=0)
-        .reshape(K, Mp, Qd, Qh * Qw * Cp)
-        .transpose(0, 2, 3, 1)
-    )
+    # (K, Qd, QhQwCp, Mp) layout vjpB transports (un-reversing the
+    # preroll bank's depth-tap axis)
+    dB2m = jnp.sum(outs[1], axis=0).reshape(K, Mp, Qd, Qh * Qw * Cp)
+    if preroll:
+        dB2m = dB2m[:, :, ::-1]
+    dB2m = dB2m.transpose(0, 2, 3, 1)
     dt01 = outs[2]                           # (K, 2, Mp), already n-summed
 
     dA = vjpA(dA2m)[0]

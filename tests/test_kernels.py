@@ -623,11 +623,15 @@ def test_fused3d_bwd_bf16_hist_tolerance():
 
 
 @pytest.mark.parametrize(
-    "s,P,M,K,use_mask",
-    [(2, (5, 5, 3), 6, 3, False), (2, (5, 5, 3), 6, 2, True),
-     (2, (5, 5, 3), 6, 1, False)],
+    "s,P,M,K,use_mask,preroll",
+    [(2, (5, 5, 3), 6, 3, False, False), (2, (5, 5, 3), 6, 2, True, False),
+     (2, (5, 5, 3), 6, 1, False, False),
+     # CDLNET_LISTA3D_BWD_PREROLL=1: hoisted per-frame tap roll+mask builds
+     # + j-reversed synthesis bank/window (see lista3d_bwd_resident)
+     (2, (5, 5, 3), 6, 3, False, True), (2, (7, 7, 5), 6, 2, True, True)],
 )
-def test_fused3d_bwd_resident_grads_match_xla(s, P, M, K, use_mask):
+def test_fused3d_bwd_resident_grads_match_xla(s, P, M, K, use_mask, preroll,
+                                              monkeypatch):
     """The whole-reverse-RESIDENT 3D backward (kernels/lista3d_bwd_resident)
     matches the XLA scan's autodiff on weight and threshold gradients."""
     from cdlnet_tpu.kernels.lista3d import lista3d_fused
@@ -636,6 +640,7 @@ def test_fused3d_bwd_resident_grads_match_xla(s, P, M, K, use_mask):
         lista3d_fused_bwd_resident,
     )
 
+    monkeypatch.setenv("CDLNET_LISTA3D_BWD_PREROLL", "1" if preroll else "0")
     C = 1
     shape = (2, C, 8, 16, 16)
     assert lista3d_bwd_resident_supported(M, C, P, s, K, *shape[2:])
