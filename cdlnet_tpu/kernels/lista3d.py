@@ -288,14 +288,13 @@ def _kernel_resident(y2_ref, m2_ref, A2m_ref, B2w_ref, tau_ref, acol_ref,
     jax.lax.fori_loop(0, r_ref.shape[0], zero_r, 0)
 
     if preroll:
-        # guard frames of the rolled-copies scratch must read as zero
-        # (rolled copies of the zero r guards); interior frames are fully
-        # overwritten before every use
-        def zero_rolled(i, _):
-            stack_ref[i] = jnp.zeros_like(stack_ref[i])
-            return 0
-
-        jax.lax.fori_loop(0, stack_ref.shape[0], zero_rolled, 0)
+        # only the GUARD frames of the rolled-copies scratch must read as
+        # zero (rolled copies of the zero r guards); interior frames are
+        # fully overwritten before every use
+        for g in range(Ga):
+            stack_ref[g] = jnp.zeros_like(stack_ref[0])
+        for g in range(stack_ref.shape[0] - Dc - Ga):
+            stack_ref[Ga + Dc + g] = jnp.zeros_like(stack_ref[0])
 
     def synthesis_into_r(k, sub_y):
         """r[d] <- [mask *] (B_k z)[d] [- y2[d]] for all d."""
@@ -510,27 +509,30 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
     # --- whole-K-resident path: z + weights + scratch fit in VMEM ---
     import os
 
-    # preroll (see _kernel_resident docstring): hoist the analysis
-    # roll+mask tap copies to once per r frame instead of once per
-    # (output frame, depth tap) — ~Qd x less VPU work for a bigger
-    # rolled-copies scratch. Opt-in until measured on hardware.
-    preroll = (
-        os.environ.get("CDLNET_LISTA3D_PREROLL", "0") == "1" and Qd > 1
-    )
-    _Ga, _Gahi = max(0, -dlo), max(0, dlo + Qd - 1)
-    stack_bytes = (
-        (Dc + _Ga + _Gahi) * Qh * Qw * Cp * Lhw * 4
-        if preroll
-        else T * Cp * Lhw * 4
-    )
     resident_bytes = (
         Dc * Mp * Lhw * 4            # z scratch
         + 2 * K * Mp * T * Cp * 4    # A2m + B2m (f32, resident)
-        + stack_bytes                # tap stack / rolled-copies scratch
+        + T * Cp * Lhw * 4           # tap stack
         + (Mp + Qh * Qw * Cp + Dc * Cp) * Lhw * 4   # u + merged-dot out + r
         + 4 * Dc * Cp * Lhw * 4      # y2/m2/x2 blocks (double-buffered)
         + (4 * Dc * Mp * Lhw * 4 if return_z else 0)  # z_out blocks
     )
+    # preroll (see _kernel_resident docstring): hoist the analysis
+    # roll+mask tap copies to once per r frame instead of once per
+    # (output frame, depth tap) — ~Qd x less VPU work for a bigger
+    # rolled-copies scratch. Opt-in until measured on hardware. Gated
+    # SEPARATELY from the resident decision: a shape that fits resident
+    # but not resident+preroll keeps the resident kernel (preroll off)
+    # rather than silently demoting to the slower iteration-pair path.
+    _Ga, _Gahi = max(0, -dlo), max(0, dlo + Qd - 1)
+    preroll_extra = ((Dc + _Ga + _Gahi) * Qh * Qw - T) * Cp * Lhw * 4
+    preroll = (
+        os.environ.get("CDLNET_LISTA3D_PREROLL", "0") == "1"
+        and Qd > 1
+        and resident_bytes + preroll_extra < _VMEM_BUDGET
+    )
+    if preroll:
+        resident_bytes += preroll_extra
 
     # The resident kernel keeps z and all K weight banks in VMEM — no
     # per-iteration HBM z traffic — and with honest (RTT-cancelled) timing

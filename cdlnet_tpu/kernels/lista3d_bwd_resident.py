@@ -46,7 +46,8 @@ from cdlnet_tpu.kernels.lista3d import _VMEM_BUDGET, _geom
 from cdlnet_tpu.ops import polyphase as pp
 
 
-def lista3d_bwd_resident_supported(M, C, P, s, K, D, H, W) -> bool:
+def lista3d_bwd_resident_supported(M, C, P, s, K, D, H, W,
+                                   preroll=False) -> bool:
     """True when the whole-reverse-resident kernel fits VMEM.
 
     The dominant term is the resident dv (Dc, Mp, Lhw); guard-sliced
@@ -70,13 +71,11 @@ def lista3d_bwd_resident_supported(M, C, P, s, K, D, H, W) -> bool:
     Mp = -(-M // 8) * 8
     Glo, Ghi = max(0, -dlo), max(0, dhi)
     Dw = Dc + Glo + Ghi
-    import os
-
-    pre = (
-        Dw * Qh * Qw * Cp * Lhw    # preroll rolled-copies scratch
-        if os.environ.get("CDLNET_LISTA3D_BWD_PREROLL", "0") == "1" and Qd > 1
-        else 0
-    )
+    # preroll=True sizes the variant WITH the rolled-copies scratch; the
+    # wrapper gates preroll on this separately so near-budget shapes keep
+    # the resident kernel (preroll off) instead of demoting to the scan
+    # backward. Routing (autodiff.lista3d_reverse_path) calls the default.
+    pre = Dw * Qh * Qw * Cp * Lhw if preroll else 0
     est = (
         Dc * Mp * Lhw              # dv resident
         + pre
@@ -451,9 +450,13 @@ def lista3d_fused_bwd_resident(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
     # preroll (see _kernel_bwd_resident): hoist the ana/syn tap roll+mask
     # builds to once per frame; the syn window ascends in frame order, so
     # the B2m bank's depth-tap axis is reversed here (and dB un-reversed
-    # below). Opt-in until measured on hardware.
+    # below). Opt-in until measured on hardware; shapes that fit resident
+    # but not resident+preroll keep the resident kernel with preroll off.
     preroll = (
-        os.environ.get("CDLNET_LISTA3D_BWD_PREROLL", "0") == "1" and Qd > 1
+        os.environ.get("CDLNET_LISTA3D_BWD_PREROLL", "0") == "1"
+        and Qd > 1
+        and lista3d_bwd_resident_supported(M, C, P, s, K, D, H, W,
+                                           preroll=True)
     )
     B2mk = B2m[:, ::-1] if preroll else B2m
     # B bank in (K, Mp, Qd*QhQw*Cp) layout: Mp=176 on SUBLANES only —

@@ -137,8 +137,9 @@ def test_fused3d_preroll_matches_scan_interpret(use_mask, P, s, monkeypatch):
     """CDLNET_LISTA3D_PREROLL=1: the resident kernel's hoisted
     rolled-copies analysis (one roll+mask pass per r frame, window dot)
     is bit-identical in interpret mode to the per-(frame, depth-tap)
-    stack build."""
-    monkeypatch.setenv("CDLNET_LISTA3D_PREROLL", "1")
+    stack build, and stays within the scan tolerance."""
+    import cdlnet_tpu.kernels.lista3d as k3
+
     C, M, K = 1, 13, 3
     shape = (2, 1, 8, 16, 16)
     yp, A, B, t = _mk3d(s, P, C, M, K, shape)
@@ -148,13 +149,32 @@ def test_fused3d_preroll_matches_scan_interpret(use_mask, P, s, monkeypatch):
         if use_mask
         else None
     )
+    monkeypatch.setenv("CDLNET_LISTA3D_PREROLL", "0")
+    x_base, z_base = lista3d_fused(
+        yp, A, B, t, c, stride=s, mask=mask, z_dtype=jnp.float32, interpret=True
+    )
+
+    # pin the route: preroll lives in the RESIDENT kernel only — fail loudly
+    # if these shapes ever fall to the iteration-pair path, where the env
+    # flag is a no-op and this test would pass vacuously
+    def _no_pair(*a, **kw):
+        raise AssertionError("iteration-pair path taken; resident expected")
+
+    monkeypatch.setattr(k3, "_kernel_ana", _no_pair)
+    monkeypatch.setattr(k3, "_kernel_syn", _no_pair)
+    monkeypatch.setenv("CDLNET_LISTA3D_PREROLL", "1")
+    x_got, z_got = lista3d_fused(
+        yp, A, B, t, c, stride=s, mask=mask, z_dtype=jnp.float32, interpret=True
+    )
+    # bit-exact vs the non-preroll resident kernel (same dot shapes and
+    # reduction order; only the roll/mask schedule differs)
+    np.testing.assert_array_equal(np.asarray(x_got), np.asarray(x_base))
+    np.testing.assert_array_equal(np.asarray(z_got), np.asarray(z_base))
+
     z_ref = lista_3d(yp, A, B, t, c, mask=mask, stride=s)
     pads = tuple(p // 2 for p in P)
     x_ref = conv_transpose3d(
         z_ref, B[0], stride=s, padding=pads, output_padding=s - 1
-    )
-    x_got, z_got = lista3d_fused(
-        yp, A, B, t, c, stride=s, mask=mask, z_dtype=jnp.float32, interpret=True
     )
     np.testing.assert_allclose(np.asarray(z_got), np.asarray(z_ref), atol=1e-4)
     np.testing.assert_allclose(np.asarray(x_got), np.asarray(x_ref), atol=1e-4)
