@@ -254,6 +254,40 @@ def test_fit_trains_pallas_backend(tmp_path, monkeypatch):
     assert all(np.isfinite(p) for _, _, p in history)
 
 
+def test_mcsure_step_pallas_matches_xla(monkeypatch):
+    """MC-SURE (train.py:87-93 semantics) runs two forwards through the
+    fused custom-VJP path; one train step's loss and parameter update
+    must match the XLA backend (fp32 history for exact comparison)."""
+    monkeypatch.setenv("CDLNET_HIST_DTYPE", "f32")
+    import cdlnet_tpu.kernels.lista2d as k2d
+
+    for name in ("lista2d_fused", "lista2d_fused_bwd"):
+        orig = getattr(k2d, name)
+        monkeypatch.setattr(
+            k2d, name,
+            lambda *a, _o=orig, **kw: _o(*a, **{**kw, "interpret": True}),
+        )
+    cfg = dict(K=2, M=6, P=5, s=2, adaptive=True)
+    batch = jnp.stack([jnp.asarray(x) for x in synth_images(2, 16)])
+    key = jax.random.PRNGKey(7)
+    results = {}
+    for backend in ("xla", "pallas"):
+        model = CDLNet(**cfg, backend=backend)
+        params = model.init(jax.random.PRNGKey(0), init=True)
+        opt = make_optimizer(1e-3, clip_grad=0.05)
+        step, _ = make_train_step(model, opt, noise_std=(20, 30), mcsure=True)
+        new_params, _, loss = step(params, opt.init(params), batch, key)
+        results[backend] = (new_params, float(loss))
+    assert np.isfinite(results["xla"][1])
+    np.testing.assert_allclose(results["pallas"][1], results["xla"][1],
+                               rtol=1e-5)
+    for k in results["xla"][0]:
+        np.testing.assert_allclose(
+            np.asarray(results["pallas"][0][k]),
+            np.asarray(results["xla"][0][k]), atol=1e-5,
+        )
+
+
 def test_backtracking_disarms_after_cap(tmp_path, monkeypatch):
     """Steady-state PSNR fluctuation below an outlier best must not livelock
     the epoch loop (reference train.py:113-142 has no cap)."""
