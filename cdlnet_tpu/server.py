@@ -1,0 +1,245 @@
+"""HTTP serving daemon around serve.Denoiser (beyond-reference addition —
+the reference repo has no serving story; this turns a trained model dir
+into a network denoising service with zero extra dependencies).
+
+Wire format is raw ``.npy`` bytes (``numpy.save``/``numpy.load``,
+``allow_pickle`` disabled) — lossless float arrays both ways, trivially
+produced from any client language with a numpy port. Shapes follow
+serve.Denoiser: images (H, W), (C, H, W) or (N, C, H, W); videos (D, H, W),
+(C, D, H, W) or (N, C, D, H, W); values in [0, 1].
+
+Endpoints:
+  GET  /healthz                     -> 200 "ok"
+  GET  /info                        -> model/config/serving metadata (JSON)
+  POST /v1/denoise_image?sigma=25   -> denoised .npy (sigma omitted = blind)
+  POST /v1/denoise_video?sigma=25[&chunk_depth=16&overlap=4&tile_hw=256]
+                                    -> denoised .npy (long clips stream via
+                                       overlap-discard; big frames tile)
+
+Device work is serialized by a lock (one compiled program runs at a time;
+XLA dispatch is not thread-safe per buffer donation), while request
+parsing/serialization runs on the HTTP thread pool. Compilation is
+per shape-bucket (serve.Denoiser), so steady-state requests of similar
+sizes never recompile.
+
+Run:  cdlnet-serve args.json --port 8411          (or a trained-model dir)
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+NPY_CONTENT_TYPE = "application/x-npy"
+MAX_BODY_BYTES = 1 << 30  # 1 GiB of raw float input is plenty for one call
+
+
+class _BadRequest(ValueError):
+    pass
+
+
+def _parse_npy(body: bytes) -> np.ndarray:
+    try:
+        arr = np.load(io.BytesIO(body), allow_pickle=False)
+    except Exception as e:  # malformed .npy
+        raise _BadRequest(f"body is not a valid .npy array: {e}") from e
+    if arr.dtype.kind not in "fiu":
+        raise _BadRequest(f"unsupported dtype {arr.dtype}; send float in [0,1]")
+    return np.asarray(arr, np.float32)
+
+
+def _dump_npy(arr: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    np.save(buf, np.asarray(arr, np.float32))
+    return buf.getvalue()
+
+
+def _query_float(q, name, default=None):
+    if name not in q:
+        return default
+    try:
+        return float(q[name][0])
+    except ValueError as e:
+        raise _BadRequest(f"bad query param {name}={q[name][0]!r}") from e
+
+
+def _query_int(q, name, default=None):
+    v = _query_float(q, name, None)
+    return default if v is None else int(v)
+
+
+def make_handler(denoiser, lock: threading.Lock):
+    """Build the request-handler class closed over a Denoiser + device lock."""
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+        # quiet default request logging; errors still reach stderr
+        def log_message(self, fmt, *args):  # noqa: D401
+            pass
+
+        def _send(self, code, body: bytes, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, code, obj):
+            self._send(code, json.dumps(obj, default=str).encode())
+
+        def do_GET(self):  # noqa: N802 (stdlib API)
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                self._send(200, b"ok", "text/plain")
+            elif path == "/info":
+                import jax
+
+                m = denoiser.model
+                cfg = {
+                    k: (list(v) if isinstance(v, tuple) else v)
+                    for k, v in vars(m).items()
+                }
+                self._send_json(200, {
+                    "model": type(m).__name__,
+                    "config": cfg,
+                    "blind": denoiser.blind,
+                    "bucket": denoiser.bucket,
+                    "n_params": int(sum(
+                        np.asarray(p).size
+                        for p in jax.tree_util.tree_leaves(denoiser.params)
+                    )),
+                })
+            else:
+                self._send_json(404, {"error": f"no such path {path}"})
+
+        def do_POST(self):  # noqa: N802
+            url = urlparse(self.path)
+            q = parse_qs(url.query)
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                if n <= 0:
+                    raise _BadRequest("empty body; POST .npy bytes")
+                if n > MAX_BODY_BYTES:
+                    raise _BadRequest(f"body too large ({n} bytes)")
+                arr = _parse_npy(self.rfile.read(n))
+                sigma = _query_float(q, "sigma")
+                if url.path == "/v1/denoise_image":
+                    if arr.ndim not in (2, 3, 4):
+                        raise _BadRequest(
+                            f"image must be 2-4D, got shape {arr.shape}")
+                    with lock:
+                        out = denoiser.denoise_image(arr, sigma=sigma)
+                elif url.path == "/v1/denoise_video":
+                    if arr.ndim not in (3, 4, 5):
+                        raise _BadRequest(
+                            f"video must be 3-5D, got shape {arr.shape}")
+                    kw = dict(
+                        chunk_depth=_query_int(q, "chunk_depth"),
+                        overlap=_query_int(q, "overlap", 4),
+                    )
+                    tile = _query_int(q, "tile_hw")
+                    if tile is not None:
+                        kw["tile_hw"] = tile
+                        kw["overlap_hw"] = _query_int(q, "overlap_hw", 16)
+                    with lock:
+                        out = denoiser.denoise_video(arr, sigma=sigma, **kw)
+                else:
+                    self._send_json(404, {"error": f"no such path {url.path}"})
+                    return
+                self._send(200, _dump_npy(out), NPY_CONTENT_TYPE)
+            except _BadRequest as e:
+                self._send_json(400, {"error": str(e)})
+            except ValueError as e:
+                # input-dependent validation raised downstream (shape/
+                # chunking constraints from serve/streaming) — client error
+                self._send_json(400, {"error": str(e)})
+            except Exception as e:  # surface, don't kill the worker thread
+                self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+class DenoiseServer:
+    """Threaded HTTP server owning one Denoiser.
+
+    >>> srv = DenoiseServer(Denoiser.from_dir("examples/cdlnet-demo"))
+    >>> srv.start()            # returns immediately; srv.port is bound
+    >>> ...
+    >>> srv.stop()
+    """
+
+    def __init__(self, denoiser, host="127.0.0.1", port=8411):
+        self.denoiser = denoiser
+        self._lock = threading.Lock()
+        self.httpd = ThreadingHTTPServer(
+            (host, port), make_handler(denoiser, self._lock)
+        )
+        self.httpd.daemon_threads = True
+        self._thread = None
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def start(self):
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def serve_forever(self):
+        self.httpd.serve_forever()
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+
+def main(argv=None):
+    import argparse
+    import os
+
+    from cdlnet_tpu.serve import Denoiser
+    from cdlnet_tpu.utils import setup_compilation_cache
+
+    p = argparse.ArgumentParser(
+        description="Serve a trained cdlnet model over HTTP (.npy in/out)")
+    p.add_argument("args", help="args.json path OR a trained-model directory")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8411)
+    p.add_argument("--backend", default="pallas",
+                   choices=["auto", "pallas", "xla"])
+    p.add_argument("--warmup", default=None,
+                   help="comma-separated shapes to pre-compile, e.g. "
+                        "'128x128,256x256' (images) or '16x128x128' (video)")
+    a = p.parse_args(argv)
+
+    setup_compilation_cache()
+    if os.path.isdir(a.args):
+        d = Denoiser.from_dir(a.args, backend=a.backend)
+    else:
+        with open(a.args) as f:
+            d = Denoiser.from_args(json.load(f), backend=a.backend)
+    if a.warmup:
+        shapes = [tuple(int(x) for x in s.split("x"))
+                  for s in a.warmup.split(",")]
+        d.warmup(shapes)
+    srv = DenoiseServer(d, host=a.host, port=a.port)
+    print(f"cdlnet-serve: listening on http://{a.host}:{srv.port} "
+          f"(model={type(d.model).__name__})", flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.stop()
+
+
+if __name__ == "__main__":
+    main()
