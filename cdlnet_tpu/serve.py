@@ -172,6 +172,13 @@ class Denoiser:
         try:
             if sigma is None and getattr(self.model, "adaptive", False):
                 out = self._fwd_blind(self.params, yj)
+            elif np.ndim(sigma) > 0:
+                # per-sample sigmas in ONE forward (the models take c with a
+                # leading batch dim, same as the blind path's MAD estimates)
+                c = jnp.asarray(np.asarray(sigma, np.float32)).reshape(
+                    (-1,) + (1,) * (yj.ndim - 1)
+                )
+                out = self._fwd(self.params, yj, c)
             else:
                 out = self._fwd(self.params, yj, None if sigma is None else float(sigma))
         except jax.errors.JaxRuntimeError:
@@ -204,6 +211,31 @@ class Denoiser:
         out = self._run(img, sigma)
         for _ in range(squeeze):
             out = out[0]
+        return out
+
+    def denoise_image_batch(self, imgs, sigmas=None) -> np.ndarray:
+        """One forward over a stack of same-shape images with PER-SAMPLE
+        noise levels — the TPU-serving batching primitive (server.py's
+        request coalescer rides on this).
+
+        imgs: (N, C, H, W) array or a sequence of same-shape (H, W) /
+        (C, H, W) images; sigmas: None (all blind), a scalar, or a
+        length-N sequence of floats. Returns the denoised stack with the
+        input's per-image layout."""
+        if not isinstance(imgs, np.ndarray):
+            imgs = np.stack([np.asarray(im, np.float32) for im in imgs])
+        imgs = np.asarray(imgs, np.float32)
+        squeeze = 4 - imgs.ndim  # (N,H,W) sequences need a channel dim
+        for _ in range(squeeze):
+            imgs = imgs[:, None]
+        if sigmas is not None and np.ndim(sigmas) > 0:
+            if len(sigmas) != imgs.shape[0]:
+                raise ValueError(
+                    f"{len(sigmas)} sigmas for {imgs.shape[0]} images")
+            sigmas = np.asarray(sigmas, np.float32)
+        out = self._run(imgs, sigmas)
+        for _ in range(squeeze):
+            out = out[:, 0]
         return out
 
     def denoise_video(self, clip: np.ndarray, sigma=None, chunk_depth=None,

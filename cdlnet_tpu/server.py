@@ -73,7 +73,69 @@ def _query_int(q, name, default=None):
     return default if v is None else int(v)
 
 
-def make_handler(denoiser, lock: threading.Lock):
+class _Coalescer:
+    """Opportunistic cross-request batching for single-image calls.
+
+    A lone request runs immediately (the worker drains only what is
+    ALREADY queued — no idle wait, so batching adds zero latency without
+    concurrency); under concurrent load, same-shape requests with the
+    same sigma mode coalesce into one Denoiser.denoise_image_batch
+    forward of up to max_batch images — the difference between N tunnel
+    round-trips and one on a TPU."""
+
+    def __init__(self, denoiser, lock: threading.Lock, max_batch: int = 8):
+        import queue
+
+        self.denoiser = denoiser
+        self.lock = lock
+        self.max_batch = max(1, int(max_batch))
+        self.q = queue.Queue()
+        self._queue_mod = queue
+        threading.Thread(target=self._loop, daemon=True).start()
+
+    def denoise(self, img: np.ndarray, sigma):
+        """Blocking single-image call; may be served from a shared batch."""
+        ev = threading.Event()
+        slot = {}
+        self.q.put(((img.shape, sigma is None), img, sigma, ev, slot))
+        if not ev.wait(timeout=600):
+            raise TimeoutError("denoise batch worker timed out")
+        if "err" in slot:
+            raise slot["err"]
+        return slot["out"]
+
+    def _loop(self):
+        Empty = self._queue_mod.Empty
+        while True:
+            first = self.q.get()
+            group, leftover = [first], []
+            while len(group) < self.max_batch:
+                try:
+                    item = self.q.get_nowait()
+                except Empty:
+                    break
+                (group if item[0] == first[0] else leftover).append(item)
+            for item in leftover:  # different shape/mode: next rounds
+                self.q.put(item)
+            try:
+                imgs = np.stack([g[1] for g in group])
+                sigmas = (
+                    None if first[0][1]
+                    else [float(g[2]) for g in group]
+                )
+                with self.lock:
+                    outs = self.denoiser.denoise_image_batch(imgs, sigmas)
+                for g, out in zip(group, outs):
+                    g[4]["out"] = out
+            except Exception as e:  # noqa: BLE001 — relayed to each caller
+                for g in group:
+                    g[4]["err"] = e
+            finally:
+                for g in group:
+                    g[3].set()
+
+
+def make_handler(denoiser, lock: threading.Lock, coalescer=None):
     """Build the request-handler class closed over a Denoiser + device lock."""
 
     class Handler(BaseHTTPRequestHandler):
@@ -132,8 +194,12 @@ def make_handler(denoiser, lock: threading.Lock):
                     if arr.ndim not in (2, 3, 4):
                         raise _BadRequest(
                             f"image must be 2-4D, got shape {arr.shape}")
-                    with lock:
-                        out = denoiser.denoise_image(arr, sigma=sigma)
+                    if coalescer is not None and arr.ndim in (2, 3):
+                        # single images coalesce across concurrent requests
+                        out = coalescer.denoise(arr, sigma)
+                    else:
+                        with lock:
+                            out = denoiser.denoise_image(arr, sigma=sigma)
                 elif url.path == "/v1/denoise_video":
                     if arr.ndim not in (3, 4, 5):
                         raise _BadRequest(
@@ -173,11 +239,15 @@ class DenoiseServer:
     >>> srv.stop()
     """
 
-    def __init__(self, denoiser, host="127.0.0.1", port=8411):
+    def __init__(self, denoiser, host="127.0.0.1", port=8411, max_batch=8):
         self.denoiser = denoiser
         self._lock = threading.Lock()
+        self.coalescer = (
+            _Coalescer(denoiser, self._lock, max_batch)
+            if max_batch and max_batch > 1 else None
+        )
         self.httpd = ThreadingHTTPServer(
-            (host, port), make_handler(denoiser, self._lock)
+            (host, port), make_handler(denoiser, self._lock, self.coalescer)
         )
         self.httpd.daemon_threads = True
         self._thread = None
@@ -220,6 +290,9 @@ def main(argv=None):
     p.add_argument("--warmup", default=None,
                    help="comma-separated shapes to pre-compile, e.g. "
                         "'128x128,256x256' (images) or '16x128x128' (video)")
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="coalesce up to this many concurrent single-image "
+                        "requests into one forward (1 disables)")
     a = p.parse_args(argv)
 
     setup_compilation_cache()
@@ -232,7 +305,7 @@ def main(argv=None):
         shapes = [tuple(int(x) for x in s.split("x"))
                   for s in a.warmup.split(",")]
         d.warmup(shapes)
-    srv = DenoiseServer(d, host=a.host, port=a.port)
+    srv = DenoiseServer(d, host=a.host, port=a.port, max_batch=a.max_batch)
     print(f"cdlnet-serve: listening on http://{a.host}:{srv.port} "
           f"(model={type(d.model).__name__})", flush=True)
     try:

@@ -125,6 +125,77 @@ def test_denoise_video_endpoint():
         srv.stop()
 
 
+def test_denoise_image_batch_per_sample_sigma_matches_single(server):
+    d = server.denoiser
+    rng = np.random.default_rng(5)
+    imgs = rng.uniform(size=(3, 1, 16, 16)).astype(np.float32)
+    sigmas = [15.0, 25.0, 35.0]
+    batched = d.denoise_image_batch(imgs, sigmas)
+    for i, s in enumerate(sigmas):
+        single = d.denoise_image(imgs[i], sigma=s)
+        np.testing.assert_allclose(batched[i], single, atol=1e-5)
+    # sequence-of-2D input keeps the per-image layout
+    flat = d.denoise_image_batch([imgs[0, 0], imgs[1, 0]], [15.0, 25.0])
+    assert flat.shape == (2, 16, 16)
+    np.testing.assert_allclose(flat[0], batched[0, 0], atol=1e-5)
+    with pytest.raises(ValueError):
+        d.denoise_image_batch(imgs, [15.0, 25.0])  # wrong sigma count
+
+
+def test_concurrent_requests_coalesce_correctly(server):
+    """N concurrent single-image requests with DIFFERENT sigmas return each
+    caller its own result (the coalescer groups them into shared batched
+    forwards; correctness must not depend on grouping)."""
+    import threading
+
+    rng = np.random.default_rng(6)
+    imgs = [rng.uniform(size=(16, 16)).astype(np.float32) for _ in range(6)]
+    sigmas = [10.0, 15.0, 20.0, 25.0, 30.0, 35.0]
+    singles = [server.denoiser.denoise_image(im, sigma=s)
+               for im, s in zip(imgs, sigmas)]
+    outs = [None] * 6
+    errs = []
+
+    def call(i):
+        try:
+            outs[i] = _post(server, "/v1/denoise_image", imgs[i],
+                            sigma=sigmas[i])
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errs
+    for i in range(6):
+        np.testing.assert_allclose(outs[i], singles[i], atol=1e-5)
+
+
+def test_coalescer_mixed_shapes_no_deadlock(server):
+    """Different-shape concurrent requests fall into separate batches; the
+    re-queued leftovers must still be served."""
+    import threading
+
+    rng = np.random.default_rng(7)
+    shapes = [(16, 16), (16, 16), (32, 32), (16, 16), (32, 32)]
+    imgs = [rng.uniform(size=s).astype(np.float32) for s in shapes]
+    outs = [None] * len(shapes)
+
+    def call(i):
+        outs[i] = _post(server, "/v1/denoise_image", imgs[i], sigma=25)
+
+    threads = [threading.Thread(target=call, args=(i,))
+               for i in range(len(shapes))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    for i, s in enumerate(shapes):
+        assert outs[i] is not None and outs[i].shape == s
+
+
 def test_npy_helpers_reject_pickle():
     # object arrays require pickle; the parser must refuse, not execute
     buf = io.BytesIO()
