@@ -73,6 +73,45 @@ def _query_int(q, name, default=None):
     return default if v is None else int(v)
 
 
+class _Metrics:
+    """Thread-safe serving counters, exposed at GET /metrics."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests = {}        # path -> count
+        self.errors = {}          # path -> count
+        self.latency_s = {}       # path -> [count, total, max]
+        self.batch_sizes = {}     # size -> count (coalesced dispatches)
+
+    def observe(self, path, seconds, error=False):
+        with self._lock:
+            self.requests[path] = self.requests.get(path, 0) + 1
+            if error:
+                self.errors[path] = self.errors.get(path, 0) + 1
+            c = self.latency_s.setdefault(path, [0, 0.0, 0.0])
+            c[0] += 1
+            c[1] += seconds
+            c[2] = max(c[2], seconds)
+
+    def observe_batch(self, n):
+        with self._lock:
+            self.batch_sizes[n] = self.batch_sizes.get(n, 0) + 1
+
+    def snapshot(self):
+        with self._lock:
+            return {
+                "requests": dict(self.requests),
+                "errors": dict(self.errors),
+                "latency_s": {
+                    p: {"count": c, "mean": (t / c if c else 0.0), "max": mx}
+                    for p, (c, t, mx) in self.latency_s.items()
+                },
+                "coalesced_batch_sizes": {
+                    str(k): v for k, v in sorted(self.batch_sizes.items())
+                },
+            }
+
+
 class _Coalescer:
     """Opportunistic cross-request batching for single-image calls.
 
@@ -83,11 +122,13 @@ class _Coalescer:
     forward of up to max_batch images — the difference between N tunnel
     round-trips and one on a TPU."""
 
-    def __init__(self, denoiser, lock: threading.Lock, max_batch: int = 8):
+    def __init__(self, denoiser, lock: threading.Lock, max_batch: int = 8,
+                 metrics=None):
         import queue
 
         self.denoiser = denoiser
         self.lock = lock
+        self.metrics = metrics
         self.max_batch = max(1, int(max_batch))
         self.q = queue.Queue()
         self._queue_mod = queue
@@ -117,6 +158,8 @@ class _Coalescer:
                 (group if item[0] == first[0] else leftover).append(item)
             for item in leftover:  # different shape/mode: next rounds
                 self.q.put(item)
+            if self.metrics is not None:
+                self.metrics.observe_batch(len(group))
             try:
                 imgs = np.stack([g[1] for g in group])
                 sigmas = (
@@ -135,7 +178,8 @@ class _Coalescer:
                     g[3].set()
 
 
-def make_handler(denoiser, lock: threading.Lock, coalescer=None):
+def make_handler(denoiser, lock: threading.Lock, coalescer=None,
+                 metrics=None):
     """Build the request-handler class closed over a Denoiser + device lock."""
 
     class Handler(BaseHTTPRequestHandler):
@@ -145,6 +189,7 @@ def make_handler(denoiser, lock: threading.Lock, coalescer=None):
             pass
 
         def _send(self, code, body: bytes, ctype="application/json"):
+            self._last_code = code
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
@@ -176,10 +221,26 @@ def make_handler(denoiser, lock: threading.Lock, coalescer=None):
                         for p in jax.tree_util.tree_leaves(denoiser.params)
                     )),
                 })
+            elif path == "/metrics":
+                self._send_json(
+                    200, metrics.snapshot() if metrics is not None else {})
             else:
                 self._send_json(404, {"error": f"no such path {path}"})
 
         def do_POST(self):  # noqa: N802
+            import time
+
+            t0 = time.monotonic()
+            try:
+                self._post_impl()
+            finally:
+                if metrics is not None:
+                    metrics.observe(
+                        urlparse(self.path).path, time.monotonic() - t0,
+                        error=getattr(self, "_last_code", 500) >= 400,
+                    )
+
+        def _post_impl(self):
             url = urlparse(self.path)
             q = parse_qs(url.query)
             try:
@@ -242,12 +303,14 @@ class DenoiseServer:
     def __init__(self, denoiser, host="127.0.0.1", port=8411, max_batch=8):
         self.denoiser = denoiser
         self._lock = threading.Lock()
+        self.metrics = _Metrics()
         self.coalescer = (
-            _Coalescer(denoiser, self._lock, max_batch)
+            _Coalescer(denoiser, self._lock, max_batch, metrics=self.metrics)
             if max_batch and max_batch > 1 else None
         )
         self.httpd = ThreadingHTTPServer(
-            (host, port), make_handler(denoiser, self._lock, self.coalescer)
+            (host, port),
+            make_handler(denoiser, self._lock, self.coalescer, self.metrics),
         )
         self.httpd.daemon_threads = True
         self._thread = None

@@ -196,6 +196,19 @@ def test_coalescer_mixed_shapes_no_deadlock(server):
         assert outs[i] is not None and outs[i].shape == s
 
 
+def test_metrics_endpoint(server):
+    x = np.random.default_rng(8).uniform(size=(16, 16)).astype(np.float32)
+    _post(server, "/v1/denoise_image", x, sigma=25)
+    status, body = _get(server, "/metrics")
+    m = json.loads(body)
+    assert status == 200
+    assert m["requests"].get("/v1/denoise_image", 0) >= 1
+    lat = m["latency_s"]["/v1/denoise_image"]
+    assert lat["count"] >= 1 and lat["mean"] > 0
+    # the coalescer records every dispatch's batch size
+    assert sum(int(v) for v in m["coalesced_batch_sizes"].values()) >= 1
+
+
 def test_npy_helpers_reject_pickle():
     # object arrays require pickle; the parser must refuse, not execute
     buf = io.BytesIO()
