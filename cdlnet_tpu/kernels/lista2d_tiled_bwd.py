@@ -77,9 +77,10 @@ def _bwd_fits(M, C, P, s, Hc, Wc, Bh, use_mask=True, hist_bytes=None):
         + n_in * 2 * Cp * Lg * 4       # double-buffered input blocks
         + (Qw + T) * Lg * 4            # guarded masks (acolm, smm)
         + T * Cp * Lb * 4              # stack / stack2 (shared)
+        + Cp8 * (Lb + 2 * G) * 4       # emb scratch (guarded band window)
         + 2 * Mp8 * Lb * hist_bytes    # 2-slot z ring (hist dtype)
         + 2 * Mp8 * Lb * 4             # dz/dv band temporaries
-        + 6 * Mp8 * T * Cp * 4         # bank slots + staging
+        + 6 * Mp8 * (-(-T * Cp // 128) * 128) * 4  # bank slots + staging
     )
     return est < _VMEM_BUDGET
 
@@ -113,12 +114,13 @@ def _kernel_tiled_bwd(*refs, K, nb, Bh, Qh, Qw, Cp, Wc, G,
     inputs:  dx2f (1,Cp,Lg), y2f (1,Cp,Lg), [m2f (1,Cp,Lg)],
              cv (1,1,1), acolm (Qw,Lg), smm (T,Lg),
              zh ANY (K,N,Mp8,L) [hist-dtype], rh ANY (max(K-1,1),N,Cp8,Lg),
-             a2m ANY (K,Mp8,T*Cp), b2m ANY (K,Mp8,T*Cp) [transposed]
-    outputs: dA ANY (N,K,Mp8,T*Cp), dB ANY (N,K,Mp8,T*Cp) [transposed],
+             a2m ANY (K,Mp8,Tc128), b2m ANY (K,Mp8,Tc128) [transposed]
+    outputs: dA ANY (N,K,Mp8,Tc128), dB ANY (N,K,Mp8,Tc128) [transposed],
              dt VMEM revisited (K,2,Mp8)
     scratch: dv (Mp8,Lg), dsf (Cp8,Lg), rf (Cp8,Lg), stack (T*Cp,Lb),
-             zring (2,Mp8,Lb), aring/bring (2,Mp8,T*Cp),
-             dAs/dBs (Mp8,T*Cp), DMA sems
+             emb (Cp8,Lw), zring (2,Mp8,Lb), aring/bring (2,Mp8,Tc128),
+             dAs/dBs (Mp8,Tc128), DMA sems
+    (Tc128 = T*Cp rounded up to a 128 multiple for aligned per-k DMA)
     with L = nb*Bh*Wc, Lb = Bh*Wc, Lw = Lb+2G, Lg = L+2G. The guarded
     flat coordinate of image lane x is x+G."""
     from jax.experimental.pallas import tpu as pltpu
@@ -131,7 +133,7 @@ def _kernel_tiled_bwd(*refs, K, nb, Bh, Qh, Qw, Cp, Wc, G,
         m2_ref = refs[i]; i += 1
     (cv_ref, acolm_ref, smm_ref, zh_ref, rh_ref, a2m_ref,
      b2m_ref, dA_ref, dB_ref, dt_ref, dv_ref, dsf_ref, rf_ref,
-     stack_ref, zring_ref, aring_ref, bring_ref,
+     stack_ref, emb_ref, zring_ref, aring_ref, bring_ref,
      dAs_ref, dBs_ref, zsem, asem, bsem, rsem, osem) = refs[i:]
 
     n = pl.program_id(0)
@@ -186,17 +188,23 @@ def _kernel_tiled_bwd(*refs, K, nb, Bh, Qh, Qw, Cp, Wc, G,
     def ana_adjoint_scatter(b):
         """dsf[window(b)] += stack-adjoint of stack_ref's interior —
         mirrors lista2d._kernel_bwd.ana_adjoint with the roll-backs
-        spreading into the window's guard columns."""
+        spreading into the window's guard columns. The (Cp, Lb) interior
+        is embedded into the guarded (Cp, Lw) extent by STORING into the
+        zero-guarded emb scratch rather than jnp.pad: pad lowers to
+        tpu.concatenate, whose Mosaic rule rejects the sublane-offset-4
+        layout odd-tap stack slices carry (Cp=4 rows in an 8-row tile) —
+        "result/input offset mismatch on non-concat dimension". Stores
+        relayout the value instead."""
         acc = jnp.zeros((Cp, Lw), jnp.float32)
         for qi in range(Qh):
             inner = jnp.zeros((Cp, Lw), jnp.float32)
             for ri in range(Qw):
                 tp = qi * Qw + ri
                 st = stack_ref[tp * Cp : (tp + 1) * Cp]
-                emb = jnp.pad(
-                    st * acolm_ref[ri, pl.ds(G + b * Lb, Lb)][None, :],
-                    ((0, 0), (G, G)))
-                inner += roll(emb, -(r_lo + ri), Lw)
+                emb_ref[:Cp, pl.ds(G, Lb)] = (
+                    st * acolm_ref[ri, pl.ds(G + b * Lb, Lb)][None, :]
+                )
+                inner += roll(emb_ref[:Cp], -(r_lo + ri), Lw)
             acc += roll(inner, -(q_lo + qi) * Wc, Lw)
         dsf_ref[:Cp, pl.ds(b * Lb, Lw)] += acc
 
@@ -229,14 +237,15 @@ def _kernel_tiled_bwd(*refs, K, nb, Bh, Qh, Qw, Cp, Wc, G,
             dvb = dv_ref[:, pl.ds(G + b * Lb, Lb)]
             ana_stack_band(b, rf_ref)
             st_int = stack_ref[:]
-            dAs_ref[:] += -jax.lax.dot_general(
+            dAs_ref[:, : T * Cp] += -jax.lax.dot_general(
                 dvb, st_int, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             if emit_ds:
                 # w = -A2m[k]^T dv[b] overwrites stack (it is dead)
                 stack_ref[:] = -jax.lax.dot_general(
-                    aring_ref[aslot], dvb, (((0,), (0,)), ((), ())),
+                    aring_ref[aslot][:, : T * Cp], dvb,
+                    (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 ana_adjoint_scatter(b)
@@ -271,12 +280,13 @@ def _kernel_tiled_bwd(*refs, K, nb, Bh, Qh, Qw, Cp, Wc, G,
             syn_stack2_band(b)
             st_int = stack_ref[:]
             dz = jax.lax.dot_general(
-                bring_ref[bslot], st_int, (((1,), (0,)), ((), ())),
+                bring_ref[bslot][:, : T * Cp], st_int,
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             if with_base:
                 dz += dv_ref[:, pl.ds(G + b * Lb, Lb)]
-            dBs_ref[:] += jax.lax.dot_general(
+            dBs_ref[:, : T * Cp] += jax.lax.dot_general(
                 z, st_int, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -299,8 +309,10 @@ def _kernel_tiled_bwd(*refs, K, nb, Bh, Qh, Qw, Cp, Wc, G,
     def _init_dt():
         dt_ref[:] = jnp.zeros_like(dt_ref)
 
-    # dv guards stay zero (only interior band slices are ever written)
+    # dv guards stay zero (only interior band slices are ever written);
+    # same for emb (ana_adjoint_scatter only ever stores its interior)
     dv_ref[:] = jnp.zeros_like(dv_ref)
+    emb_ref[:] = jnp.zeros_like(emb_ref)
 
     # init: adjoint of the final dictionary synthesis (bank b2m[0]):
     # ds := dx2 (the final synthesize has no mask/sub_y), z = z_{K-1}
@@ -377,11 +389,19 @@ def lista2d_tiled_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
 
     A2m, vjpA = jax.vjp(lambda Aw: _prep_A2m(Aw, s, pads, T, Cp), A)
     B2m, vjpB = jax.vjp(lambda Bw: _prep_B2m(Bw, s, pads, T, Cp), B)
-    # banks in (K, Mp8, T*Cp) layout: M stays on sublanes everywhere
-    A2mt = jnp.pad(A2m.astype(jnp.float32), ((0, 0), (0, Mp8 - M), (0, 0)))
+    # banks in (K, Mp8, Tc128) layout: M stays on sublanes everywhere and
+    # the tap axis is zero-padded up to a 128 multiple — per-k HBM DMA
+    # slices need 128-aligned lane extents (T*Cp = 64 at P=7/s=2 is not;
+    # Mosaic: "Slice shape along dimension 2 must be aligned to tiling
+    # (128)"). In-kernel dots slice the rings back to [:, :T*Cp].
+    Tc = T * Cp
+    Tc128 = -(-Tc // 128) * 128
+    A2mt = jnp.pad(
+        A2m.astype(jnp.float32), ((0, 0), (0, Mp8 - M), (0, Tc128 - Tc))
+    )
     B2mt = jnp.pad(
         B2m.astype(jnp.float32).transpose(0, 2, 1),
-        ((0, 0), (0, Mp8 - M), (0, 0)),
+        ((0, 0), (0, Mp8 - M), (0, Tc128 - Tc)),
     )
 
     def to_flat_guarded(x4, ch, chp):
@@ -465,8 +485,8 @@ def lista2d_tiled_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((N, K, Mp8, T * Cp), jnp.float32),
-            jax.ShapeDtypeStruct((N, K, Mp8, T * Cp), jnp.float32),
+            jax.ShapeDtypeStruct((N, K, Mp8, Tc128), jnp.float32),
+            jax.ShapeDtypeStruct((N, K, Mp8, Tc128), jnp.float32),
             jax.ShapeDtypeStruct((K, 2, Mp8), jnp.float32),
         ],
         scratch_shapes=[
@@ -474,11 +494,12 @@ def lista2d_tiled_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
             pltpu.VMEM((Cp8, Lg), jnp.float32),          # ds (guarded)
             pltpu.VMEM((Cp8, Lg), jnp.float32),          # r  (guarded)
             pltpu.VMEM((T * Cp, Lb), jnp.float32),       # stack/w/stack2
+            pltpu.VMEM((Cp8, Lb + 2 * G), jnp.float32),  # emb (guarded)
             pltpu.VMEM((2, Mp8, Lb), z_hist.dtype),      # z band ring
-            pltpu.VMEM((2, Mp8, T * Cp), jnp.float32),   # A bank ring
-            pltpu.VMEM((2, Mp8, T * Cp), jnp.float32),   # B bank ring
-            pltpu.VMEM((Mp8, T * Cp), jnp.float32),      # dA staging
-            pltpu.VMEM((Mp8, T * Cp), jnp.float32),      # dB staging
+            pltpu.VMEM((2, Mp8, Tc128), jnp.float32),    # A bank ring
+            pltpu.VMEM((2, Mp8, Tc128), jnp.float32),    # B bank ring
+            pltpu.VMEM((Mp8, Tc128), jnp.float32),       # dA staging
+            pltpu.VMEM((Mp8, Tc128), jnp.float32),       # dB staging
             pltpu.SemaphoreType.DMA((2,)),               # z
             pltpu.SemaphoreType.DMA((2,)),               # A
             pltpu.SemaphoreType.DMA((2,)),               # B
@@ -491,8 +512,10 @@ def lista2d_tiled_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
         interpret=interpret,
     )(dx2f, y2f, *ops_mask, cv, acolm, smm, zh, rh, A2mt, B2mt)
 
-    dA2m = jnp.sum(outs[0], axis=0)[:, :M]               # (K, M, T*Cp)
-    dB2m = jnp.sum(outs[1], axis=0)[:, :M].transpose(0, 2, 1)  # (K,T*Cp,M)
+    dA2m = jnp.sum(outs[0], axis=0)[:, :M, :Tc]          # (K, M, T*Cp)
+    dB2m = (
+        jnp.sum(outs[1], axis=0)[:, :M, :Tc].transpose(0, 2, 1)
+    )  # (K, T*Cp, M)
     dt01 = outs[2]
 
     dA = vjpA(dA2m)[0]
