@@ -520,14 +520,16 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
     # preroll (see _kernel_resident docstring): hoist the analysis
     # roll+mask tap copies to once per r frame instead of once per
     # (output frame, depth tap) — ~Qd x less VPU work for a bigger
-    # rolled-copies scratch. Opt-in until measured on hardware. Gated
+    # rolled-copies scratch. Measured on hardware (r2, flagship bench
+    # A/B x2): 6832/6866 -> 7454/7474 frames/s, a reproducible +9%, so
+    # it is now the DEFAULT (CDLNET_LISTA3D_PREROLL=0 opts out). Gated
     # SEPARATELY from the resident decision: a shape that fits resident
     # but not resident+preroll keeps the resident kernel (preroll off)
     # rather than silently demoting to the slower iteration-pair path.
     _Ga, _Gahi = max(0, -dlo), max(0, dlo + Qd - 1)
     preroll_extra = ((Dc + _Ga + _Gahi) * Qh * Qw - T) * Cp * Lhw * 4
     preroll = (
-        os.environ.get("CDLNET_LISTA3D_PREROLL", "0") == "1"
+        os.environ.get("CDLNET_LISTA3D_PREROLL", "1") != "0"
         and Qd > 1
         and resident_bytes + preroll_extra < _VMEM_BUDGET
     )
