@@ -120,7 +120,7 @@ def lista3d_reverse_path(M, C, P, s, K, D, H, W):
 
     The ONE routing decision shared by _core3d_fwd (store histories or
     not), _core3d_bwd (which reverse kernel), and
-    CDLNetVideo._use_pallas (route the training step to pallas at all) —
+    CDLNetVideo._pallas_path (route the training step to pallas at all) —
     keeping three sites in sync by construction. Honors
     CDLNET_LISTA3D_BWD_RESIDENT=0 (force the scan-of-kernels reverse),
     still subject to the scan path's own VMEM gate."""

@@ -78,6 +78,14 @@ def lista3d_fused_supported(M, C, P, s, K, D, H, W, residual=None,
     b = T * Cp * Lhw * z_bytes + Qd * 2 * Cp * Lhw * 4 \
         + 2 * Mp * Lhw * z_bytes + Mp * Lhw * 4 + Mp * T * Cp * z_bytes
     masks = 4 * (Qh + Qw) * Lhw * 4
+    # XLA scoped-vmem stack: the pair path's blocked z inputs/outputs live
+    # inside the iteration lax.scan, where XLA stack-allocates them
+    # double-buffered against a NON-overridable 16 MB scoped limit (Mosaic's
+    # vmem_limit_bytes does not govern it — see CLAUDE.md; hit in practice
+    # at 240x432: 176x25920 bf16 blocks = 19.03 MB > 16 MB compile error).
+    # Shapes past this bound band instead (kernels/lista3d_tiled).
+    if 2 * Mp * Lhw * z_bytes >= int(15 * 1024 * 1024):
+        return False
     return b + masks < _VMEM_BUDGET
 
 

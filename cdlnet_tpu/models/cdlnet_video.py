@@ -108,9 +108,12 @@ class CDLNetVideo:
             return_codes=return_codes,
         )
 
-    def _use_pallas(self, params, yp, return_z, train=False):
+    def _pallas_path(self, params, yp, return_z, train=False):
+        """Which pallas path this call takes: "fused" (whole-frame pair /
+        resident kernels), "tiled" (banded big-frame, inference only), or
+        None (XLA scan)."""
         if self.backend != "pallas":
-            return False
+            return None
         from cdlnet_tpu.kernels.lista3d import lista3d_fused_supported
 
         D, H, W = yp.shape[-3], yp.shape[-2], yp.shape[-1]
@@ -118,18 +121,28 @@ class CDLNetVideo:
             # a training step: only worthwhile when the fp32-history
             # forward AND the reverse kernels fit — the custom-VJP's
             # XLA-gradient fallback re-runs the XLA forward inside the
-            # backward and loses to plain XLA end-to-end
+            # backward and loses to plain XLA end-to-end. Big frames
+            # (beyond the reference's 128^2-crop protocol) train on XLA.
             if params.get("residual") is not None:
-                return False
+                return None
             from cdlnet_tpu.kernels.autodiff import lista3d_train_supported
 
-            return lista3d_train_supported(
+            return "fused" if lista3d_train_supported(
                 self.M, self.C, self.P, self.s, self.K, D, H, W
-            )
-        return lista3d_fused_supported(
+            ) else None
+        if lista3d_fused_supported(
             self.M, self.C, self.P, self.s, self.K, D, H, W,
             residual=params.get("residual"),
-        )
+        ):
+            return "fused"
+        from cdlnet_tpu.kernels.lista3d_tiled import lista3d_tiled_supported
+
+        if lista3d_tiled_supported(
+            self.M, self.C, self.P, self.s, self.K, D, H, W,
+            residual=params.get("residual"),
+        ):
+            return "tiled"
+        return None
 
     def apply(self, params: dict, y, sigma=None, mask=None, return_z=True,
               train=False):
@@ -144,7 +157,25 @@ class CDLNetVideo:
         """
         yp, prm, mask = pre_process_3d(y, self.s, mask=mask)
         c = sigma_scale(sigma, self.adaptive, 5)
-        if self._use_pallas(params, yp, return_z, train=train):
+        path = self._pallas_path(params, yp, return_z, train=train)
+        if path == "tiled":
+            # banded big-frame inference (DAVIS-native / fastMRI-native
+            # frames the fused gate rejects); parameter gradients are not
+            # implemented here — big-frame training takes the XLA path
+            from cdlnet_tpu.kernels.autodiff import (
+                _RETURN_Z_HINT,
+                nondifferentiable,
+            )
+            from cdlnet_tpu.kernels.lista3d_tiled import lista3d_tiled
+
+            xphat, z = nondifferentiable(
+                lambda yp, A, B, t, c: lista3d_tiled(
+                    yp, A, B, t, c, stride=self.s, mask=mask,
+                    return_z=return_z),
+                _RETURN_Z_HINT,
+            )(yp, params["A"], params["B"], params["t"], c)
+            return post_process_3d(xphat, prm), z
+        if path == "fused":
             if not return_z:
                 from cdlnet_tpu.kernels.autodiff import lista3d_fused_diff
 

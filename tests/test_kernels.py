@@ -204,28 +204,32 @@ def test_fused3d_supported_predicate():
     assert not lista3d_fused_supported(169, 1, (7, 7, 5), 2, 30, 15, 128, 128)
 
 
-def test_fused3d_bwd_gate_tighter_than_fwd():
-    """The history gradient path gates on the BACKWARD estimate too (the
-    reverse kernels' working sets exceed the forward pair's — counted in
-    lista3d_bwd_supported's est_ana/est_syn; ADVICE r1): there is a
-    frame-size band where the forward fits but the reverse kernels do not —
-    those shapes must take the XLA-gradient fallback, not OOM Mosaic."""
+def test_fused3d_gate_bounds():
+    """The forward pair gate also bounds the per-block z size: inside the
+    iteration lax.scan XLA stack-allocates the blocked z double-buffered
+    against a NON-overridable 16 MB scoped-vmem limit, and 240x432 (z
+    block 176x25920 bf16 = 9.1 MB) measured a hard compile error on
+    hardware ("scoped allocation 19.03M > 16M"). Such shapes must band
+    (kernels/lista3d_tiled), not crash. The training path additionally
+    gates on the reverse kernels (lista3d_train_supported; ADVICE r1) —
+    the gate logic is pinned by test_video_train_gate_requires_bwd_fit."""
     from cdlnet_tpu.kernels.lista3d_bwd import lista3d_bwd_supported
+    from cdlnet_tpu.kernels.lista3d_tiled import lista3d_tiled_supported
 
     cfg = dict(M=169, C=1, P=(7, 7, 5), s=2, K=30)
-    # flagship train shapes fit both
+    # flagship train shapes fit both forward and reverse
     assert lista3d_fused_supported(
         cfg["M"], cfg["C"], cfg["P"], cfg["s"], cfg["K"], 16, 128, 128, z_bytes=4
     )
     assert lista3d_bwd_supported(
         cfg["M"], cfg["C"], cfg["P"], cfg["s"], cfg["K"], 16, 128, 128
     )
-    # the boundary band: forward-f32 OK, backward too big
-    assert lista3d_fused_supported(
-        cfg["M"], cfg["C"], cfg["P"], cfg["s"], cfg["K"], 16, 320, 320, z_bytes=4
+    # the measured scoped-vmem compile failure: excluded, bands instead
+    assert not lista3d_fused_supported(
+        cfg["M"], cfg["C"], cfg["P"], cfg["s"], cfg["K"], 16, 240, 432
     )
-    assert not lista3d_bwd_supported(
-        cfg["M"], cfg["C"], cfg["P"], cfg["s"], cfg["K"], 16, 320, 320
+    assert lista3d_tiled_supported(
+        cfg["M"], cfg["C"], cfg["P"], cfg["s"], cfg["K"], 16, 240, 432
     )
     # stride-indivisible
     assert not lista3d_bwd_supported(
@@ -905,7 +909,7 @@ def test_train_routing_avoids_xla_vjp_fallback(monkeypatch):
 
 
 def test_video_train_gate_requires_bwd_fit(monkeypatch):
-    """CDLNetVideo._use_pallas(train=True) requires the fp32-history
+    """CDLNetVideo._pallas_path(train=True) requires the fp32-history
     forward AND a reverse path (resident or scan kernels) to fit;
     inference gating is unchanged."""
     import cdlnet_tpu.kernels.lista3d_bwd as k3b
@@ -916,13 +920,95 @@ def test_video_train_gate_requires_bwd_fit(monkeypatch):
     m = build_model("CDLNetVideo", dict(cfg))
     params = m.init(jax.random.PRNGKey(0), init=False)
     yp = jnp.zeros((1, 1, 8, 32, 32), jnp.float32)
-    assert m._use_pallas(params, yp, return_z=False, train=True)
+    assert m._pallas_path(params, yp, return_z=False, train=True) == "fused"
     monkeypatch.setattr(k3b, "lista3d_bwd_supported", lambda *a, **kw: False)
     # the resident reverse alone still admits the shape...
-    assert m._use_pallas(params, yp, return_z=False, train=True)
+    assert m._pallas_path(params, yp, return_z=False, train=True) == "fused"
     monkeypatch.setattr(
         k3r, "lista3d_bwd_resident_supported", lambda *a, **kw: False)
     # ...but with both reverse gates closed, training routes to XLA
-    assert not m._use_pallas(params, yp, return_z=False, train=True)
+    assert m._pallas_path(params, yp, return_z=False, train=True) is None
     # inference routing ignores the reverse-kernel gates
-    assert m._use_pallas(params, yp, return_z=False, train=False)
+    assert m._pallas_path(params, yp, return_z=False, train=False) == "fused"
+
+
+# ---------------------------------------------------------------------------
+# Banded big-frame 3D kernels (kernels/lista3d_tiled.py)
+# ---------------------------------------------------------------------------
+
+from cdlnet_tpu.kernels.lista3d_tiled import (  # noqa: E402
+    lista3d_tiled,
+    lista3d_tiled_supported,
+)
+
+
+@pytest.mark.parametrize(
+    "s,P,C,M,K,D,H,W,Bh,use_mask",
+    [(2, (5, 5, 3), 1, 8, 3, 8, 64, 16, 8, False),  # nb=4: halo crossings
+     (2, (5, 5, 3), 1, 8, 3, 8, 56, 16, 8, False),  # ragged Hc=28
+     (1, (5, 5, 3), 1, 6, 2, 4, 33, 16, 8, False),  # stride 1, ragged
+     (2, (5, 5, 3), 3, 6, 2, 4, 32, 16, 8, True)],  # color + mask
+)
+def test_tiled3d_matches_scan_interpret(s, P, C, M, K, D, H, W, Bh, use_mask):
+    from cdlnet_tpu.kernels.lista3d_tiled import lista3d_tiled
+
+    shape = (2, C, D, H, W)
+    yp, A, B, t = _mk3d(s, P, C, M, K, shape)
+    c = jnp.asarray([0.1, 0.2]).reshape(2, 1, 1, 1, 1)
+    mask = (
+        (jax.random.uniform(jax.random.PRNGKey(9), shape) > 0.5).astype(jnp.float32)
+        if use_mask
+        else None
+    )
+    z_ref = lista_3d(yp, A, B, t, c, mask=mask, stride=s)
+    pads = tuple(p // 2 for p in P)
+    x_ref = conv_transpose3d(
+        z_ref, B[0], stride=s, padding=pads, output_padding=s - 1
+    )
+    x, z = lista3d_tiled(yp, A, B, t, c, stride=s, mask=mask, return_z=True,
+                         z_dtype=jnp.float32, interpret=True, band=Bh)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref), atol=1e-4)
+
+
+def test_tiled3d_supported_covers_native_eval_frames():
+    """The reference's own eval workloads at NATIVE resolution (DAVIS
+    480x854 clips, analyze3d.py:77-161; fastMRI 640x368 volumes,
+    analyzemri.py:185-298) exceed the fused pair gate but band cleanly."""
+    from cdlnet_tpu.kernels.lista3d import lista3d_fused_supported
+
+    assert not lista3d_fused_supported(169, 1, (7, 7, 5), 2, 30, 16, 480, 854)
+    assert lista3d_tiled_supported(169, 1, (7, 7, 5), 2, 30, 16, 480, 854)
+    assert not lista3d_fused_supported(169, 1, (9, 9, 5), 2, 30, 30, 640, 368)
+    assert lista3d_tiled_supported(169, 1, (9, 9, 5), 2, 30, 30, 640, 368)
+    # residual-block variants stay on the XLA path
+    assert not lista3d_tiled_supported(169, 1, (7, 7, 5), 2, 30, 16, 480, 854,
+                                       residual=object())
+
+
+def test_tiled3d_model_routing(monkeypatch):
+    """CDLNetVideo backend='pallas' routes frames the fused gate rejects
+    to the banded path, matching the XLA backend."""
+    import cdlnet_tpu.kernels.lista3d as k3d
+    import cdlnet_tpu.kernels.lista3d_tiled as ktl3
+
+    orig = ktl3.lista3d_tiled
+    called = {}
+
+    def spy(*a, **kw):
+        called["tiled"] = True
+        return orig(*a, **{**kw, "interpret": True})
+
+    monkeypatch.setattr(ktl3, "lista3d_tiled", spy)
+    # shrink the fused budget so routing exercises the banded path at toy size
+    monkeypatch.setattr(k3d, "_VMEM_BUDGET", 64 * 1024)
+    cfg = {"K": 2, "M": 6, "P": (5, 5, 3), "s": 2, "C": 1, "adaptive": True,
+           "depth": 4}
+    mx = build_model("CDLNetVideo", dict(cfg))
+    mp = build_model("CDLNetVideo", dict(cfg, backend="pallas"))
+    params = mx.init(jax.random.PRNGKey(0), init=True)
+    y = jax.random.uniform(jax.random.PRNGKey(1), (1, 1, 4, 32, 16), jnp.float32)
+    x_ref, _ = mx.apply(params, y, 25.0)
+    x_got, z_got = mp.apply(params, y, 25.0, return_z=True)
+    assert called.get("tiled")
+    np.testing.assert_allclose(np.asarray(x_got), np.asarray(x_ref), atol=5e-3)
