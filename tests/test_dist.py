@@ -270,6 +270,10 @@ def test_two_process_distributed_dp_matches_single(tmp_path):
     worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "dist_two_process_worker.py")
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    # The worker imports cdlnet_tpu; don't rely on the package being
+    # pip-installed — put the repo root on the subprocess's path.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen([sys.executable, worker, str(rank), str(port)],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
