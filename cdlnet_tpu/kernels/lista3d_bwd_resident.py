@@ -71,6 +71,10 @@ def lista3d_bwd_resident_supported(M, C, P, s, K, D, H, W,
     Mp = -(-M // 8) * 8
     Glo, Ghi = max(0, -dlo), max(0, dhi)
     Dw = Dc + Glo + Ghi
+    # the weight banks / dA/dB outputs are HBM-sliced per k with T*Cp on
+    # the LANE axis; Mosaic requires 128-aligned lane extents, so the
+    # wrapper pads T*Cp up to the lane tile (e.g. P=(9,9,5): 600 -> 640)
+    TCpad = -(-T * Cp // 128) * 128
     # preroll=True sizes the variant WITH the rolled-copies scratch; the
     # wrapper gates preroll on this separately so near-budget shapes keep
     # the resident kernel (preroll off) instead of demoting to the scan
@@ -80,11 +84,11 @@ def lista3d_bwd_resident_supported(M, C, P, s, K, D, H, W,
         Dc * Mp * Lhw              # dv resident
         + pre
         + 2 * Dw * Cp * Lhw        # ds + r guard windows
-        + T * Cp * Lhw             # stack / w / stack2 (shared)
+        + TCpad * Lhw              # stack / w / stack2 (shared, lane-padded)
         + 2 * Mp * Lhw             # 2-slot z ring
-        + 2 * Mp * T * Cp          # 2-slot A2m ring
-        + 2 * Mp * T * Cp          # 2-slot B2m ring (Mp, T*Cp layout)
-        + 2 * Mp * T * Cp          # dA/dB staging
+        + 2 * Mp * TCpad           # 2-slot A2m ring
+        + 2 * Mp * TCpad           # 2-slot B2m ring (Mp, T*Cp layout)
+        + 2 * Mp * TCpad           # dA/dB staging
         + K * 2 * Mp               # dt block
         + 3 * 2 * Dc * Cp * Lhw    # dx2/y2(/m2) in blocks, double-buffered
         + (Qh + Qw + Qh * Qw + 1) * Lhw  # masks + crow
@@ -161,6 +165,14 @@ def _kernel_bwd_resident(*refs, K, Dc, Qd, Qh, Qw, Cp, Wc,
         rwin_ref[g] = jnp.zeros_like(rwin_ref[0])
     for g in range(Ghi):
         rwin_ref[Glo + Dc + g] = jnp.zeros_like(rwin_ref[0])
+    TCp = Qd * Qh * Qw * Cp
+    if stack_ref.shape[0] > TCp:
+        # lane-padded bank layout (see wrapper): the pad rows of the
+        # shared stack must stay zero so the dAs/dBs dots emit zero pad
+        # columns. The per-tap writes never touch them, and the w
+        # full-store re-zeroes them (the padded bank columns are zero) —
+        # only this initial zeroing is needed.
+        stack_ref[TCp:] = jnp.zeros_like(stack_ref[TCp:])
     if preroll:
         # pre_ref guard frames stay zero forever (both phases write only
         # interior frames, and every interior row is overwritten before use)
@@ -452,9 +464,12 @@ def lista3d_fused_bwd_resident(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
     # the B2m bank's depth-tap axis is reversed here (and dB un-reversed
     # below). Opt-in until measured on hardware; shapes that fit resident
     # but not resident+preroll keep the resident kernel with preroll off.
+    TCp = T * Cp
+    TCpad = -(-TCp // 128) * 128  # Mosaic lane-tile alignment for HBM slices
     preroll = (
         os.environ.get("CDLNET_LISTA3D_BWD_PREROLL", "0") == "1"
         and Qd > 1
+        and TCpad == TCp  # preroll windows read the UNPADDED tap layout
         and lista3d_bwd_resident_supported(M, C, P, s, K, D, H, W,
                                            preroll=True)
     )
@@ -466,6 +481,13 @@ def lista3d_fused_bwd_resident(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
         .transpose(0, 3, 1, 2)
         .reshape(K, Mp, T * Cp)
     )
+    if TCpad != TCp:
+        # per-k bank DMA slices carry T*Cp on the LANE axis ("Slice shape
+        # along dimension 2 must be aligned to tiling (128)", e.g. 600 at
+        # P=(9,9,5)) — pad here, slice dA/dB back below. Padded columns
+        # are zero, so they contribute nothing to any dot in the kernel.
+        A2m = jnp.pad(A2m, ((0, 0), (0, 0), (0, TCpad - TCp)))
+        B2mt = jnp.pad(B2mt, ((0, 0), (0, 0), (0, TCpad - TCp)))
 
     y5 = pp.space_to_depth(yp, s, 3)
     y2 = y5.transpose(0, 2, 1, 3, 4).reshape(N, Dc, Cp, Lhw).astype(jnp.float32)
@@ -528,24 +550,24 @@ def lista3d_fused_bwd_resident(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
                          memory_space=pltpu.VMEM),      # dt (revisited)
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((N, K, Mp, T * Cp), jnp.float32),
-            jax.ShapeDtypeStruct((N, K, Mp, T * Cp), jnp.float32),
+            jax.ShapeDtypeStruct((N, K, Mp, TCpad), jnp.float32),
+            jax.ShapeDtypeStruct((N, K, Mp, TCpad), jnp.float32),
             jax.ShapeDtypeStruct((K, 2, Mp), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((Dc, Mp, Lhw), jnp.float32),          # dv
             pltpu.VMEM((Dw, Cp, Lhw), jnp.float32),          # ds window
             pltpu.VMEM((Dw, Cp, Lhw), jnp.float32),          # r window
-            pltpu.VMEM((T * Cp, Lhw), jnp.float32),          # stack/w/stack2
+            pltpu.VMEM((TCpad, Lhw), jnp.float32),           # stack/w/stack2
         ]
         + ([pltpu.VMEM((Dw, Qh * Qw * Cp, Lhw), jnp.float32)]  # rolled copies
            if preroll else [])
         + [
             pltpu.VMEM((2, Mp, Lhw), z_hist.dtype),          # z ring
-            pltpu.VMEM((2, Mp, T * Cp), jnp.float32),        # A2m ring
-            pltpu.VMEM((2, Mp, T * Cp), jnp.float32),        # B2m ring
-            pltpu.VMEM((Mp, T * Cp), jnp.float32),           # dA staging
-            pltpu.VMEM((Mp, T * Cp), jnp.float32),           # dB staging
+            pltpu.VMEM((2, Mp, TCpad), jnp.float32),         # A2m ring
+            pltpu.VMEM((2, Mp, TCpad), jnp.float32),         # B2m ring
+            pltpu.VMEM((Mp, TCpad), jnp.float32),            # dA staging
+            pltpu.VMEM((Mp, TCpad), jnp.float32),            # dB staging
             pltpu.SemaphoreType.DMA((2,)),                   # z
             pltpu.SemaphoreType.DMA((2,)),                   # A
             pltpu.SemaphoreType.DMA((2,)),                   # B
@@ -559,11 +581,12 @@ def lista3d_fused_bwd_resident(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
     )(dx2, y2, *ops_mask, crow, acol, arow, sm,
       z_hist, rh.astype(jnp.float32), A2m, B2mt)
 
-    dA2m = jnp.sum(outs[0], axis=0)          # (K, Mp, T*Cp)
+    dA2m = jnp.sum(outs[0], axis=0)[..., :TCp]   # (K, Mp, T*Cp)
     # dB comes back transposed (K, Mp, Qd*QhQw*Cp); restore the
     # (K, Qd, QhQwCp, Mp) layout vjpB transports (un-reversing the
     # preroll bank's depth-tap axis)
-    dB2m = jnp.sum(outs[1], axis=0).reshape(K, Mp, Qd, Qh * Qw * Cp)
+    dB2m = jnp.sum(outs[1], axis=0)[..., :TCp].reshape(
+        K, Mp, Qd, Qh * Qw * Cp)
     if preroll:
         dB2m = dB2m[:, :, ::-1]
     dB2m = dB2m.transpose(0, 2, 3, 1)

@@ -650,6 +650,10 @@ def test_fused3d_bwd_bf16_hist_tolerance():
     "s,P,M,K,use_mask,preroll",
     [(2, (5, 5, 3), 6, 3, False, False), (2, (5, 5, 3), 6, 2, True, False),
      (2, (5, 5, 3), 6, 1, False, False),
+     # MRI-config taps: T*Cp = 3*5*5*8 = 600 is NOT 128-lane aligned —
+     # exercises the padded-bank layout (TCpad=640) the per-k HBM DMA
+     # slices require on hardware
+     (2, (9, 9, 5), 6, 2, False, False), (2, (9, 9, 5), 6, 2, True, False),
      # CDLNET_LISTA3D_BWD_PREROLL=1: hoisted per-frame tap roll+mask builds
      # + j-reversed synthesis bank/window (see lista3d_bwd_resident)
      (2, (5, 5, 3), 6, 3, False, True), (2, (7, 7, 5), 6, 2, True, True)],

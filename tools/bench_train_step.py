@@ -38,6 +38,14 @@ CONFIGS = {
         batch=(1, 1, 512, 512),
         workload="2d",
     ),
+    # args3dmri.json scale: batch 1 x 30 x 128^2, P=(9,9,5)
+    "mri": dict(
+        mtype="CDLNetVideo",
+        model={"K": 30, "M": 169, "P": (9, 9, 5), "s": 2, "C": 1,
+               "adaptive": True, "depth": 30},
+        batch=(1, 1, 30, 128, 128),
+        workload="3d",
+    ),
     # args3d.json scale: batch 2 x 16 x 128^2
     "video": dict(
         mtype="CDLNetVideo",
@@ -58,9 +66,11 @@ def bench_one(name, cfg, backend, repeats=50):
     from cdlnet_tpu.train.optim import make_optimizer
 
     model = build_model(cfg["mtype"], {**cfg["model"], "backend": backend})
-    params = model.init(jax.random.PRNGKey(0), init=False)
-    params["A"] = params["A"] * 0.02
-    params["B"] = params["B"] * 0.02
+    # real spectral (power-method) init: without it the LISTA iterates of
+    # an unnormalized random A/B amplify ~10x per iteration and the K=30
+    # forward overflows fp32 at the bigger configs (loss prints inf/nan);
+    # timing is unaffected either way, but the loss column should be sane
+    params = model.init(jax.random.PRNGKey(0), init=True)
     params["t"] = jnp.abs(params["t"]) + 1e-3
     opt = make_optimizer(1e-4, clip_grad=0.1)
     opt_state = opt.init(params)
