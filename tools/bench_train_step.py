@@ -38,6 +38,15 @@ CONFIGS = {
         batch=(1, 1, 512, 512),
         workload="2d",
     ),
+    # trained_nets/JDD_CDLNet-s0120/args.json scale: color, s=1, K=42,
+    # Bayer-masked batch 10 x 3 x 128^2 (demosaic mask applied in-step)
+    "jdd": dict(
+        mtype="CDLNet",
+        model={"K": 42, "M": 64, "P": 7, "s": 1, "C": 3, "adaptive": True},
+        batch=(10, 3, 128, 128),
+        workload="2d",
+        demosaic=True,
+    ),
     # args3dmri.json scale: batch 1 x 30 x 128^2, P=(9,9,5)
     "mri": dict(
         mtype="CDLNetVideo",
@@ -75,7 +84,8 @@ def bench_one(name, cfg, backend, repeats=50):
     opt = make_optimizer(1e-4, clip_grad=0.1)
     opt_state = opt.init(params)
     step, _ = make_train_step(model, opt, workload=cfg["workload"],
-                              noise_std=(20, 30))
+                              noise_std=(20, 30),
+                              demosaic=cfg.get("demosaic", False))
     batch = jax.random.uniform(jax.random.PRNGKey(1), cfg["batch"], jnp.float32)
     key = jax.random.PRNGKey(2)
 
