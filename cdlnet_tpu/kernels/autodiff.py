@@ -438,6 +438,73 @@ def _xla_lista2d_prox(yp, A, B, t, c, mask, g, zp, g2, za, stride):
     return xphat, z
 
 
+def csr_fused_2d_train(yp, A, B, t, c, mask=None, g=None, z_prev=None,
+                       g2=None, z_after=None, stride=1, interpret=False):
+    """FULLY fused CSR training forward + backward.
+
+    The forward runs lista2d_fused with the in-kernel prox (ST / prox_CSR
+    / prox_CSR_f2 by neighbor availability), streaming per-iteration
+    codes, prox arguments AND residuals to HBM; the backward is the
+    hand-written whole-reverse kernel (lista2d._kernel_bwd prox modes),
+    which recomputes every prox internal exactly from the stored prox
+    argument u_k. Returns (xphat, z).
+
+    Gradients flow to A/B/t/g/g2 AND to the carried neighbor codes
+    z_prev/z_after (the frame recurrence in train/fit_csr.py
+    backpropagates across frames), and the RETURNED code's cotangent
+    seeds the reverse — unlike the parameter-only lista2d_fused_diff
+    contract. yp / sigma / mask cotangents are zero by construction.
+    Reference semantics: traincsr.py:192-217/:247-273 over
+    model/net.py:426-463/:544-564."""
+    from cdlnet_tpu.kernels.lista2d import lista2d_fused, lista2d_fused_bwd
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+    def f(args, stride, interpret):
+        yp, A, B, t, c, mask, g, zp, g2, za = args
+        return lista2d_fused(yp, A, B, t, c, stride=stride, mask=mask,
+                             return_z=True, g=g, z_prev=zp, g2=g2,
+                             z_after=za, interpret=interpret)
+
+    def fwd(args, stride, interpret):
+        yp, A, B, t, c, mask, g, zp, g2, za = args
+        x, z, hist = lista2d_fused(yp, A, B, t, c, stride=stride, mask=mask,
+                                   return_z=True, g=g, z_prev=zp, g2=g2,
+                                   z_after=za, return_hist=True,
+                                   interpret=interpret)
+        return (x, z), (args, hist)
+
+    def bwd(stride, interpret, res, ct):
+        args, hist = res
+        yp, A, B, t, c, mask, g, zp, g2, za = args
+        dx, dz = ct
+        outs = lista2d_fused_bwd(
+            dx, yp, A, B, t, c, mask, hist, stride=stride,
+            interpret=interpret, g=g, z_prev=zp, g2=g2, z_after=za,
+            dz_out=dz,
+        )
+        if len(outs) == 3:          # prox="st" (first-frame applies)
+            dA, dB, dt = outs
+            dg = dg2 = dzp = dza = None
+        else:
+            dA, dB, dt, dg, dg2, dzp, dza = outs
+
+        def ct_of(x, d):
+            # an input that was passed but is unused in this prox mode
+            # (e.g. g in the z_after-only dispatch) gets a ZERO cotangent,
+            # not None — custom_vjp must match the primal pytree
+            if x is None:
+                return None
+            return d if d is not None else jnp.zeros_like(x)
+
+        return ((jnp.zeros_like(yp), dA, dB, dt, jnp.zeros_like(c),
+                 ct_of(mask, None), ct_of(g, dg), ct_of(zp, dzp),
+                 ct_of(g2, dg2), ct_of(za, dza)),)
+
+    f.defvjp(fwd, bwd)
+    return f((yp, A, B, t, jnp.asarray(c), mask, g, z_prev, g2, z_after),
+             stride, interpret)
+
+
 def csr_fused_2d(yp, A, B, t, c, mask=None, g=None, z_prev=None, g2=None,
                  z_after=None, stride=1):
     """Fused CSR forward with XLA-autodiff gradients: the primal (and the

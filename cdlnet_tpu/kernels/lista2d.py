@@ -288,12 +288,19 @@ def _kernel(y2_ref, m2_ref, tbank_ref, crow_ref, A2m_ref, B2m_ref, acolm_ref,
 
     # Per-iteration history to HBM (backward residuals): rows [0:M) carry
     # the code z_k, rows [Mp8:Mp8+Cp) the residual r_k (so the backward
-    # never recomputes the forward iteration — see _kernel_bwd). The copy
-    # is staged through zs (rows padded to the sublane tile — Mosaic
-    # requires aligned HBM slices) so the async DMA out of zs overlaps the
-    # next iteration's dots; the wait lands just before zs's next write.
-    # Interpret mode (CPU tests) has no DMA engine — plain stores instead.
+    # never recomputes the forward iteration — see _kernel_bwd). The CSR
+    # prox modes additionally store the prox ARGUMENT u_k in rows
+    # [Mp8:Mp8+M) (residual moves up to [2*Mp8:...)): the two-sided prox's
+    # sign(u - Ca) is NOT reconstructable from the output code where the
+    # inner threshold clipped, and the backward re-derives every prox
+    # internal from u exactly. The copy is staged through zs (rows padded
+    # to the sublane tile — Mosaic requires aligned HBM slices) so the
+    # async DMA out of zs overlaps the next iteration's dots; the wait
+    # lands just before zs's next write. Interpret mode (CPU tests) has no
+    # DMA engine — plain stores instead.
+    hist_u = hist and prox != "st"
     Mp8 = -(-z_ref.shape[0] // 8) * 8 if hist else 0
+    r_row0 = 2 * Mp8 if hist_u else Mp8
 
     def hist_stage():
         zs_ref[0 : z_ref.shape[0]] = z_ref[:].astype(zs_ref.dtype)
@@ -313,13 +320,13 @@ def _kernel(y2_ref, m2_ref, tbank_ref, crow_ref, A2m_ref, B2m_ref, acolm_ref,
 
     # --- k = 0: z = ST(A0 y, tau0) ---
     analysis_stack(y2)
-    z_ref[:] = st(
-        jax.lax.dot_general(
-            A2m_ref[0], stack_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=HIGH,
-        ),
-        0,
+    u_ref[:] = jax.lax.dot_general(
+        A2m_ref[0], stack_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=HIGH,
     )
+    if hist_u:
+        zs_ref[Mp8 : Mp8 + z_ref.shape[0]] = u_ref[:].astype(zs_ref.dtype)
+    z_ref[:] = st(u_ref[:], 0)
     if hist:
         hist_stage()
         hist_dma(0).start()
@@ -330,13 +337,16 @@ def _kernel(y2_ref, m2_ref, tbank_ref, crow_ref, A2m_ref, B2m_ref, acolm_ref,
         r_ref[:] = (m2_ref[0] * r_ref[:] - y2) if use_mask else (r_ref[:] - y2)
         if hist:
             hist_dma(k - 1).wait()
-            zs_ref[Mp8 : Mp8 + Cp] = r_ref[:].astype(zs_ref.dtype)
+            zs_ref[r_row0 : r_row0 + Cp] = r_ref[:].astype(zs_ref.dtype)
         analysis_stack(r_ref[:])
         u_ref[:] = jax.lax.dot_general(
             A2m_ref[k], stack_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=HIGH,
         )
-        z_ref[:] = st(z_ref[:] - u_ref[:], k)
+        u_ref[:] = z_ref[:] - u_ref[:]      # the prox argument
+        if hist_u:
+            zs_ref[Mp8 : Mp8 + z_ref.shape[0]] = u_ref[:].astype(zs_ref.dtype)
+        z_ref[:] = st(u_ref[:], k)
         if hist:
             hist_stage()
             hist_dma(k).start()
@@ -359,11 +369,8 @@ def _kernel(y2_ref, m2_ref, tbank_ref, crow_ref, A2m_ref, B2m_ref, acolm_ref,
         hist_dma(K - 1).wait()
 
 
-def _kernel_bwd(dx2_ref, y2_ref, m2_ref, crow_ref, A2m_ref,
-                B2m_ref, acolm_ref, arowm_ref, smm_ref, hist_ref,
-                dA_ref, dB_ref, dt_ref,
-                dz_ref, dv_ref, r_ref, stack_ref, zb_ref, sems,
-                *, K, Cp, Wc, Qh, Qw, q_lo, r_lo, use_mask, interp):
+def _kernel_bwd(*refs, K, Cp, Wc, Qh, Qw, q_lo, r_lo, use_mask, interp,
+                prox="st", has_dzq=False):
     """Fused backward of the K-iteration 2D LISTA loop (prox="st").
 
     One program per image; the reverse loop is statically unrolled (K is
@@ -390,9 +397,51 @@ def _kernel_bwd(dx2_ref, y2_ref, m2_ref, crow_ref, A2m_ref,
     over L (thousands), the two data dots over M or T*Cp. Weight /
     threshold gradients accumulate across the (sequential) grid into
     revisited output blocks, zero-initialized at program 0.
+
+    prox="csr"/"csrf2" (frame-recurrent CSR training, reference
+    traincsr.py + model/net.py:229-262): the ST subgradient is replaced
+    by the full prox_CSR / prox_CSR_f2 adjoint — every prox internal is
+    recomputed exactly from the stored prox ARGUMENT u_k (history rows
+    [Mp8:Mp8+M)) and the VMEM-resident neighbor codes — and the kernel
+    additionally emits dgamma threshold banks and the dz_prev / dz_after
+    cotangents (summed over iterations) that the frame recurrence
+    backpropagates. has_dzq seeds the reverse with the cotangent of the
+    RETURNED code z_{K-1} (the next frame's carried-code chain).
+
+    refs layout: dx2, y2, m2, crow, [tbank, g1bank, (g2bank)], [dzq],
+    [zp, (za)], A2m, B2m, acolm, arowm, smm, hist  ||  dA, dB, dt,
+    [dg1, (dg2), dzp, (dza)]  ||  dz, dv, r, stack, zb, sems.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    refs = list(refs)
+    dx2_ref, y2_ref, m2_ref, crow_ref = refs[:4]
+    refs = refs[4:]
+    tb_ref = g1b_ref = g2b_ref = dzq_ref = zp_ref = za_ref = None
+    if prox != "st":
+        tb_ref, g1b_ref = refs[:2]
+        refs = refs[2:]
+        if prox == "csrf2":
+            g2b_ref, refs = refs[0], refs[1:]
+    if has_dzq:
+        dzq_ref, refs = refs[0], refs[1:]
+    if prox != "st":
+        zp_ref, refs = refs[0], refs[1:]
+        if prox == "csrf2":
+            za_ref, refs = refs[0], refs[1:]
+    (A2m_ref, B2m_ref, acolm_ref, arowm_ref, smm_ref, hist_ref,
+     dA_ref, dB_ref, dt_ref) = refs[:9]
+    refs = refs[9:]
+    dg1_ref = dg2_ref = dzp_ref = dza_ref = None
+    if prox != "st":
+        dg1_ref, refs = refs[0], refs[1:]
+        if prox == "csrf2":
+            dg2_ref, refs = refs[0], refs[1:]
+        dzp_ref, refs = refs[0], refs[1:]
+        if prox == "csrf2":
+            dza_ref, refs = refs[0], refs[1:]
+    dz_ref, dv_ref, r_ref, stack_ref, zb_ref, sems = refs
 
     HIGH = jax.lax.Precision.DEFAULT
     n = pl.program_id(0)
@@ -402,6 +451,8 @@ def _kernel_bwd(dx2_ref, y2_ref, m2_ref, crow_ref, A2m_ref,
     crow = crow_ref[0, 0][None, :]
     M = A2m_ref.shape[1]
     Mp8 = -(-M // 8) * 8
+    hist_u = prox != "st"
+    r_row0 = 2 * Mp8 if hist_u else Mp8
 
     def roll(buf, off):
         return pltpu.roll(buf, (-off) % L, 1) if off % L else buf
@@ -417,6 +468,103 @@ def _kernel_bwd(dx2_ref, y2_ref, m2_ref, crow_ref, A2m_ref,
         dA_ref[:] = jnp.zeros_like(dA_ref)
         dB_ref[:] = jnp.zeros_like(dB_ref)
         dt_ref[:] = jnp.zeros_like(dt_ref)
+        if dg1_ref is not None:
+            dg1_ref[:] = jnp.zeros_like(dg1_ref)
+        if dg2_ref is not None:
+            dg2_ref[:] = jnp.zeros_like(dg2_ref)
+
+    # the neighbor-code cotangents are per-image blocks — zero each program
+    if dzp_ref is not None:
+        dzp_ref[0] = jnp.zeros_like(dzp_ref[0])
+    if dza_ref is not None:
+        dza_ref[0] = jnp.zeros_like(dza_ref[0])
+
+    def _soft(u, thr):
+        return jnp.sign(u) * jnp.maximum(jnp.abs(u) - thr, 0.0)
+
+    def thrmap(bank_ref, k):
+        return bank_ref[k, 0][:, None] + bank_ref[k, 1][:, None] * crow
+
+    def prox_adjoint(k, gct, zk, uk):
+        """Adjoint of z_k = prox(u_k) at iteration k: returns the prox
+        argument's cotangent du and accumulates the threshold-bank rows
+        (dt, dgamma) and the neighbor-code cotangents. Every prox internal
+        is recomputed exactly from the stored u_k; sign() is treated as
+        locally constant (zero gradient a.e.), matching jax.grad of
+        core/ops.py::prox_csr(_f2)."""
+        if prox == "st":
+            sgn = jnp.sign(zk)
+            du = jnp.where(zk != 0.0, gct, 0.0)
+            dt_ref[k, 0] += -jnp.sum(sgn * gct, axis=1)
+            dt_ref[k, 1] += -jnp.sum(sgn * gct * crow, axis=1)
+            return du
+        tau = thrmap(tb_ref, k)
+        g1v = thrmap(g1b_ref, k)
+        m_o = (zk != 0.0).astype(jnp.float32)
+        s_o = jnp.sign(zk)
+        gw = gct * m_o
+        if prox == "csr":
+            zp = zp_ref[0].astype(jnp.float32)
+            s_zp = jnp.sign(zp)
+            shift = zp + tau * s_zp
+            inner = _soft(uk - shift, tau * g1v)
+            m_i = (inner != 0.0).astype(jnp.float32)
+            s_i = jnp.sign(inner)
+            du = gw * m_i
+            dsh = gw * (1.0 - m_i)
+            dtau = -s_o * gw + s_zp * dsh - g1v * s_i * du
+            dg1 = -tau * s_i * du
+            dzp_ref[0] += dsh
+            dt_ref[k, 0] += jnp.sum(dtau, axis=1)
+            dt_ref[k, 1] += jnp.sum(dtau * crow, axis=1)
+            dg1_ref[k, 0] += jnp.sum(dg1, axis=1)
+            dg1_ref[k, 1] += jnp.sum(dg1 * crow, axis=1)
+            return du
+        # csrf2 (core/ops.py::prox_csr_f2; reference model/net.py:244-262)
+        g2v = thrmap(g2b_ref, k)
+        zp = zp_ref[0].astype(jnp.float32)
+        za = za_ref[0].astype(jnp.float32)
+        s_zp, s_za = jnp.sign(zp), jnp.sign(za)
+        s_pa = jnp.sign(zp - za)
+        s_ap = -s_pa
+        Ca = zp + tau * s_zp + tau * g2v * s_pa
+        Cb = za + tau * s_za + tau * g1v * s_ap
+        uCa = uk - Ca
+        s_uca = jnp.sign(uCa)
+        inner = _soft(uCa, g1v * tau)
+        m_i = (inner != 0.0).astype(jnp.float32)
+        s_i = jnp.sign(inner)
+        corr = tau * g1v * s_uca
+        midder = _soft(inner - Cb + corr, g2v * tau)
+        m_m = (midder != 0.0).astype(jnp.float32)
+        s_m = jnp.sign(midder)
+        # out = ST(midder + Cb - corr, tau)
+        dtau = -s_o * gw
+        gx = gw * m_m                 # cotangent on (inner - Cb + corr)
+        dtau += -g2v * s_m * gx
+        dg2 = -tau * s_m * gx
+        g_i = gx * m_i                # cotangent on (u - Ca)
+        dtau += -g1v * s_i * g_i
+        dg1 = -tau * s_i * g_i
+        du = g_i
+        dCa = -g_i
+        dcorr = gx - gw               # +gx from midder arg, -gw from out arg
+        dtau += g1v * s_uca * dcorr
+        dg1 += tau * s_uca * dcorr
+        dCb = gw - gx                 # +gw from out arg, -gx from midder arg
+        dzp_ref[0] += dCa
+        dtau += (s_zp + g2v * s_pa) * dCa
+        dg2 += tau * s_pa * dCa
+        dza_ref[0] += dCb
+        dtau += (s_za + g1v * s_ap) * dCb
+        dg1 += tau * s_ap * dCb
+        dt_ref[k, 0] += jnp.sum(dtau, axis=1)
+        dt_ref[k, 1] += jnp.sum(dtau * crow, axis=1)
+        dg1_ref[k, 0] += jnp.sum(dg1, axis=1)
+        dg1_ref[k, 1] += jnp.sum(dg1 * crow, axis=1)
+        dg2_ref[k, 0] += jnp.sum(dg2, axis=1)
+        dg2_ref[k, 1] += jnp.sum(dg2 * crow, axis=1)
+        return du
 
     def ana_stack(buf):
         for qi in range(Qh):
@@ -481,16 +629,24 @@ def _kernel_bwd(dx2_ref, y2_ref, m2_ref, crow_ref, A2m_ref,
         return zb_ref[slot][0:M].astype(jnp.float32)
 
     def r_of(slot):
-        return zb_ref[slot][Mp8 : Mp8 + Cp].astype(jnp.float32)
+        return zb_ref[slot][r_row0 : r_row0 + Cp].astype(jnp.float32)
+
+    def u_of(slot):
+        # the prox argument (CSR history rows only; see _kernel)
+        return zb_ref[slot][Mp8 : Mp8 + M].astype(jnp.float32)
 
     start_load(0)
     if K > 1:
         start_load(1)
 
-    # --- init: adjoint of the final dictionary synthesis (B2m[0], z_{K-1}) ---
+    # --- init: adjoint of the final dictionary synthesis (B2m[0], z_{K-1}),
+    # seeded with the returned code's own cotangent when the caller uses z
+    # (the CSR frame recurrence carries it into the next frame) ---
     wait_load(0)
     syn_stack2(dx2)
     dz_ref[:] = dot(B2m_ref[0], stack_ref[:], ((0,), (0,)))
+    if has_dzq:
+        dz_ref[:] += dzq_ref[0].astype(jnp.float32)
     dB_ref[0] += dot(stack_ref[:], z_of(0), ((1,), (1,)))
     if K > 2:
         start_load(2)  # slot 2 was never occupied
@@ -504,10 +660,8 @@ def _kernel_bwd(dx2_ref, y2_ref, m2_ref, crow_ref, A2m_ref,
         else:
             slot_prev, slot_cur = jax.lax.rem(j - 1, 3), jax.lax.rem(j, 3)
         zk, rk, zkm1 = z_of(slot_prev), r_of(slot_prev), z_of(slot_cur)
-        sgn = jnp.sign(zk)
-        dv_ref[:] = jnp.where(zk != 0.0, dz_ref[:], 0.0)
-        dt_ref[k, 0] += -jnp.sum(sgn * dz_ref[:], axis=1)
-        dt_ref[k, 1] += -jnp.sum(sgn * dz_ref[:] * crow, axis=1)
+        uk = u_of(slot_prev) if prox != "st" else None
+        dv_ref[:] = prox_adjoint(k, dz_ref[:], zk, uk)
         ana_stack(rk)
         dA_ref[k] += -dot(dv_ref[:], stack_ref[:], ((1,), (1,)))
         stack_ref[:] = -dot(A2m_ref[k], dv_ref[:], ((0,), (0,)))   # dstack
@@ -531,31 +685,36 @@ def _kernel_bwd(dx2_ref, y2_ref, m2_ref, crow_ref, A2m_ref,
     else:
         jax.lax.fori_loop(1, K, lambda j, _: (step(j), 0)[1], 0)
 
-    # --- k = 0: z_0 = ST(A2m[0] @ stack(y2), tau_0) ---
-    z0 = z_of((K - 1) % 3)
-    sgn = jnp.sign(z0)
-    dv = jnp.where(z0 != 0.0, dz_ref[:], 0.0)
-    dt_ref[0, 0] += -jnp.sum(sgn * dz_ref[:], axis=1)
-    dt_ref[0, 1] += -jnp.sum(sgn * dz_ref[:] * crow, axis=1)
+    # --- k = 0: z_0 = prox(A2m[0] @ stack(y2)) ---
+    slot0 = (K - 1) % 3
+    z0 = z_of(slot0)
+    u0 = u_of(slot0) if prox != "st" else None
+    dv = prox_adjoint(0, dz_ref[:], z0, u0)
     ana_stack(y2)
     dA_ref[0] += dot(dv, stack_ref[:], ((1,), (1,)))              # du = +dv
 
 
-def _estimate_bytes_bwd(M, C, P, s, K, H, W) -> int:
+def _estimate_bytes_bwd(M, C, P, s, K, H, W, n_codes=0) -> int:
     """Approximate VMEM bytes for the backward kernel on a padded H x W
     input: dz/u + 2-slot z history buffer + stack + r scratch, big (M, L)
     temporaries (v / sign / dot results), resident weights AND same-size
-    gradient accumulators, blocked ins/outs."""
+    gradient accumulators, blocked ins/outs. n_codes: CSR prox modes —
+    neighbor-code in blocks + cotangent out blocks + dz_out seed, the
+    extra u rows in the history slots, and the prox adjoint's bigger
+    elementwise temporary set."""
     P = (P, P) if isinstance(P, int) else tuple(P)
     pads = ((P[0] - 1) // 2, (P[1] - 1) // 2)
     (Qh, Qw), _, _ = _tap_geometry(P, pads, s)
     T, Cp, L = Qh * Qw, C * s * s, (H // s) * (W // s)
     Mp8, Rp8 = -(-M // 8) * 8, -(-Cp // 8) * 8
-    scratch = (2 * M + T * Cp + Cp + 3 * (Mp8 + Rp8)) * L * 4
-    temps = 2 * M * L * 4                     # sign / where temporaries
+    hist_rows = (2 * Mp8 if n_codes else Mp8) + Rp8
+    scratch = (2 * M + T * Cp + Cp + 3 * hist_rows) * L * 4
+    temps = (2 + 2 * n_codes) * M * L * 4     # sign / where / prox temps
     weights = 4 * K * M * T * Cp * 4          # A2m+B2m + dA+dB accumulators
     masks = (2 * (Qh + Qw) + T) * L * 4
     blocked = 2 * (3 * Cp * L + 2 * K * M) * 4
+    # n_codes each of: code in + cotangent out, + the dz_out seed block
+    blocked += n_codes * 2 * 2 * M * L * 4 + (2 * M * L * 4 if n_codes else 0)
     return scratch + temps + weights + masks + blocked
 
 
@@ -582,16 +741,18 @@ def hist_dtype():
     return jnp.float32 if env in ("f32", "fp32", "float32") else jnp.bfloat16
 
 
-def lista2d_bwd_supported(M, C, P, s, K, H, W) -> bool:
+def lista2d_bwd_supported(M, C, P, s, K, H, W, n_codes=0) -> bool:
     """True when the fused backward kernel fits VMEM for a padded input."""
     if H % s or W % s:
         return False
-    est = _estimate_bytes_bwd(M, C, P, s, K, H, W)
+    est = _estimate_bytes_bwd(M, C, P, s, K, H, W, n_codes=n_codes)
     return est * _PEAK_FACTOR < _VMEM_CAPACITY
 
 
 def lista2d_fused_bwd(dxp, yp, A, B, t, c, mask, hist, stride=1,
-                      interpret=False, _row_period=None):
+                      interpret=False, _row_period=None,
+                      g=None, z_prev=None, g2=None, z_after=None,
+                      dz_out=None):
     """Backward pass companion to lista2d_fused(..., return_hist=True).
 
     dxp: cotangent of xphat (N, C, H, W); hist: (N, K, Mp8+Rp8, L)
@@ -599,7 +760,15 @@ def lista2d_fused_bwd(dxp, yp, A, B, t, c, mask, hist, stride=1,
     weight layout (the polyphase weight prep is linear, so its vjp
     transports the in-kernel polyphase-domain gradients back exactly).
     Input/sigma/mask cotangents are zero by construction (training
-    differentiates w.r.t. parameters only)."""
+    differentiates w.r.t. parameters only).
+
+    CSR prox modes (pass the same g / z_prev / g2 / z_after the forward
+    ran with; hist then carries the prox arguments too): returns
+    (dA, dB, dt, dg, dg2, dz_prev, dz_after) — dgamma banks in the
+    (K, 2, M, 1, 1) threshold layout and the neighbor-code cotangents the
+    frame recurrence backpropagates (None in the slots the caller left
+    None). dz_out (N, M, Hc, Wc) seeds the reverse with the returned
+    code's cotangent (required whenever the caller consumes z)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -613,6 +782,21 @@ def lista2d_fused_bwd(dxp, yp, A, B, t, c, mask, hist, stride=1,
     Cp = C * s * s
     (Qh, Qw), _, _ = _tap_geometry(P, pads, s)
     T = Qh * Qw
+
+    # the same one-sided mapping the forward applied (lista2d_fused):
+    # z_after-only runs the "csr" kernel with (z_after, g2) in the
+    # (zp, g) slots; un-map the cotangents before returning
+    za_only = z_prev is None and z_after is not None
+    if za_only:
+        z_prev, g = z_after, g2
+        z_after = g2 = None
+    if z_prev is not None and z_after is not None:
+        prox_mode = "csrf2"
+    elif z_prev is not None:
+        prox_mode = "csr"
+    else:
+        prox_mode = "st"
+    has_dzq = dz_out is not None
 
     A2m, vjpA = jax.vjp(lambda Aw: _prep_A2m(Aw, s, pads, T, Cp), A)
     B2m, vjpB = jax.vjp(lambda Bw: _prep_B2m(Bw, s, pads, T, Cp), B)
@@ -636,57 +820,113 @@ def lista2d_fused_bwd(dxp, yp, A, B, t, c, mask, hist, stride=1,
     kern = functools.partial(
         _kernel_bwd, K=K, Cp=Cp, Wc=Wc, Qh=Qh, Qw=Qw, q_lo=q_lo_h,
         r_lo=q_lo_w, use_mask=use_mask, interp=interpret,
+        prox=prox_mode, has_dzq=has_dzq,
     )
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    nmap_code = pl.BlockSpec((1, M, L), lambda n: (n, 0, 0),
+                             memory_space=pltpu.VMEM)
     cmap = lambda n: (0, 0, 0)
+    gbank_spec = pl.BlockSpec((K, 2, M), cmap, memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((1, Cp, L), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Cp, L), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, Cp, L) if use_mask else (1, 1, 1),
+            (lambda n: (n, 0, 0)) if use_mask else (lambda n: (0, 0, 0)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((1, 1, L), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    extra_ops = []
+    if prox_mode != "st":
+        in_specs += [full, full]  # tbank, g1 bank
+        extra_ops += [t[:, :, :, 0, 0].astype(jnp.float32),
+                      g[:, :, :, 0, 0].astype(jnp.float32)]
+        if prox_mode == "csrf2":
+            in_specs.append(full)
+            extra_ops.append(g2[:, :, :, 0, 0].astype(jnp.float32))
+    if has_dzq:
+        in_specs.append(nmap_code)
+        extra_ops.append(dz_out.reshape(N, M, L))
+    if prox_mode != "st":
+        in_specs.append(nmap_code)
+        extra_ops.append(z_prev.reshape(N, M, L))
+        if prox_mode == "csrf2":
+            in_specs.append(nmap_code)
+            extra_ops.append(z_after.reshape(N, M, L))
+
+    in_specs += [
+        full,  # A2m
+        full,  # B2m
+        full,  # acolm
+        full,  # arowm
+        full,  # smm
+        pl.BlockSpec(memory_space=pl.ANY),  # hist
+    ]
+    out_specs = [
+        pl.BlockSpec((K, M, T * Cp), cmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, T * Cp, M), cmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, 2, M), cmap, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((K, M, T * Cp), jnp.float32),
+        jax.ShapeDtypeStruct((K, T * Cp, M), jnp.float32),
+        jax.ShapeDtypeStruct((K, 2, M), jnp.float32),
+    ]
+    if prox_mode != "st":
+        out_specs.append(gbank_spec)
+        out_shape.append(jax.ShapeDtypeStruct((K, 2, M), jnp.float32))
+        if prox_mode == "csrf2":
+            out_specs.append(gbank_spec)
+            out_shape.append(jax.ShapeDtypeStruct((K, 2, M), jnp.float32))
+        out_specs.append(nmap_code)
+        out_shape.append(jax.ShapeDtypeStruct((N, M, L), jnp.float32))
+        if prox_mode == "csrf2":
+            out_specs.append(nmap_code)
+            out_shape.append(jax.ShapeDtypeStruct((N, M, L), jnp.float32))
+
+    hist_rows = (2 * -(-M // 8) * 8 if prox_mode != "st" else -(-M // 8) * 8) \
+        + -(-Cp // 8) * 8
     outs = pl.pallas_call(
         kern,
         grid=(N,),
-        in_specs=[
-            pl.BlockSpec((1, Cp, L), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cp, L), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, Cp, L) if use_mask else (1, 1, 1),
-                (lambda n: (n, 0, 0)) if use_mask else (lambda n: (0, 0, 0)),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((1, 1, L), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
-            full,  # A2m
-            full,  # B2m
-            full,  # acolm
-            full,  # arowm
-            full,  # smm
-            pl.BlockSpec(memory_space=pl.ANY),  # hist
-        ],
-        out_specs=[
-            pl.BlockSpec((K, M, T * Cp), cmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, T * Cp, M), cmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, 2, M), cmap, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((K, M, T * Cp), jnp.float32),
-            jax.ShapeDtypeStruct((K, T * Cp, M), jnp.float32),
-            jax.ShapeDtypeStruct((K, 2, M), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((M, L), jnp.float32),        # dz
             pltpu.VMEM((M, L), jnp.float32),        # dv
             pltpu.VMEM((Cp, L), jnp.float32),       # r / dr / ds
             pltpu.VMEM((T * Cp, L), jnp.float32),   # stack / dstack / stack2
-            pltpu.VMEM((3, -(-M // 8) * 8 + -(-Cp // 8) * 8, L),
-                       hist.dtype),                 # 3-slot z+r history
+            pltpu.VMEM((3, hist_rows, L), hist.dtype),  # 3-slot history
             pltpu.SemaphoreType.DMA((3,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(dx2, y2, m2, crow, A2m, B2m, acolm, arowm, smm, hist)
+    )(dx2, y2, m2, crow, *extra_ops, A2m, B2m, acolm, arowm, smm, hist)
 
     dA = vjpA(outs[0])[0]
     dB = vjpB(outs[1])[0]
     dt = outs[2][:, :, :, None, None].astype(t.dtype)
-    return dA.astype(A.dtype), dB.astype(B.dtype), dt
+    if prox_mode == "st":
+        return dA.astype(A.dtype), dB.astype(B.dtype), dt
+    i = 3
+    dg1 = outs[i][:, :, :, None, None]; i += 1
+    dg2o = None
+    if prox_mode == "csrf2":
+        dg2o = outs[i][:, :, :, None, None]; i += 1
+    dzp = outs[i].reshape(N, M, Hc, Wc); i += 1
+    dza = None
+    if prox_mode == "csrf2":
+        dza = outs[i].reshape(N, M, Hc, Wc); i += 1
+    if za_only:  # un-map: cotangents back to the caller's original slots
+        return (dA.astype(A.dtype), dB.astype(B.dtype), dt,
+                None, dg1, None, dzp)
+    return (dA.astype(A.dtype), dB.astype(B.dtype), dt,
+            dg1, dg2o, dzp, dza)
 
 
 def lista2d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=False,
@@ -859,16 +1099,19 @@ def lista2d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=False,
         # per-iteration codes z_k AND residuals r_k stream straight to HBM
         # (backward residuals); row groups padded to the sublane tile so
         # the HBM slices are aligned: rows [0:M) = z_k, [Mp8:Mp8+Cp) = r_k.
+        # CSR prox modes also store the prox argument u_k in [Mp8:Mp8+M)
+        # (residual moves to [2*Mp8:...)) — see _kernel.
         # Dtype: hist_dtype() — bf16 by default (the history is the train
         # step's dominant HBM term), f32 via CDLNET_HIST_DTYPE=f32
         hd = hist_dtype()
         Mp8 = -(-M // 8) * 8
         Rp8 = -(-Cp // 8) * 8
+        rows = (2 * Mp8 if prox_mode != "st" else Mp8) + Rp8
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         out_shape.append(
-            jax.ShapeDtypeStruct((N, K, Mp8 + Rp8, L), hd)
+            jax.ShapeDtypeStruct((N, K, rows, L), hd)
         )
-        scratch.append(pltpu.VMEM((Mp8 + Rp8, L), hd))  # DMA staging
+        scratch.append(pltpu.VMEM((rows, L), hd))  # DMA staging
         scratch.append(pltpu.SemaphoreType.DMA(()))
 
     outs = pl.pallas_call(

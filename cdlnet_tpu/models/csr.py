@@ -16,6 +16,7 @@ frames with carried codes — see scan_denoise_video / the analyzers
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -119,35 +120,48 @@ class CDLNetCSR:
         dictionary is always the primary B[0], model/net.py:460, so the
         synthesis bank is spliced as [B[0], B2[1:]]); the recurrent branch
         passes z_prev + the gamma bank for the in-kernel prox_CSR.
-        train=True (a step that will be differentiated) uses the XLA scan:
-        the CSR kernels have no hand-written reverse — their VJP re-runs
-        the XLA forward, so fused-fwd + XLA-vjp loses to plain XLA."""
+        train=True runs the FULLY fused training path when the reverse
+        kernel fits VMEM (autodiff.csr_fused_2d_train: fused forward with
+        prox-argument histories + the hand-written prox-mode reverse;
+        gradients flow to the params AND through the carried codes), else
+        the XLA scan."""
         yp, prm, mask = pre_process(y, self.s, mask=mask)
         c = sigma_scale(sigma, self.adaptive, 4)
 
-        if self.backend == "pallas" and not train:
-            from cdlnet_tpu.kernels.autodiff import csr_fused_2d
-            from cdlnet_tpu.kernels.lista2d import lista2d_fused_supported
+        if self.backend == "pallas":
+            from cdlnet_tpu.kernels.lista2d import (
+                lista2d_bwd_supported,
+                lista2d_fused_supported,
+            )
 
-            if lista2d_fused_supported(
+            n_codes = 0 if z_prev is None else 1
+            fwd_ok = lista2d_fused_supported(
                 self.M, self.C, self.P, self.s, self.K,
-                yp.shape[-2], yp.shape[-1], return_z=True,
-                n_codes=0 if z_prev is None else 1,
+                yp.shape[-2], yp.shape[-1], return_z=True, n_codes=n_codes,
+            )
+            run = None
+            if train and fwd_ok and lista2d_bwd_supported(
+                self.M, self.C, self.P, self.s, self.K,
+                yp.shape[-2], yp.shape[-1], n_codes=n_codes,
             ):
+                from cdlnet_tpu.kernels.autodiff import csr_fused_2d_train
+
+                run = functools.partial(csr_fused_2d_train, stride=self.s)
+            elif not train and fwd_ok:
+                from cdlnet_tpu.kernels.autodiff import csr_fused_2d
+
+                run = functools.partial(csr_fused_2d, stride=self.s)
+            if run is not None:
                 if z_prev is None:
                     Bk = jnp.concatenate(
                         [params["B"][:1], params["B2"][1:]], axis=0
                     )
-                    xphat, z = csr_fused_2d(
-                        yp, params["A2"], Bk, params["t2"], c,
-                        mask=mask, stride=self.s,
-                    )
+                    xphat, z = run(yp, params["A2"], Bk, params["t2"], c,
+                                   mask=mask)
                 else:
-                    xphat, z = csr_fused_2d(
-                        yp, params["A"], params["B"], params["t"], c,
-                        mask=mask, stride=self.s,
-                        g=params["g"], z_prev=z_prev,
-                    )
+                    xphat, z = run(yp, params["A"], params["B"], params["t"],
+                                   c, mask=mask, g=params["g"],
+                                   z_prev=z_prev)
                 return post_process(xphat, prm), z
 
         if z_prev is None:
@@ -215,30 +229,44 @@ class CDLNetCSRf2:
         backend="pallas" maps the four dispatch cases onto the fused
         kernel's prox modes: ST / one-sided prox_CSR (z_prev with g1, or
         z_after with g2) / two-sided prox_CSR_f2 — neighbor codes ride
-        VMEM-resident next to the code being solved. train=True uses the
-        XLA scan (no hand-written reverse for the CSR kernels — see
-        CDLNetCSR.apply)."""
+        VMEM-resident next to the code being solved. train=True runs the
+        FULLY fused training path when the reverse kernel fits VMEM
+        (autodiff.csr_fused_2d_train; gradients flow to the params and
+        through the carried neighbor codes), else the XLA scan."""
         yp, prm, mask = pre_process(y, self.s, mask=mask)
         c = sigma_scale(sigma, self.adaptive, 4)
 
-        if self.backend == "pallas" and not train:
-            from cdlnet_tpu.kernels.autodiff import csr_fused_2d
-            from cdlnet_tpu.kernels.lista2d import lista2d_fused_supported
+        if self.backend == "pallas":
+            from cdlnet_tpu.kernels.lista2d import (
+                lista2d_bwd_supported,
+                lista2d_fused_supported,
+            )
 
             n_codes = (z_prev is not None) + (z_after is not None)
-            if lista2d_fused_supported(
+            fwd_ok = lista2d_fused_supported(
                 self.M, self.C, self.P, self.s, self.K,
                 yp.shape[-2], yp.shape[-1], return_z=True, n_codes=n_codes,
+            )
+            run = None
+            if train and fwd_ok and lista2d_bwd_supported(
+                self.M, self.C, self.P, self.s, self.K,
+                yp.shape[-2], yp.shape[-1], n_codes=n_codes,
             ):
+                from cdlnet_tpu.kernels.autodiff import csr_fused_2d_train
+
+                run = functools.partial(csr_fused_2d_train, stride=self.s)
+            elif not train and fwd_ok:
+                from cdlnet_tpu.kernels.autodiff import csr_fused_2d
+
+                run = functools.partial(csr_fused_2d, stride=self.s)
+            if run is not None:
                 kw = {}
                 if z_prev is not None:
                     kw.update(g=params["g1"], z_prev=z_prev)
                 if z_after is not None:
                     kw.update(g2=params["g2"], z_after=z_after)
-                xphat, z = csr_fused_2d(
-                    yp, params["A"], params["B"], params["t"], c,
-                    mask=mask, stride=self.s, **kw,
-                )
+                xphat, z = run(yp, params["A"], params["B"], params["t"],
+                               c, mask=mask, **kw)
                 return post_process(xphat, prm), z
 
         A, B, t = params["A"], params["B"], params["t"]

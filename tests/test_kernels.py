@@ -742,6 +742,64 @@ def test_csr_pallas_backend_trainable(monkeypatch):
         assert rel < 1e-4, rel
 
 
+@pytest.mark.parametrize("mtype", ["CDLNet_CSR", "CDLNet_CSRf2"])
+def test_csr_fused_training_grads_match_xla(mtype, monkeypatch):
+    """train=True on backend='pallas' CSR models runs the FULLY fused
+    path (autodiff.csr_fused_2d_train: fused forward with prox-argument
+    histories + the hand-written prox-mode reverse kernel). Gradients of
+    the full frame-recurrent training loss — parameters AND the BPTT
+    chains through carried codes — match the XLA backend."""
+    monkeypatch.setenv("CDLNET_HIST_DTYPE", "f32")
+    import cdlnet_tpu.kernels.lista2d as k2d
+
+    orig = k2d.lista2d_fused
+    monkeypatch.setattr(
+        k2d, "lista2d_fused", lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    )
+    origb = k2d.lista2d_fused_bwd
+    monkeypatch.setattr(
+        k2d, "lista2d_fused_bwd",
+        lambda *a, **kw: origb(*a, **{**kw, "interpret": True}),
+    )
+    cfg = {"K": 3, "M": 8, "P": 5, "s": 2, "C": 1, "adaptive": True}
+    mx = build_model(mtype, dict(cfg))
+    mp = build_model(mtype, dict(cfg, backend="pallas"))
+    params = mx.init(jax.random.PRNGKey(0), init=True)
+    for k in params:
+        params[k] = (
+            params[k] * 0.3 if k[0] in "AB"
+            else jnp.abs(params[k]) * 0.05 + 1e-3
+        )
+    prev = jax.random.uniform(jax.random.PRNGKey(1), (1, 1, 32, 32))
+    curr = jax.random.uniform(jax.random.PRNGKey(2), (1, 1, 32, 32))
+    after = jax.random.uniform(jax.random.PRNGKey(3), (1, 1, 32, 32))
+
+    def loss(m):
+        # the fit_csr recurrences (reference traincsr.py:192-217/:247-273)
+        def f(p):
+            if mtype == "CDLNet_CSR":
+                pd, zp_ = m.apply(p, prev, None, 25.0, train=True)
+                cd, zc = m.apply(p, curr, zp_, 25.0, train=True)
+                pd, zp_ = m.apply(p, prev, zc, 25.0, train=True)
+                cd, zc = m.apply(p, curr, zp_, 25.0, train=True)
+                return jnp.mean((pd - prev) ** 2) + jnp.mean((cd - curr) ** 2)
+            pd, zp_ = m.apply(p, prev, None, None, 25.0, train=True)
+            cd, zc = m.apply(p, curr, zp_, None, 25.0, train=True)
+            ad, za_ = m.apply(p, after, zp_, None, 25.0, train=True)
+            cd, zc = m.apply(p, curr, zp_, za_, 25.0, train=True)
+            pd, zp_ = m.apply(p, prev, None, za_, 25.0, train=True)
+            return (jnp.mean((pd - prev) ** 2) + jnp.mean((cd - curr) ** 2)
+                    + jnp.mean((ad - after) ** 2))
+        return f
+
+    gx = jax.grad(loss(mx))(params)
+    gp = jax.grad(loss(mp))(params)
+    for k in gx:
+        rel = float(jnp.abs(gx[k] - gp[k]).max()) / (
+            float(jnp.abs(gx[k]).max()) + 1e-12)
+        assert rel < 1e-4, (k, rel)
+
+
 def test_gdlnet_pallas_backend_trainable(monkeypatch):
     """GDLNet's pallas backend is differentiable end-to-end: the fused
     reverse kernel's dA/dB cotangents chain through the Gabor filter
