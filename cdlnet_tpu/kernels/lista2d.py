@@ -482,89 +482,98 @@ def _kernel_bwd(*refs, K, Cp, Wc, Qh, Qw, q_lo, r_lo, use_mask, interp,
     def _soft(u, thr):
         return jnp.sign(u) * jnp.maximum(jnp.abs(u) - thr, 0.0)
 
-    def thrmap(bank_ref, k):
-        return bank_ref[k, 0][:, None] + bank_ref[k, 1][:, None] * crow
+    def prox_adjoint(k, slot):
+        """Adjoint of z_k = prox(u_k) at iteration k: writes the prox
+        argument's cotangent into dv_ref and accumulates the
+        threshold-bank rows (dt, dgamma) and the neighbor-code
+        cotangents. Every prox internal is recomputed exactly from the
+        stored u_k; sign() is treated as locally constant (zero gradient
+        a.e.), matching jax.grad of core/ops.py::prox_csr(_f2).
 
-    def prox_adjoint(k, gct, zk, uk):
-        """Adjoint of z_k = prox(u_k) at iteration k: returns the prox
-        argument's cotangent du and accumulates the threshold-bank rows
-        (dt, dgamma) and the neighbor-code cotangents. Every prox internal
-        is recomputed exactly from the stored u_k; sign() is treated as
-        locally constant (zero gradient a.e.), matching jax.grad of
-        core/ops.py::prox_csr(_f2)."""
+        The CSR branches run in 64-row subband blocks: the two-sided
+        adjoint holds ~25 (rows, L) fp32 temporaries live, and full-M
+        blocks at M=169 measured a 6x VMEM-pressure slowdown (12.2 vs
+        2.0 ms per apply at 128^2) that row-chunking removes."""
         if prox == "st":
+            zk = z_of(slot)
+            gct = dz_ref[:]
             sgn = jnp.sign(zk)
-            du = jnp.where(zk != 0.0, gct, 0.0)
+            dv_ref[:] = jnp.where(zk != 0.0, gct, 0.0)
             dt_ref[k, 0] += -jnp.sum(sgn * gct, axis=1)
             dt_ref[k, 1] += -jnp.sum(sgn * gct * crow, axis=1)
-            return du
-        tau = thrmap(tb_ref, k)
-        g1v = thrmap(g1b_ref, k)
-        m_o = (zk != 0.0).astype(jnp.float32)
-        s_o = jnp.sign(zk)
-        gw = gct * m_o
-        if prox == "csr":
-            zp = zp_ref[0].astype(jnp.float32)
-            s_zp = jnp.sign(zp)
-            shift = zp + tau * s_zp
-            inner = _soft(uk - shift, tau * g1v)
-            m_i = (inner != 0.0).astype(jnp.float32)
-            s_i = jnp.sign(inner)
-            du = gw * m_i
-            dsh = gw * (1.0 - m_i)
-            dtau = -s_o * gw + s_zp * dsh - g1v * s_i * du
-            dg1 = -tau * s_i * du
-            dzp_ref[0] += dsh
-            dt_ref[k, 0] += jnp.sum(dtau, axis=1)
-            dt_ref[k, 1] += jnp.sum(dtau * crow, axis=1)
-            dg1_ref[k, 0] += jnp.sum(dg1, axis=1)
-            dg1_ref[k, 1] += jnp.sum(dg1 * crow, axis=1)
-            return du
-        # csrf2 (core/ops.py::prox_csr_f2; reference model/net.py:244-262)
-        g2v = thrmap(g2b_ref, k)
-        zp = zp_ref[0].astype(jnp.float32)
-        za = za_ref[0].astype(jnp.float32)
-        s_zp, s_za = jnp.sign(zp), jnp.sign(za)
-        s_pa = jnp.sign(zp - za)
-        s_ap = -s_pa
-        Ca = zp + tau * s_zp + tau * g2v * s_pa
-        Cb = za + tau * s_za + tau * g1v * s_ap
-        uCa = uk - Ca
-        s_uca = jnp.sign(uCa)
-        inner = _soft(uCa, g1v * tau)
-        m_i = (inner != 0.0).astype(jnp.float32)
-        s_i = jnp.sign(inner)
-        corr = tau * g1v * s_uca
-        midder = _soft(inner - Cb + corr, g2v * tau)
-        m_m = (midder != 0.0).astype(jnp.float32)
-        s_m = jnp.sign(midder)
-        # out = ST(midder + Cb - corr, tau)
-        dtau = -s_o * gw
-        gx = gw * m_m                 # cotangent on (inner - Cb + corr)
-        dtau += -g2v * s_m * gx
-        dg2 = -tau * s_m * gx
-        g_i = gx * m_i                # cotangent on (u - Ca)
-        dtau += -g1v * s_i * g_i
-        dg1 = -tau * s_i * g_i
-        du = g_i
-        dCa = -g_i
-        dcorr = gx - gw               # +gx from midder arg, -gw from out arg
-        dtau += g1v * s_uca * dcorr
-        dg1 += tau * s_uca * dcorr
-        dCb = gw - gx                 # +gw from out arg, -gx from midder arg
-        dzp_ref[0] += dCa
-        dtau += (s_zp + g2v * s_pa) * dCa
-        dg2 += tau * s_pa * dCa
-        dza_ref[0] += dCb
-        dtau += (s_za + g1v * s_ap) * dCb
-        dg1 += tau * s_ap * dCb
-        dt_ref[k, 0] += jnp.sum(dtau, axis=1)
-        dt_ref[k, 1] += jnp.sum(dtau * crow, axis=1)
-        dg1_ref[k, 0] += jnp.sum(dg1, axis=1)
-        dg1_ref[k, 1] += jnp.sum(dg1 * crow, axis=1)
-        dg2_ref[k, 0] += jnp.sum(dg2, axis=1)
-        dg2_ref[k, 1] += jnp.sum(dg2 * crow, axis=1)
-        return du
+            return
+        for r0 in range(0, M, 64):
+            r1 = min(M, r0 + 64)
+            zk = zb_ref[slot][r0:r1].astype(jnp.float32)
+            uk = zb_ref[slot][Mp8 + r0 : Mp8 + r1].astype(jnp.float32)
+            gct = dz_ref[r0:r1]
+            tau = (tb_ref[k, 0][r0:r1][:, None]
+                   + tb_ref[k, 1][r0:r1][:, None] * crow)
+            g1v = (g1b_ref[k, 0][r0:r1][:, None]
+                   + g1b_ref[k, 1][r0:r1][:, None] * crow)
+            m_o = (zk != 0.0).astype(jnp.float32)
+            s_o = jnp.sign(zk)
+            gw = gct * m_o
+            if prox == "csr":
+                zp = zp_ref[0, r0:r1].astype(jnp.float32)
+                s_zp = jnp.sign(zp)
+                shift = zp + tau * s_zp
+                inner = _soft(uk - shift, tau * g1v)
+                m_i = (inner != 0.0).astype(jnp.float32)
+                s_i = jnp.sign(inner)
+                du = gw * m_i
+                dsh = gw * (1.0 - m_i)
+                dtau = -s_o * gw + s_zp * dsh - g1v * s_i * du
+                dg1 = -tau * s_i * du
+                dzp_ref[0, r0:r1] += dsh
+                dv_ref[r0:r1] = du
+            else:
+                # csrf2 (core/ops.py::prox_csr_f2; model/net.py:244-262)
+                g2v = (g2b_ref[k, 0][r0:r1][:, None]
+                       + g2b_ref[k, 1][r0:r1][:, None] * crow)
+                zp = zp_ref[0, r0:r1].astype(jnp.float32)
+                za = za_ref[0, r0:r1].astype(jnp.float32)
+                s_zp, s_za = jnp.sign(zp), jnp.sign(za)
+                s_pa = jnp.sign(zp - za)
+                s_ap = -s_pa
+                Ca = zp + tau * s_zp + tau * g2v * s_pa
+                Cb = za + tau * s_za + tau * g1v * s_ap
+                uCa = uk - Ca
+                s_uca = jnp.sign(uCa)
+                inner = _soft(uCa, g1v * tau)
+                m_i = (inner != 0.0).astype(jnp.float32)
+                s_i = jnp.sign(inner)
+                corr = tau * g1v * s_uca
+                midder = _soft(inner - Cb + corr, g2v * tau)
+                m_m = (midder != 0.0).astype(jnp.float32)
+                s_m = jnp.sign(midder)
+                # out = ST(midder + Cb - corr, tau)
+                dtau = -s_o * gw
+                gx = gw * m_m             # ct on (inner - Cb + corr)
+                dtau += -g2v * s_m * gx
+                dg2 = -tau * s_m * gx
+                g_i = gx * m_i            # ct on (u - Ca)
+                dtau += -g1v * s_i * g_i
+                dg1 = -tau * s_i * g_i
+                du = g_i
+                dCa = -g_i
+                dcorr = gx - gw           # +gx midder arg, -gw out arg
+                dtau += g1v * s_uca * dcorr
+                dg1 += tau * s_uca * dcorr
+                dCb = gw - gx             # +gw out arg, -gx midder arg
+                dzp_ref[0, r0:r1] += dCa
+                dtau += (s_zp + g2v * s_pa) * dCa
+                dg2 += tau * s_pa * dCa
+                dza_ref[0, r0:r1] += dCb
+                dtau += (s_za + g1v * s_ap) * dCb
+                dg1 += tau * s_ap * dCb
+                dg2_ref[k, 0, r0:r1] += jnp.sum(dg2, axis=1)
+                dg2_ref[k, 1, r0:r1] += jnp.sum(dg2 * crow[0], axis=1)
+                dv_ref[r0:r1] = du
+            dt_ref[k, 0, r0:r1] += jnp.sum(dtau, axis=1)
+            dt_ref[k, 1, r0:r1] += jnp.sum(dtau * crow[0], axis=1)
+            dg1_ref[k, 0, r0:r1] += jnp.sum(dg1, axis=1)
+            dg1_ref[k, 1, r0:r1] += jnp.sum(dg1 * crow[0], axis=1)
 
     def ana_stack(buf):
         for qi in range(Qh):
@@ -631,10 +640,6 @@ def _kernel_bwd(*refs, K, Cp, Wc, Qh, Qw, q_lo, r_lo, use_mask, interp,
     def r_of(slot):
         return zb_ref[slot][r_row0 : r_row0 + Cp].astype(jnp.float32)
 
-    def u_of(slot):
-        # the prox argument (CSR history rows only; see _kernel)
-        return zb_ref[slot][Mp8 : Mp8 + M].astype(jnp.float32)
-
     start_load(0)
     if K > 1:
         start_load(1)
@@ -659,9 +664,8 @@ def _kernel_bwd(*refs, K, Cp, Wc, Qh, Qw, q_lo, r_lo, use_mask, interp,
             slot_prev, slot_cur = (j - 1) % 3, j % 3
         else:
             slot_prev, slot_cur = jax.lax.rem(j - 1, 3), jax.lax.rem(j, 3)
-        zk, rk, zkm1 = z_of(slot_prev), r_of(slot_prev), z_of(slot_cur)
-        uk = u_of(slot_prev) if prox != "st" else None
-        dv_ref[:] = prox_adjoint(k, dz_ref[:], zk, uk)
+        rk, zkm1 = r_of(slot_prev), z_of(slot_cur)
+        prox_adjoint(k, slot_prev)   # -> dv_ref
         ana_stack(rk)
         dA_ref[k] += -dot(dv_ref[:], stack_ref[:], ((1,), (1,)))
         stack_ref[:] = -dot(A2m_ref[k], dv_ref[:], ((0,), (0,)))   # dstack
@@ -686,12 +690,9 @@ def _kernel_bwd(*refs, K, Cp, Wc, Qh, Qw, q_lo, r_lo, use_mask, interp,
         jax.lax.fori_loop(1, K, lambda j, _: (step(j), 0)[1], 0)
 
     # --- k = 0: z_0 = prox(A2m[0] @ stack(y2)) ---
-    slot0 = (K - 1) % 3
-    z0 = z_of(slot0)
-    u0 = u_of(slot0) if prox != "st" else None
-    dv = prox_adjoint(0, dz_ref[:], z0, u0)
+    prox_adjoint(0, (K - 1) % 3)     # -> dv_ref
     ana_stack(y2)
-    dA_ref[0] += dot(dv, stack_ref[:], ((1,), (1,)))              # du = +dv
+    dA_ref[0] += dot(dv_ref[:], stack_ref[:], ((1,), (1,)))       # du = +dv
 
 
 def _estimate_bytes_bwd(M, C, P, s, K, H, W, n_codes=0) -> int:
@@ -709,7 +710,11 @@ def _estimate_bytes_bwd(M, C, P, s, K, H, W, n_codes=0) -> int:
     Mp8, Rp8 = -(-M // 8) * 8, -(-Cp // 8) * 8
     hist_rows = (2 * Mp8 if n_codes else Mp8) + Rp8
     scratch = (2 * M + T * Cp + Cp + 3 * hist_rows) * L * 4
-    temps = (2 + 2 * n_codes) * M * L * 4     # sign / where / prox temps
+    temps = 2 * M * L * 4                     # sign / where temporaries
+    if n_codes:
+        # the prox adjoint runs in 64-row subband chunks (~26 live
+        # (64, L) fp32 temporaries per chunk — see _kernel_bwd)
+        temps += 26 * min(M, 64) * L * 4
     weights = 4 * K * M * T * Cp * 4          # A2m+B2m + dA+dB accumulators
     masks = (2 * (Qh + Qw) + T) * L * 4
     blocked = 2 * (3 * Cp * L + 2 * K * M) * 4
@@ -742,11 +747,18 @@ def hist_dtype():
 
 
 def lista2d_bwd_supported(M, C, P, s, K, H, W, n_codes=0) -> bool:
-    """True when the fused backward kernel fits VMEM for a padded input."""
+    """True when the fused backward kernel fits VMEM for a padded input.
+
+    The CSR prox modes use a tighter measured peak factor: the argscsr
+    flagship geometry (K=30 M=169 P=9 s=2, 128^2, n_codes=2 — estimate
+    ~94 MB) compiles and runs on hardware, bounding the true Mosaic
+    peak/estimate ratio below ~1.37 there; 1.3 admits it while the st
+    kernel keeps its 1.75 calibration."""
     if H % s or W % s:
         return False
     est = _estimate_bytes_bwd(M, C, P, s, K, H, W, n_codes=n_codes)
-    return est * _PEAK_FACTOR < _VMEM_CAPACITY
+    factor = 1.3 if n_codes else _PEAK_FACTOR
+    return est * factor < _VMEM_CAPACITY
 
 
 def lista2d_fused_bwd(dxp, yp, A, B, t, c, mask, hist, stride=1,
