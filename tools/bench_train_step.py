@@ -63,6 +63,33 @@ CONFIGS = {
         batch=(2, 1, 16, 128, 128),
         workload="3d",
     ),
+    # "Gabor is Enough" protocol: GDLNet at the CDLNet-s2030 scale (the
+    # paper trains the same K/M/P/s grid with Gabor-parameterized banks);
+    # order=1, nothing shared — the heaviest GDLNet train config
+    "gdlnet": dict(
+        mtype="GDLNet",
+        model={"K": 30, "M": 169, "P": 7, "s": 2, "C": 1, "adaptive": True,
+               "order": 1},
+        batch=(10, 1, 128, 128),
+        workload="2d",
+    ),
+    # reference model/net.py:689-713 defaults (K=17 layers, M=64, P=3);
+    # BatchNorm running stats threaded through the stateful step
+    "dncnn": dict(
+        mtype="DnCNN",
+        model={"K": 17, "M": 64, "P": 3},
+        batch=(10, 1, 128, 128),
+        workload="2d",
+        stateful=True,
+    ),
+    # reference model/net.py:715-730 (pixel-unshuffle + noise map, s=2 grid)
+    "ffdnet": dict(
+        mtype="FFDNet",
+        model={"K": 17, "M": 64, "P": 3},
+        batch=(10, 1, 128, 128),
+        workload="2d",
+        stateful=True,
+    ),
 }
 
 
@@ -74,36 +101,52 @@ def bench_one(name, cfg, backend, repeats=50):
     from cdlnet_tpu.train.fit import make_train_step
     from cdlnet_tpu.train.optim import make_optimizer
 
-    model = build_model(cfg["mtype"], {**cfg["model"], "backend": backend})
+    stateful = cfg.get("stateful", False)
+    margs = dict(cfg["model"])
+    if not stateful:  # DnCNN/FFDNet have no backend knob (XLA convs only)
+        margs["backend"] = backend
+    model = build_model(cfg["mtype"], margs)
     # real spectral (power-method) init: without it the LISTA iterates of
     # an unnormalized random A/B amplify ~10x per iteration and the K=30
     # forward overflows fp32 at the bigger configs (loss prints inf/nan);
     # timing is unaffected either way, but the loss column should be sane
     params = model.init(jax.random.PRNGKey(0), init=True)
-    params["t"] = jnp.abs(params["t"]) + 1e-3
+    state = None
+    if isinstance(params, tuple):  # BN families: (params, state)
+        params, state = params
+    if "t" in params:
+        params["t"] = jnp.abs(params["t"]) + 1e-3
     opt = make_optimizer(1e-4, clip_grad=0.1)
     opt_state = opt.init(params)
     step, _ = make_train_step(model, opt, workload=cfg["workload"],
                               noise_std=(20, 30),
-                              demosaic=cfg.get("demosaic", False))
+                              demosaic=cfg.get("demosaic", False),
+                              stateful=stateful)
     batch = jax.random.uniform(jax.random.PRNGKey(1), cfg["batch"], jnp.float32)
     key = jax.random.PRNGKey(2)
 
     # compile + settle
-    params, opt_state, loss = step(params, opt_state, batch, key)
+    if stateful:
+        params, state, opt_state, loss = step(params, state, opt_state, batch, key)
+    else:
+        params, opt_state, loss = step(params, opt_state, batch, key)
     float(loss)
 
     # primary protocol: R steps inside ONE jitted lax.scan, single
     # readback — sustained per-step device time with no tunnel overhead
     # (the axon tunnel charges ~2 ms per chained dispatch otherwise)
     @jax.jit
-    def run(params, opt_state, batch, key):
+    def run(params, state, opt_state, batch, key):
         def body(carry, i):
-            p, os_ = carry
-            p, os_, loss = step(p, os_, batch, jax.random.fold_in(key, i))
-            return (p, os_), loss
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), jnp.arange(repeats))
+            p, st, os_ = carry
+            k = jax.random.fold_in(key, i)
+            if stateful:
+                p, st, os_, loss = step(p, st, os_, batch, k)
+            else:
+                p, os_, loss = step(p, os_, batch, k)
+            return (p, st, os_), loss
+        (params, state, opt_state), losses = jax.lax.scan(
+            body, (params, state, opt_state), jnp.arange(repeats))
         return losses[-1]
 
     # measure the device->host readback round-trip on this backend (it is
@@ -115,9 +158,9 @@ def bench_one(name, cfg, backend, repeats=50):
         float(sm + 1)
     rtt = (time.perf_counter() - t0) / 3
 
-    lv = float(run(params, opt_state, batch, key))  # compile
+    lv = float(run(params, state, opt_state, batch, key))  # compile
     t0 = time.perf_counter()
-    lv = float(run(params, opt_state, batch, key))
+    lv = float(run(params, state, opt_state, batch, key))
     dt = max(time.perf_counter() - t0 - rtt, 1e-9) / repeats
     print(f"{name:6s} backend={backend:6s} {dt*1e3:8.1f} ms/step  "
           f"(in-jit scan of {repeats}; loss {lv:.5f})")
@@ -130,8 +173,11 @@ def main():
     setup_compilation_cache()
     names = sys.argv[1:] or ["2d", "video"]
     for name in names:
-        for backend in ("xla", "pallas"):
-            bench_one(name, CONFIGS[name], backend)
+        cfg = CONFIGS[name]
+        # BN families have no fused-kernel path — one XLA measurement only
+        backends = ("xla",) if cfg.get("stateful") else ("xla", "pallas")
+        for backend in backends:
+            bench_one(name, cfg, backend)
 
 
 if __name__ == "__main__":
