@@ -16,12 +16,13 @@ mask cotangents are zero by construction: training differentiates w.r.t.
 parameters only (MC-SURE's divergence term also only needs parameter
 gradients, train.py:87-93).
 
-3D (lista3d_fused_diff): also fully fused. The pair-path forward already
-streams each iteration's code and residual through HBM, so
-return_hists=True simply stacks them as scan outputs (hist3d_dtype carry
-— bf16 by default, CDLNET_HIST_DTYPE=f32 for exact grads; NB in 3D the
-carry IS the iteration state, so bf16 also rounds the training primal,
-unlike 2D where only the stored copies round). The backward is the
+3D (lista3d_fused_diff): also fully fused. return_hists=True collects
+each iteration's code and residual (hist3d_dtype — bf16 by default,
+CDLNET_HIST_DTYPE=f32 for exact grads): where it fits, the RESIDENT
+forward DMA-streams them to HBM from inside the kernel (fp32 iteration,
+only the stored copies round — the 2D contract); else the pair path
+stacks them as scan outputs (there the carry IS the iteration state, so
+bf16 also rounds the training primal). The backward is the
 whole-reverse-RESIDENT kernel (kernels/lista3d_bwd_resident: one program
 per sample, dv cotangent resident in VMEM across all K, DMA-streamed
 histories/banks) when its working set fits, else a reverse lax.scan over
@@ -140,14 +141,15 @@ def lista3d_reverse_path(M, C, P, s, K, D, H, W):
 
 
 def lista3d_train_supported(M, C, P, s, K, D, H, W):
-    """True when the fully-fused 3D training path runs: the history
-    forward fits (at hist3d_dtype's z_bytes) AND a reverse kernel fits."""
-    from cdlnet_tpu.kernels.lista3d import lista3d_fused_supported
+    """True when the fully-fused 3D training path runs: a history-
+    collecting forward fits (resident-hist or pair, at hist3d_dtype —
+    lista3d_hist_forward_path) AND a reverse kernel fits."""
+    from cdlnet_tpu.kernels.lista3d import lista3d_hist_forward_path
 
-    return lista3d_fused_supported(
-        M, C, P, s, K, D, H, W,
-        z_bytes=jnp.dtype(hist3d_dtype()).itemsize,
-    ) and lista3d_reverse_path(M, C, P, s, K, D, H, W) is not None
+    return (
+        lista3d_hist_forward_path(M, C, P, s, K, D, H, W) is not None
+        and lista3d_reverse_path(M, C, P, s, K, D, H, W) is not None
+    )
 
 
 def _core3d_fwd(yp, A, B, t, c, mask, stride, interpret):
@@ -157,10 +159,11 @@ def _core3d_fwd(yp, A, B, t, c, mask, stride, interpret):
     C = yp.shape[1]
     D, H, W = yp.shape[-3], yp.shape[-2], yp.shape[-1]
     if lista3d_train_supported(M, C, A.shape[-3:], stride, K, D, H, W):
-        # fused gradient path: the z/r histories ARE the iteration carry,
-        # stacked as scan outputs — at the default bf16 hist3d_dtype the
-        # 3D training forward itself iterates in bf16 (unlike 2D, where
-        # the kernel computes fp32 and only the STORED copies round)
+        # fused gradient path. Resident-hist forward (the default where it
+        # fits): fp32 iteration, histories DMA-streamed to HBM from inside
+        # the kernel, only the STORED copies rounding to hist3d_dtype —
+        # same contract as 2D. Pair fallback: the histories ARE the
+        # iteration carry (bf16 default also rounds the training primal).
         x, _, (z_hist, r_hist) = lista3d_fused(
             yp, A, B, t, c, stride=stride, mask=mask, return_z=False,
             z_dtype=hist3d_dtype(), interpret=interpret, return_hists=True,

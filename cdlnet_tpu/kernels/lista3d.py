@@ -27,11 +27,17 @@ the synthesis folds all Qh*Qw in-plane taps into ONE (Qh*Qw*Cp)-row dot
 and border-masked into the accumulator (the roll/mask factors commute with
 the lane-pointwise contraction; see _kernel_syn).
 
-Training is fused as well: return_hists=True stacks each iteration's code
-and residual as scan outputs (they stream through HBM anyway) and
-kernels/lista3d_bwd runs the reverse scan over four pair-style adjoint
-kernels — see autodiff.lista3d_fused_diff. Residual-block variants fall
-back to the XLA scan.
+Training is fused as well: return_hists=True collects each iteration's
+code and residual for the reverse kernels (kernels/lista3d_bwd_resident /
+lista3d_bwd) — on the resident path by DMA-streaming them to HBM from
+inside the kernel (overlapped with the next phase's compute; the forward
+then iterates fp32 and only the STORED copies round to the history
+dtype, like 2D), on the pair path by stacking them as scan outputs.
+Routing: lista3d_hist_forward_path. The pair path's XLA stacking
+inserted ~2.8 GB/step of serialized HBM copies at the flagship video
+config (history-writing forward 12.9 ms vs 4.45 ms pure — measured
+r2, tools/profile_train3d.py), which is what the resident-hist variant
+eliminates. Residual-block variants fall back to the XLA scan.
 """
 
 from __future__ import annotations
@@ -87,6 +93,81 @@ def lista3d_fused_supported(M, C, P, s, K, D, H, W, residual=None,
     if 2 * Mp * Lhw * z_bytes >= int(15 * 1024 * 1024):
         return False
     return b + masks < _VMEM_BUDGET
+
+
+def _resident_plan(M, C, P, s, K, D, H, W, return_z=False, hist_bytes=0):
+    """VMEM fit + preroll decision for the whole-K-resident kernel
+    (_kernel_resident) — the ONE estimate shared by lista3d_fused's
+    dispatch and the training-path gate (lista3d_hist_forward_path).
+
+    hist_bytes > 0 sizes the TRAINING variant that DMA-streams the
+    per-iteration z/r histories to HBM (adds the (Dc, Mp, Lhw) z staging
+    buffer at the history dtype's width; r streams straight from the f32
+    residual window). Returns (fits, preroll)."""
+    import os
+
+    if D % s or H % s or W % s:
+        return False, False
+    P = (P,) * 3 if isinstance(P, int) else tuple(P)
+    pads = tuple(p // 2 for p in P)
+    (dlo, dhi), (hlo, hhi), (wlo, whi) = _geom(P, pads, s)
+    Qd, Qh, Qw = dhi - dlo + 1, hhi - hlo + 1, whi - wlo + 1
+    T = Qd * Qh * Qw
+    Cp = C * s**3
+    Dc = D // s
+    Lhw = (H // s) * (W // s)
+    Mp = -(-M // 8) * 8
+    resident_bytes = (
+        Dc * Mp * Lhw * 4            # z scratch
+        + 2 * K * Mp * T * Cp * 4    # A2m + B2m (f32, resident)
+        + T * Cp * Lhw * 4           # tap stack
+        + (Mp + Qh * Qw * Cp + Dc * Cp) * Lhw * 4   # u + merged-dot out + r
+        + 4 * Dc * Cp * Lhw * 4      # y2/m2/x2 blocks (double-buffered)
+        + (4 * Dc * Mp * Lhw * 4 if return_z else 0)  # z_out blocks
+        + Dc * Mp * Lhw * hist_bytes  # z history staging (training)
+    )
+    # preroll (see _kernel_resident docstring): hoist the analysis
+    # roll+mask tap copies to once per r frame instead of once per
+    # (output frame, depth tap) — ~Qd x less VPU work for a bigger
+    # rolled-copies scratch. Measured on hardware (r2, flagship bench
+    # A/B x2): 6832/6866 -> 7454/7474 frames/s, a reproducible +9%, so
+    # it is the DEFAULT (CDLNET_LISTA3D_PREROLL=0 opts out). Gated
+    # SEPARATELY from the resident decision: a shape that fits resident
+    # but not resident+preroll keeps the resident kernel (preroll off)
+    # rather than silently demoting to the slower iteration-pair path.
+    _Ga, _Gahi = max(0, -dlo), max(0, dlo + Qd - 1)
+    preroll_extra = ((Dc + _Ga + _Gahi) * Qh * Qw - T) * Cp * Lhw * 4
+    preroll = (
+        os.environ.get("CDLNET_LISTA3D_PREROLL", "1") != "0"
+        and Qd > 1
+        and resident_bytes + preroll_extra < _VMEM_BUDGET
+    )
+    if preroll:
+        resident_bytes += preroll_extra
+    return resident_bytes < _VMEM_BUDGET, preroll
+
+
+def lista3d_hist_forward_path(M, C, P, s, K, D, H, W, hist_bytes=None):
+    """Which fused 3D forward collects the training z/r histories for this
+    shape: "resident" (whole-K-resident kernel DMA-streaming histories
+    from inside — no XLA stacking copies), "pair" (per-iteration kernels,
+    histories stacked as scan outputs), or None (shape too big for either
+    at the history dtype). ONE routing site shared by
+    lista3d_fused(return_hists=True) and autodiff's training gate, so the
+    gate can never admit a shape the wrapper then rejects."""
+    import os
+
+    if hist_bytes is None:
+        from cdlnet_tpu.kernels.lista2d import hist_dtype
+
+        hist_bytes = jnp.dtype(hist_dtype()).itemsize
+    if os.environ.get("CDLNET_LISTA3D_RESIDENT") != "0" and _resident_plan(
+        M, C, P, s, K, D, H, W, return_z=False, hist_bytes=hist_bytes
+    )[0]:
+        return "resident"
+    if lista3d_fused_supported(M, C, P, s, K, D, H, W, z_bytes=hist_bytes):
+        return "pair"
+    return None
 
 
 def prep_A2m_3d(A, s, pads):
@@ -230,7 +311,8 @@ def _kernel_ana(*refs, Qd, Qh, Qw, Cp, Wc, dlo, hlo, wlo):
 def _kernel_resident(y2_ref, m2_ref, A2m_ref, B2w_ref, tau_ref, acol_ref,
                      arow_ref, sm_ref, *out_and_scratch,
                      K, Dc, Qd, Qh, Qw, Cp, Wc, dlo, hlo, wlo,
-                     use_mask, return_z, preroll=False):
+                     use_mask, return_z, preroll=False, hist=False,
+                     interp=False):
     """Whole-K-loop fused 3D LISTA: the code tensor z and both weight banks
     stay in VMEM across ALL K iterations — HBM sees the clip's inputs,
     weights, and outputs once, independent of K (usable VMEM on this part
@@ -262,12 +344,22 @@ def _kernel_resident(y2_ref, m2_ref, A2m_ref, B2w_ref, tau_ref, acol_ref,
     """
     from jax.experimental.pallas import tpu as pltpu
 
-    if return_z:
+    zh_ref = rh_ref = zs_ref = zsem = rsem = None
+    if hist:
+        # training: stream each iteration's code (via the zs staging cast)
+        # and residual (straight from the f32 r window) to the HBM history
+        # outputs — the DMAs overlap the next phase's compute, replacing
+        # the pair path's XLA stacking copies (return_z is False here)
+        (x2_ref, zh_ref, rh_ref, z_ref, r_ref, stack_ref, u_ref, out_ref,
+         zs_ref, zsem, rsem) = out_and_scratch
+        z_out_ref = None
+    elif return_z:
         x2_ref, z_out_ref, z_ref, r_ref, stack_ref, u_ref, out_ref = out_and_scratch
     else:
         x2_ref, z_ref, r_ref, stack_ref, u_ref, out_ref = out_and_scratch
         z_out_ref = None
 
+    n = pl.program_id(0)
     Lhw = y2_ref.shape[-1]
     Mp = z_ref.shape[1]
     QdMp = Qd * Mp
@@ -281,6 +373,17 @@ def _kernel_resident(y2_ref, m2_ref, A2m_ref, B2w_ref, tau_ref, acol_ref,
 
     def st(u, tau):
         return jnp.sign(u) * jnp.maximum(jnp.abs(u) - tau, 0.0)
+
+    if hist:
+        from cdlnet_tpu.kernels.dma import make_dma_helpers
+
+        dcopy, dma_start, dma_wait, _, _ = make_dma_helpers(interp)
+
+        def z_dma(k):  # descriptors reconstructed at wait (same sem)
+            return dcopy(zs_ref, zh_ref.at[k, n], zsem)
+
+        def r_dma(k):  # rh[k] = r_{k+1}, the residual iteration k+1 used
+            return dcopy(r_ref.at[pl.ds(Ga, Dc)], rh_ref.at[k, n], rsem)
 
     # zero once: guards stay zero (interior is always overwritten first)
     def zero_step(i, _):
@@ -336,10 +439,18 @@ def _kernel_resident(y2_ref, m2_ref, A2m_ref, B2w_ref, tau_ref, acol_ref,
         prev = (
             jnp.zeros((Mp, Lhw), jnp.float32) if zero_prev else z_ref[d + Gz]
         )
-        z_ref[d + Gz] = st(prev - u_ref[:], tau)
+        val = st(prev - u_ref[:], tau)
+        z_ref[d + Gz] = val
+        if hist:
+            zs_ref[d] = val.astype(zs_ref.dtype)
 
     def analysis_update(k, zero_prev):
         """z[d] <- ST(z[d] - A2m[k] stack(r)[d], tau[k])."""
+        if hist and not (isinstance(k, int) and k == 0):
+            # zs is about to be overwritten: iteration k-1's history DMA
+            # (started at the end of the previous analysis phase, a whole
+            # synthesis phase ago) must have drained
+            dma_wait(z_dma(k - 1))
         if preroll:
             # phase 1: roll+mask each r frame by the Qh*Qw in-plane taps
             # ONCE (stack_ref here is the (Dc+guards, Qh*Qw*Cp, Lhw)
@@ -374,6 +485,8 @@ def _kernel_resident(y2_ref, m2_ref, A2m_ref, B2w_ref, tau_ref, acol_ref,
                 return 0
 
             jax.lax.fori_loop(0, Dc, dstep_pre, 0)
+            if hist:
+                dma_start(z_dma(k))
             return
 
         def dstep(d, _):
@@ -394,6 +507,8 @@ def _kernel_resident(y2_ref, m2_ref, A2m_ref, B2w_ref, tau_ref, acol_ref,
             return 0
 
         jax.lax.fori_loop(0, Dc, dstep, 0)
+        if hist:
+            dma_start(z_dma(k))
 
     # k = 0: z = ST(A0 y2, tau0) == ST(0 - A0 (-y2), tau0): r := -y2
     def seed_r(d, _):
@@ -403,18 +518,44 @@ def _kernel_resident(y2_ref, m2_ref, A2m_ref, B2w_ref, tau_ref, acol_ref,
     jax.lax.fori_loop(0, Dc, seed_r, 0)
     analysis_update(0, zero_prev=True)
 
-    def body(k, _):
-        synthesis_into_r(k, sub_y=True)
-        analysis_update(k, zero_prev=False)
-        return 0
+    if hist:
+        # k = 1 hoisted statically: no residual DMA is in flight yet, so
+        # the fori body (k >= 2) can wait r_dma(k-2) UNCONDITIONALLY
+        # before synthesis overwrites the r window
+        if K > 1:
+            synthesis_into_r(1, sub_y=True)
+            dma_start(r_dma(0))
+            analysis_update(1, zero_prev=False)
 
-    jax.lax.fori_loop(1, K, body, 0)
+        def body_h(k, _):
+            dma_wait(r_dma(k - 2))
+            synthesis_into_r(k, sub_y=True)
+            dma_start(r_dma(k - 1))
+            analysis_update(k, zero_prev=False)
+            return 0
+
+        if interp:  # ANY-space DMA inside fori trips interpret lowering
+            for kk in range(2, K):
+                body_h(kk, 0)
+        else:
+            jax.lax.fori_loop(2, K, body_h, 0)
+        if K > 1:
+            dma_wait(r_dma(K - 2))
+    else:
+        def body(k, _):
+            synthesis_into_r(k, sub_y=True)
+            analysis_update(k, zero_prev=False)
+            return 0
+
+        jax.lax.fori_loop(1, K, body, 0)
 
     # final dictionary synthesis with B[0]
     synthesis_into_r(0, sub_y=False)
     x2_ref[0] = r_ref[Ga : Ga + Dc]
     if return_z:
         z_out_ref[0] = z_ref[Gz : Gz + Dc]
+    if hist:
+        dma_wait(z_dma(K - 1))
 
 
 def _depth_view_specs(Qd, offs, block, Dc, pltpu):
@@ -446,11 +587,15 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
     z_dtype=jnp.float32 for exactness at ~2x the z HBM traffic and VMEM,
     which shrinks the supported shape set).
 
-    return_hists=True (training residuals; forces the iteration-pair path)
-    additionally returns (z_hist (K, N, Dc, Mp, Lhw), r_hist (K-1, N, Dc,
-    Cp, Lhw)) — the scan simply stacks each iteration's code and residual
-    instead of discarding them (they stream through HBM anyway), which is
-    everything the fused backward (kernels/lista3d_bwd) needs.
+    return_hists=True (training) additionally returns (z_hist (K, N, Dc,
+    Mp, Lhw) in z_dtype, r_hist (K-1, N, Dc, Cp, Lhw) f32) — everything
+    the fused backwards (kernels/lista3d_bwd_resident / lista3d_bwd)
+    need. On the resident path the histories are DMA-streamed from inside
+    the kernel (z via a staging cast, r straight from the f32 residual
+    window) overlapped with compute; on the pair path the scan stacks
+    them. Only the STORED copies round to z_dtype on the resident path
+    (the iteration itself is fp32); the pair path's carry IS z_dtype.
+    return_z=True + return_hists=True together always take the pair path.
     """
     from jax.experimental.pallas import tpu as pltpu
 
@@ -517,45 +662,24 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
     # --- whole-K-resident path: z + weights + scratch fit in VMEM ---
     import os
 
-    resident_bytes = (
-        Dc * Mp * Lhw * 4            # z scratch
-        + 2 * K * Mp * T * Cp * 4    # A2m + B2m (f32, resident)
-        + T * Cp * Lhw * 4           # tap stack
-        + (Mp + Qh * Qw * Cp + Dc * Cp) * Lhw * 4   # u + merged-dot out + r
-        + 4 * Dc * Cp * Lhw * 4      # y2/m2/x2 blocks (double-buffered)
-        + (4 * Dc * Mp * Lhw * 4 if return_z else 0)  # z_out blocks
-    )
-    # preroll (see _kernel_resident docstring): hoist the analysis
-    # roll+mask tap copies to once per r frame instead of once per
-    # (output frame, depth tap) — ~Qd x less VPU work for a bigger
-    # rolled-copies scratch. Measured on hardware (r2, flagship bench
-    # A/B x2): 6832/6866 -> 7454/7474 frames/s, a reproducible +9%, so
-    # it is now the DEFAULT (CDLNET_LISTA3D_PREROLL=0 opts out). Gated
-    # SEPARATELY from the resident decision: a shape that fits resident
-    # but not resident+preroll keeps the resident kernel (preroll off)
-    # rather than silently demoting to the slower iteration-pair path.
-    _Ga, _Gahi = max(0, -dlo), max(0, dlo + Qd - 1)
-    preroll_extra = ((Dc + _Ga + _Gahi) * Qh * Qw - T) * Cp * Lhw * 4
-    preroll = (
-        os.environ.get("CDLNET_LISTA3D_PREROLL", "1") != "0"
-        and Qd > 1
-        and resident_bytes + preroll_extra < _VMEM_BUDGET
-    )
-    if preroll:
-        resident_bytes += preroll_extra
-
     # The resident kernel keeps z and all K weight banks in VMEM — no
     # per-iteration HBM z traffic — and with honest (RTT-cancelled) timing
     # it is the FASTER path at the flagship size: 2.03 vs 2.80 ms/clip,
     # 131 vs 95 TFLOP/s (tools/profile_fused3d.py, r2; the r1 conclusion
     # that the pair wins by 10% was an artifact of charging the ~32 ms
     # tunnel readback to R=10 reps). It is also fp32-exact (no bf16 code
-    # rounding). Default to it wherever it fits; the pair path remains for
-    # training histories (return_hists) and frames too big for the
-    # resident working set. CDLNET_LISTA3D_RESIDENT=0 forces the pair.
-    env = os.environ.get("CDLNET_LISTA3D_RESIDENT")
-    want_resident = env != "0"
-    if want_resident and not return_hists and resident_bytes < 100 * 1024 * 1024:
+    # rounding; with return_hists only the STORED history copies round to
+    # z_dtype, like 2D). Default to it wherever it fits; the pair path
+    # remains for frames too big for the resident working set and for
+    # return_z+return_hists combined. CDLNET_LISTA3D_RESIDENT=0 forces
+    # the pair. Fit + preroll decisions live in _resident_plan (shared
+    # with the training gate).
+    res_fits, preroll = _resident_plan(
+        M, C, P, s, K, D, H, W, return_z=return_z,
+        hist_bytes=jnp.dtype(z_dtype).itemsize if return_hists else 0,
+    )
+    want_resident = os.environ.get("CDLNET_LISTA3D_RESIDENT") != "0"
+    if want_resident and res_fits and not (return_hists and return_z):
         # full-precision analysis bank: the resident path is advertised as
         # exact, so it must NOT inherit the iteration pair's z_dtype rounding
         A2f = A2m32.astype(jnp.float32)
@@ -573,6 +697,7 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
         kern = functools.partial(
             _kernel_resident, **geom, K=K, Dc=Dc,
             use_mask=use_mask, return_z=return_z, preroll=preroll,
+            hist=return_hists, interp=interpret,
         )
         nblock = lambda ch: pl.BlockSpec(
             (1, Dc, ch, Lhw), lambda n: (n, 0, 0, 0), memory_space=pltpu.VMEM
@@ -580,9 +705,38 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
         full_ = pl.BlockSpec(memory_space=pltpu.VMEM)
         out_specs = [nblock(Cp)]
         out_shape = [jax.ShapeDtypeStruct((N, Dc, Cp, Lhw), jnp.float32)]
-        if return_z:
+        if return_hists:
+            # histories as ANY-space outputs, DMA'd from inside the kernel
+            # (full-extent (Dc, Mp/Cp, Lhw) slices per (k, n) — always
+            # tile-aligned); layouts match the pair path / the reverse
+            # kernels' contracts exactly
+            anyspace = pl.BlockSpec(memory_space=pl.ANY)
+            out_specs += [anyspace, anyspace]
+            out_shape += [
+                jax.ShapeDtypeStruct((K, N, Dc, Mp, Lhw), z_dtype),
+                jax.ShapeDtypeStruct((max(K - 1, 1), N, Dc, Cp, Lhw),
+                                     jnp.float32),
+            ]
+        elif return_z:
             out_specs.append(nblock(Mp))
             out_shape.append(jax.ShapeDtypeStruct((N, Dc, Mp, Lhw), jnp.float32))
+        scratch = [
+            pltpu.VMEM((Dc + Gz + Gzhi, Mp, Lhw), jnp.float32),  # z + guards
+            pltpu.VMEM((Dc + Ga + Gahi, Cp, Lhw), jnp.float32),  # r + guards
+            pltpu.VMEM(                                          # tap stack /
+                (Dc + Ga + Gahi, Qh * Qw * Cp, Lhw)              # rolled copies
+                if preroll else (T * Cp, Lhw),
+                jnp.float32,
+            ),
+            pltpu.VMEM((Mp, Lhw), jnp.float32),                  # u
+            pltpu.VMEM((Qh * Qw * Cp, Lhw), jnp.float32),        # merged-dot out
+        ]
+        if return_hists:
+            scratch += [
+                pltpu.VMEM((Dc, Mp, Lhw), z_dtype),              # z hist staging
+                pltpu.SemaphoreType.DMA(()),                     # z hist
+                pltpu.SemaphoreType.DMA(()),                     # r hist
+            ]
         outs = pl.pallas_call(
             kern,
             grid=(N,),
@@ -596,17 +750,7 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
                       full_, full_, full_],
             out_specs=out_specs,
             out_shape=out_shape,
-            scratch_shapes=[
-                pltpu.VMEM((Dc + Gz + Gzhi, Mp, Lhw), jnp.float32),  # z + guards
-                pltpu.VMEM((Dc + Ga + Gahi, Cp, Lhw), jnp.float32),  # r + guards
-                pltpu.VMEM(                                          # tap stack /
-                    (Dc + Ga + Gahi, Qh * Qw * Cp, Lhw)              # rolled copies
-                    if preroll else (T * Cp, Lhw),
-                    jnp.float32,
-                ),
-                pltpu.VMEM((Mp, Lhw), jnp.float32),                  # u
-                pltpu.VMEM((Qh * Qw * Cp, Lhw), jnp.float32),        # merged-dot out
-            ],
+            scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024,
             ),
@@ -614,6 +758,8 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
         )(y2, m2, A2f, B2f, tau, acol, arow, sm)
         x5 = outs[0].reshape(N, Dc, Cp, Hc, Wc).transpose(0, 2, 1, 3, 4)
         xphat = pp.depth_to_space(x5, s, 3, C)
+        if return_hists:
+            return xphat, None, (outs[1], outs[2][: K - 1])
         z_out = (
             outs[1][:, :, :M].reshape(N, Dc, M, Hc, Wc).transpose(0, 2, 1, 3, 4)
             if return_z

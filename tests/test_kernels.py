@@ -606,6 +606,59 @@ def test_fused2d_bwd_bf16_hist_tolerance():
         assert rel < 1e-1, (name, rel)
 
 
+@pytest.mark.parametrize(
+    "s,P,M,K,use_mask",
+    [(2, (5, 5, 3), 8, 3, False), (2, (5, 5, 3), 8, 2, True),
+     (1, (5, 5, 3), 6, 2, False),       # s=1 geometry
+     (2, (5, 5, 3), 8, 1, False),       # K=1: z hist only, empty r hist
+     (2, (9, 9, 5), 6, 2, False)],      # MRI taps, preroll rejected (Qh=5)
+)
+def test_fused3d_resident_hist_matches_pair(s, P, M, K, use_mask,
+                                            monkeypatch):
+    """The resident-hist training forward (histories DMA-streamed from
+    inside _kernel_resident) returns the same primal and the same z/r
+    histories as the pair path (histories stacked as scan outputs) in
+    f32-history mode, to reassociation tolerance."""
+    from cdlnet_tpu.kernels.lista3d import (
+        lista3d_fused,
+        lista3d_hist_forward_path,
+    )
+
+    C = 1
+    shape = (2, C, 8, 16, 16)
+    yp = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32) * 0.3
+    A = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (K, M, C, *P),
+                                jnp.float32)
+    B = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (K, M, C, *P),
+                                jnp.float32)
+    t = 0.02 * jnp.abs(jax.random.normal(jax.random.PRNGKey(3),
+                                         (K, 2, M, 1, 1, 1)))
+    c = jnp.asarray([0.1, 0.2]).reshape(2, 1, 1, 1, 1)
+    mask = (
+        (jax.random.uniform(jax.random.PRNGKey(9), shape) > 0.5)
+        .astype(jnp.float32) if use_mask else None
+    )
+    assert lista3d_hist_forward_path(M, C, P, s, K, *shape[-3:],
+                                     hist_bytes=4) == "resident"
+
+    monkeypatch.setenv("CDLNET_LISTA3D_RESIDENT", "0")
+    xp_, _, (zhp, rhp) = lista3d_fused(
+        yp, A, B, t, c, stride=s, mask=mask, return_z=False,
+        z_dtype=jnp.float32, interpret=True, return_hists=True)
+    monkeypatch.delenv("CDLNET_LISTA3D_RESIDENT")
+    xr, zr, (zhr, rhr) = lista3d_fused(
+        yp, A, B, t, c, stride=s, mask=mask, return_z=False,
+        z_dtype=jnp.float32, interpret=True, return_hists=True)
+
+    assert zr is None and zhr.shape == zhp.shape and rhr.shape == rhp.shape
+    assert rhr.shape[0] == K - 1
+    for name, a, b in (("x", xp_, xr), ("zh", zhp, zhr), ("rh", rhp, rhr)):
+        if a.size == 0:
+            continue
+        rel = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-12)
+        assert rel < 1e-5, (name, rel)
+
+
 def test_fused3d_bwd_bf16_hist_tolerance():
     """The DEFAULT bf16 code-history training path (autodiff.hist3d_dtype)
     stays within ~1e-2 relative of the XLA scan's gradients — the
