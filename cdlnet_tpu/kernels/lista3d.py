@@ -101,13 +101,18 @@ def _resident_plan(M, C, P, s, K, D, H, W, return_z=False, hist_bytes=0):
     dispatch and the training-path gate (lista3d_hist_forward_path).
 
     hist_bytes > 0 sizes the TRAINING variant that DMA-streams the
-    per-iteration z/r histories to HBM (adds the (Dc, Mp, Lhw) z staging
-    buffer at the history dtype's width; r streams straight from the f32
-    residual window). Returns (fits, preroll)."""
+    per-iteration z/r histories to HBM (adds the (hist_slots*Dc, Mp, Lhw)
+    z staging buffer at the history dtype's width; r streams straight from
+    the f32 residual window). Returns (fits, preroll, hist_slots) —
+    hist_slots is 2 when a DOUBLE-buffered z staging fits (each history
+    DMA then gets ~1.5 iterations of compute to drain instead of one
+    synthesis phase; single-buffered staging measured near-ZERO overlap:
+    hist forward 7.36 ms vs 3.99 ms pure ≈ the full ~750 MB of history
+    traffic serialized), else 1."""
     import os
 
     if D % s or H % s or W % s:
-        return False, False
+        return False, False, 0
     P = (P,) * 3 if isinstance(P, int) else tuple(P)
     pads = tuple(p // 2 for p in P)
     (dlo, dhi), (hlo, hhi), (wlo, whi) = _geom(P, pads, s)
@@ -126,6 +131,15 @@ def _resident_plan(M, C, P, s, K, D, H, W, return_z=False, hist_bytes=0):
         + (4 * Dc * Mp * Lhw * 4 if return_z else 0)  # z_out blocks
         + Dc * Mp * Lhw * hist_bytes  # z history staging (training)
     )
+    # double-buffer the history staging where the extra slot fits —
+    # preferred over preroll if only one of the two fits (hiding ~ms of
+    # history DMA beats ~9% of forward VPU work)
+    hist_slots = 0
+    if hist_bytes:
+        hist_slots = 1
+        if resident_bytes + Dc * Mp * Lhw * hist_bytes < _VMEM_BUDGET:
+            hist_slots = 2
+            resident_bytes += Dc * Mp * Lhw * hist_bytes
     # preroll (see _kernel_resident docstring): hoist the analysis
     # roll+mask tap copies to once per r frame instead of once per
     # (output frame, depth tap) — ~Qd x less VPU work for a bigger
@@ -144,7 +158,7 @@ def _resident_plan(M, C, P, s, K, D, H, W, return_z=False, hist_bytes=0):
     )
     if preroll:
         resident_bytes += preroll_extra
-    return resident_bytes < _VMEM_BUDGET, preroll
+    return resident_bytes < _VMEM_BUDGET, preroll, hist_slots
 
 
 def lista3d_hist_forward_path(M, C, P, s, K, D, H, W, hist_bytes=None):
@@ -312,7 +326,7 @@ def _kernel_resident(y2_ref, m2_ref, A2m_ref, B2w_ref, tau_ref, acol_ref,
                      arow_ref, sm_ref, *out_and_scratch,
                      K, Dc, Qd, Qh, Qw, Cp, Wc, dlo, hlo, wlo,
                      use_mask, return_z, preroll=False, hist=False,
-                     interp=False):
+                     hist_slots=1, interp=False):
     """Whole-K-loop fused 3D LISTA: the code tensor z and both weight banks
     stay in VMEM across ALL K iterations — HBM sees the clip's inputs,
     weights, and outputs once, independent of K (usable VMEM on this part
@@ -377,10 +391,15 @@ def _kernel_resident(y2_ref, m2_ref, A2m_ref, B2w_ref, tau_ref, acol_ref,
     if hist:
         from cdlnet_tpu.kernels.dma import make_dma_helpers
 
-        dcopy, dma_start, dma_wait, _, _ = make_dma_helpers(interp)
+        dcopy, dma_start, dma_wait, _, rem2 = make_dma_helpers(interp)
+
+        def z_slot(k):  # staging ring slot (hist_slots = 1 or 2)
+            return rem2(k) if hist_slots == 2 else 0
 
         def z_dma(k):  # descriptors reconstructed at wait (same sem)
-            return dcopy(zs_ref, zh_ref.at[k, n], zsem)
+            s_ = z_slot(k)
+            return dcopy(zs_ref.at[pl.ds(s_ * Dc, Dc)], zh_ref.at[k, n],
+                         zsem.at[s_])
 
         def r_dma(k):  # rh[k] = r_{k+1}, the residual iteration k+1 used
             return dcopy(r_ref.at[pl.ds(Ga, Dc)], rh_ref.at[k, n], rsem)
@@ -442,15 +461,17 @@ def _kernel_resident(y2_ref, m2_ref, A2m_ref, B2w_ref, tau_ref, acol_ref,
         val = st(prev - u_ref[:], tau)
         z_ref[d + Gz] = val
         if hist:
-            zs_ref[d] = val.astype(zs_ref.dtype)
+            zs_ref[z_slot(k) * Dc + d] = val.astype(zs_ref.dtype)
 
     def analysis_update(k, zero_prev):
         """z[d] <- ST(z[d] - A2m[k] stack(r)[d], tau[k])."""
-        if hist and not (isinstance(k, int) and k == 0):
-            # zs is about to be overwritten: iteration k-1's history DMA
-            # (started at the end of the previous analysis phase, a whole
-            # synthesis phase ago) must have drained
-            dma_wait(z_dma(k - 1))
+        if hist and not (isinstance(k, int) and k < hist_slots):
+            # slot k % hist_slots is about to be overwritten: iteration
+            # (k - hist_slots)'s history DMA must have drained. With the
+            # 2-slot ring the DMA gets ~1.5 iterations of compute to
+            # drain; single-buffered it gets only one synthesis phase
+            # (measured near-zero overlap at the flagship config)
+            dma_wait(z_dma(k - hist_slots))
         if preroll:
             # phase 1: roll+mask each r frame by the Qh*Qw in-plane taps
             # ONCE (stack_ref here is the (Dc+guards, Qh*Qw*Cp, Lhw)
@@ -555,7 +576,9 @@ def _kernel_resident(y2_ref, m2_ref, A2m_ref, B2w_ref, tau_ref, acol_ref,
     if return_z:
         z_out_ref[0] = z_ref[Gz : Gz + Dc]
     if hist:
-        dma_wait(z_dma(K - 1))
+        # drain the last in-flight history DMA per staging slot
+        for s_ in range(min(hist_slots, K)):
+            dma_wait(z_dma(K - 1 - s_))
 
 
 def _depth_view_specs(Qd, offs, block, Dc, pltpu):
@@ -674,7 +697,7 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
     # return_z+return_hists combined. CDLNET_LISTA3D_RESIDENT=0 forces
     # the pair. Fit + preroll decisions live in _resident_plan (shared
     # with the training gate).
-    res_fits, preroll = _resident_plan(
+    res_fits, preroll, hist_slots = _resident_plan(
         M, C, P, s, K, D, H, W, return_z=return_z,
         hist_bytes=jnp.dtype(z_dtype).itemsize if return_hists else 0,
     )
@@ -697,7 +720,7 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
         kern = functools.partial(
             _kernel_resident, **geom, K=K, Dc=Dc,
             use_mask=use_mask, return_z=return_z, preroll=preroll,
-            hist=return_hists, interp=interpret,
+            hist=return_hists, hist_slots=hist_slots, interp=interpret,
         )
         nblock = lambda ch: pl.BlockSpec(
             (1, Dc, ch, Lhw), lambda n: (n, 0, 0, 0), memory_space=pltpu.VMEM
@@ -733,8 +756,11 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
         ]
         if return_hists:
             scratch += [
-                pltpu.VMEM((Dc, Mp, Lhw), z_dtype),              # z hist staging
-                pltpu.SemaphoreType.DMA(()),                     # z hist
+                # z hist staging ring (2 slots where VMEM allows: each
+                # history DMA then drains across ~1.5 iterations of
+                # compute instead of one synthesis phase)
+                pltpu.VMEM((hist_slots * Dc, Mp, Lhw), z_dtype),
+                pltpu.SemaphoreType.DMA((hist_slots,)),          # z hist
                 pltpu.SemaphoreType.DMA(()),                     # r hist
             ]
         outs = pl.pallas_call(
