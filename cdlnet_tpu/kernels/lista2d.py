@@ -138,12 +138,14 @@ def _masks_and_crow(P, pads, s, Hc, Wc, c_full, N, period):
     return acolm, arowm, smm, crow.astype(jnp.float32)
 
 
-def _estimate_bytes(M, C, P, s, K, H, W, return_z=False, n_codes=0) -> int:
+def _estimate_bytes(M, C, P, s, K, H, W, return_z=False, n_codes=0,
+                    hist=False) -> int:
     """Approximate VMEM bytes for a padded H x W input (fp32): scratch z/u
     (2M*L) + window stack (T*Cp*L) + residual (Cp*L); resident weights;
     masks; double-buffered blocked in/out; n_codes extra VMEM-resident
-    neighbor-code inputs (CSR prox modes). The Mosaic compiler's actual
-    peak runs up to ~2x this (measured) — callers apply their own margin.
+    neighbor-code inputs (CSR prox modes); hist the training forward's
+    2-slot history staging ring. The Mosaic compiler's actual peak runs
+    up to ~2x this (measured) — callers apply their own margin.
     """
     P = (P, P) if isinstance(P, int) else tuple(P)
     pads = ((P[0] - 1) // 2, (P[1] - 1) // 2)
@@ -155,11 +157,16 @@ def _estimate_bytes(M, C, P, s, K, H, W, return_z=False, n_codes=0) -> int:
     blocked_in = 2 * (2 * Cp * L + K * M) * 4  # y2 + mask placeholder + tau
     blocked_in += n_codes * 2 * M * L * 4      # z_prev / z_after blocks
     blocked_out = 2 * Cp * L * 4 + (2 * M * L * 4 if return_z else 0)
-    return scratch + weights + masks + blocked_in + blocked_out
+    staging = 0
+    if hist:
+        Mp8, Rp8 = -(-M // 8) * 8, -(-Cp // 8) * 8
+        rows = (2 * Mp8 if n_codes else Mp8) + Rp8
+        staging = 2 * rows * L * jnp.dtype(hist_dtype()).itemsize
+    return scratch + weights + masks + blocked_in + blocked_out + staging
 
 
 def lista2d_fused_supported(M, C, P, s, K, H, W, return_z=False,
-                            n_codes=0) -> bool:
+                            n_codes=0, hist=False) -> bool:
     """True when the fused kernel fits VMEM for a padded H x W input.
 
     Lane-unaligned code widths (Wc % 128 != 0) gate with a much larger
@@ -168,7 +175,8 @@ def lista2d_fused_supported(M, C, P, s, K, H, W, return_z=False,
     156 MB), so those shapes route to the banded kernel instead."""
     if H % s or W % s:
         return False
-    est = _estimate_bytes(M, C, P, s, K, H, W, return_z, n_codes=n_codes)
+    est = _estimate_bytes(M, C, P, s, K, H, W, return_z, n_codes=n_codes,
+                          hist=hist)
     factor = _PEAK_FACTOR if (W // s) % 128 == 0 or est < 32 * 1024 * 1024 \
         else 2.75
     return est * factor < _VMEM_CAPACITY
@@ -294,29 +302,41 @@ def _kernel(y2_ref, m2_ref, tbank_ref, crow_ref, A2m_ref, B2m_ref, acolm_ref,
     # sign(u - Ca) is NOT reconstructable from the output code where the
     # inner threshold clipped, and the backward re-derives every prox
     # internal from u exactly. The copy is staged through zs (rows padded
-    # to the sublane tile — Mosaic requires aligned HBM slices) so the
-    # async DMA out of zs overlaps the next iteration's dots; the wait
-    # lands just before zs's next write. Interpret mode (CPU tests) has no
-    # DMA engine — plain stores instead.
+    # to the sublane tile — Mosaic requires aligned HBM slices), a 2-SLOT
+    # ring: iteration k writes slot k%2 and waits iteration k-2's DMA, so
+    # each history copy gets a full iteration of compute to drain instead
+    # of one synthesis phase (single-buffered staging measured +0.6 ms of
+    # stall on the 10x128^2 flagship-2D training forward). Interpret mode
+    # (CPU tests) has no DMA engine — plain stores instead.
     hist_u = hist and prox != "st"
     Mp8 = -(-z_ref.shape[0] // 8) * 8 if hist else 0
     r_row0 = 2 * Mp8 if hist_u else Mp8
+    zs_rows = zs_ref.shape[0] // 2 if hist else 0
 
-    def hist_stage():
-        zs_ref[0 : z_ref.shape[0]] = z_ref[:].astype(zs_ref.dtype)
+    def _slot_off(k):
+        kk = k % 2 if isinstance(k, int) else jax.lax.rem(k, 2)
+        return kk * zs_rows
+
+    def hist_stage(k):
+        off = _slot_off(k)
+        zs_ref[pl.ds(off, z_ref.shape[0])] = z_ref[:].astype(zs_ref.dtype)
 
     def hist_dma(k):
         n = pl.program_id(0)
+        off = _slot_off(k)
         if interp:
             class _Store:  # "start" = synchronous store, "wait" = no-op
                 def start(self_):
-                    hist_ref[n, k] = zs_ref[:]
+                    hist_ref[n, k] = zs_ref[off : off + zs_rows]
 
                 def wait(self_):
                     pass
 
             return _Store()
-        return pltpu.make_async_copy(zs_ref, hist_ref.at[n, k], hsem)
+        sk = k % 2 if isinstance(k, int) else jax.lax.rem(k, 2)
+        return pltpu.make_async_copy(
+            zs_ref.at[pl.ds(off, zs_rows)], hist_ref.at[n, k], hsem.at[sk]
+        )
 
     # --- k = 0: z = ST(A0 y, tau0) ---
     analysis_stack(y2)
@@ -328,16 +348,19 @@ def _kernel(y2_ref, m2_ref, tbank_ref, crow_ref, A2m_ref, B2m_ref, acolm_ref,
         zs_ref[Mp8 : Mp8 + z_ref.shape[0]] = u_ref[:].astype(zs_ref.dtype)
     z_ref[:] = st(u_ref[:], 0)
     if hist:
-        hist_stage()
+        hist_stage(0)
         hist_dma(0).start()
 
-    # --- k = 1..K-1 ---
-    def body(k, _):
+    # --- k = 1..K-1 (k=1 hoisted statically: ring slot 1's first use
+    # needs no wait; the fori body then waits k-2 unconditionally) ---
+    def body(k, _, first=False):
         synthesis(k, r_ref)
         r_ref[:] = (m2_ref[0] * r_ref[:] - y2) if use_mask else (r_ref[:] - y2)
         if hist:
-            hist_dma(k - 1).wait()
-            zs_ref[r_row0 : r_row0 + Cp] = r_ref[:].astype(zs_ref.dtype)
+            if not first:
+                hist_dma(k - 2).wait()
+            zs_ref[pl.ds(_slot_off(k) + r_row0, Cp)] = r_ref[:].astype(
+                zs_ref.dtype)
         analysis_stack(r_ref[:])
         u_ref[:] = jax.lax.dot_general(
             A2m_ref[k], stack_ref[:], (((1,), (0,)), ((), ())),
@@ -345,20 +368,23 @@ def _kernel(y2_ref, m2_ref, tbank_ref, crow_ref, A2m_ref, B2m_ref, acolm_ref,
         )
         u_ref[:] = z_ref[:] - u_ref[:]      # the prox argument
         if hist_u:
-            zs_ref[Mp8 : Mp8 + z_ref.shape[0]] = u_ref[:].astype(zs_ref.dtype)
+            zs_ref[pl.ds(_slot_off(k) + Mp8, z_ref.shape[0])] = u_ref[
+                :].astype(zs_ref.dtype)
         z_ref[:] = st(u_ref[:], k)
         if hist:
-            hist_stage()
+            hist_stage(k)
             hist_dma(k).start()
         return 0
 
+    if K > 1:
+        body(1, 0, first=True)
     if hist and interp:
         # interpret mode: fori_loop + ref mutation trips a jax lowering
         # bug (KeyError on closed_call); K is static, so unroll
-        for k in range(1, K):
+        for k in range(2, K):
             body(k, 0)
     else:
-        jax.lax.fori_loop(1, K, body, 0)
+        jax.lax.fori_loop(2, K, body, 0)
 
     # --- final dictionary synthesis with B[0] ---
     synthesis(0, r_ref)
@@ -366,7 +392,8 @@ def _kernel(y2_ref, m2_ref, tbank_ref, crow_ref, A2m_ref, B2m_ref, acolm_ref,
     if return_z:
         z_out_ref[0] = z_ref[:]
     if hist:
-        hist_dma(K - 1).wait()
+        for s_ in range(min(2, K)):  # drain the last DMA per ring slot
+            hist_dma(K - 1 - s_).wait()
 
 
 def _kernel_bwd(*refs, K, Cp, Wc, Qh, Qw, q_lo, r_lo, use_mask, interp,
@@ -1123,8 +1150,8 @@ def lista2d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=False,
         out_shape.append(
             jax.ShapeDtypeStruct((N, K, rows, L), hd)
         )
-        scratch.append(pltpu.VMEM((rows, L), hd))  # DMA staging
-        scratch.append(pltpu.SemaphoreType.DMA(()))
+        scratch.append(pltpu.VMEM((2 * rows, L), hd))  # 2-slot staging ring
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
 
     outs = pl.pallas_call(
         kern,

@@ -48,7 +48,8 @@ def route_lista2d(yp, A, B, t, c, *, M, C, P, s, K, mask, return_z,
             return lista2d_tiled_diff(yp, A, B, t, c, stride=s,
                                       mask=mask), None
         return None
-    if lista2d_fused_supported(M, C, P, s, K, H, W, return_z=return_z):
+    if lista2d_fused_supported(M, C, P, s, K, H, W, return_z=return_z,
+                               hist=train):
         if not return_z:
             from cdlnet_tpu.kernels.autodiff import lista2d_fused_diff
 

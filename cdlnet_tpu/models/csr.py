@@ -138,6 +138,7 @@ class CDLNetCSR:
             fwd_ok = lista2d_fused_supported(
                 self.M, self.C, self.P, self.s, self.K,
                 yp.shape[-2], yp.shape[-1], return_z=True, n_codes=n_codes,
+                hist=train,
             )
             run = None
             if train and fwd_ok and lista2d_bwd_supported(
@@ -246,6 +247,7 @@ class CDLNetCSRf2:
             fwd_ok = lista2d_fused_supported(
                 self.M, self.C, self.P, self.s, self.K,
                 yp.shape[-2], yp.shape[-1], return_z=True, n_codes=n_codes,
+                hist=train,
             )
             run = None
             if train and fwd_ok and lista2d_bwd_supported(
