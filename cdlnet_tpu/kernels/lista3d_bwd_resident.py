@@ -462,12 +462,16 @@ def lista3d_fused_bwd_resident(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
     # preroll (see _kernel_bwd_resident): hoist the ana/syn tap roll+mask
     # builds to once per frame; the syn window ascends in frame order, so
     # the B2m bank's depth-tap axis is reversed here (and dB un-reversed
-    # below). Opt-in until measured on hardware; shapes that fit resident
-    # but not resident+preroll keep the resident kernel with preroll off.
+    # below). DEFAULT since the resident-hist forward landed: a
+    # reproducible -0.5 ms on the 12.9 ms flagship video train step
+    # (A/B x2: 12.9/13.0 -> 12.4/12.5; at the older 17.6 ms step it was
+    # within tunnel noise). CDLNET_LISTA3D_BWD_PREROLL=0 opts out; shapes
+    # that fit resident but not resident+preroll keep the resident kernel
+    # with preroll off.
     TCp = T * Cp
     TCpad = -(-TCp // 128) * 128  # Mosaic lane-tile alignment for HBM slices
     preroll = (
-        os.environ.get("CDLNET_LISTA3D_BWD_PREROLL", "0") == "1"
+        os.environ.get("CDLNET_LISTA3D_BWD_PREROLL", "1") != "0"
         and Qd > 1
         and TCpad == TCp  # preroll windows read the UNPADDED tap layout
         and lista3d_bwd_resident_supported(M, C, P, s, K, D, H, W,
