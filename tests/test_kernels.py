@@ -659,6 +659,29 @@ def test_fused3d_resident_hist_matches_pair(s, P, M, K, use_mask,
         assert rel < 1e-5, (name, rel)
 
 
+def test_hist_forward_routing_flagship_shapes():
+    """Regression tripwire on the 3D training-forward routing: the
+    flagship video config must keep the RESIDENT-hist forward (histories
+    DMA-streamed in-kernel — losing it silently re-serializes ~GB/step of
+    XLA stacking copies), the args3dmri config stays on the pair path
+    (its working set exceeds the resident budget at Dc=15), and the
+    resident plan there must still double-buffer the staging ring."""
+    from cdlnet_tpu.kernels.lista3d import (
+        _resident_plan,
+        lista3d_hist_forward_path,
+    )
+
+    # args3d.json flagship: K=30 M=169 P=(7,7,5) s=2, 16x128x128
+    assert lista3d_hist_forward_path(
+        169, 1, (7, 7, 5), 2, 30, 16, 128, 128, hist_bytes=2) == "resident"
+    fits, _, slots = _resident_plan(
+        169, 1, (7, 7, 5), 2, 30, 16, 128, 128, hist_bytes=2)
+    assert fits and slots == 2
+    # args3dmri.json: K=30 M=169 P=(9,9,5) s=2, 30x128x128
+    assert lista3d_hist_forward_path(
+        169, 1, (9, 9, 5), 2, 30, 30, 128, 128, hist_bytes=2) == "pair"
+
+
 def test_fused3d_bwd_bf16_hist_tolerance():
     """The DEFAULT bf16 code-history training path (autodiff.hist3d_dtype)
     stays within ~1e-2 relative of the XLA scan's gradients — the

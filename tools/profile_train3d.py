@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
-"""Decompose the fused 3D TRAINING step's 36.8 ms (flagship video config):
+"""Decompose the fused 3D TRAINING step (flagship video config; 12.4 ms
+as of the resident-hist forward + staging ring + backward preroll):
 history-forward alone, full gradient, optimizer overhead — all timed with
 the two-length scan-difference protocol (RTT cancels exactly, CLAUDE.md).
+
+NB the "hist fwd" probe uses f32 histories (the exactness mode); the
+default bf16 training path writes half that volume.
 
 Usage: python tools/profile_train3d.py
 """
