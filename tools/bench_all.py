@@ -12,6 +12,7 @@ Matrix:
   flagship   bench.py (3D eval throughput, the driver's headline metric)
   train      tools/bench_train_step.py 2d video (flagship train steps)
   train-big  tools/bench_train_step.py 2d-256 2d-512 (banded reverse)
+  train-more tools/bench_train_step.py mri jdd gdlnet dncnn ffdnet
   eval2d     tools/bench2d.py --jax-only (2D serving throughput)
 """
 
@@ -36,6 +37,11 @@ MATRIX = {
         [sys.executable, os.path.join(ROOT, "tools", "bench_train_step.py"),
          "2d-256", "2d-512"],
         2400,
+    ),
+    "train-more": (
+        [sys.executable, os.path.join(ROOT, "tools", "bench_train_step.py"),
+         "mri", "jdd", "gdlnet", "dncnn", "ffdnet"],
+        3600,
     ),
     "eval2d": (
         [sys.executable, os.path.join(ROOT, "tools", "bench2d.py"),
