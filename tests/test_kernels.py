@@ -403,7 +403,9 @@ def test_csr_pallas_backend_interpret(name, monkeypatch):
 @pytest.mark.parametrize(
     "s,P,C,M,K,use_mask,Nimg",
     [(2, 7, 1, 8, 4, False, 3),   # folded per-sample-sigma batch
-     (2, 5, 2, 6, 3, True, 2)],   # masked (JDD) path, unfolded
+     (2, 5, 2, 6, 3, True, 2),    # masked (JDD) path, unfolded
+     (2, 5, 1, 6, 1, False, 2),   # K=1: staging-ring drain edge (slot 0 only)
+     (2, 5, 1, 6, 2, False, 2)],  # K=2: both ring slots, no in-loop waits
 )
 def test_fused_bwd_kernel_grads_match_xla(s, P, C, M, K, use_mask, Nimg,
                                           monkeypatch):
