@@ -60,29 +60,33 @@ def _geometry(P, s):
     return P, pads, Qh, Qw, q_lo_h, q_lo_w, Hh
 
 
-def _band_bytes(M, Cp, T, Bh, Wc, Hh, z_bytes=2):
+def _band_bytes(M, Cp, T, Bh, Wc, Hh, z_bytes=2, n_codes=0):
     Lb, Lh = Bh * Wc, (Bh + 2 * Hh) * Wc
     views = 3 * 2 * M * Lb * z_bytes          # double-buffered z band views
     zh = M * Lh * 4
     stack = T * Cp * max(Lb, Lh) * 4
     synout = T * Cp * Lh * 4
     io = 2 * (2 * Cp + M) * Lb * 4
-    return views + zh + stack + synout + io
+    codes = n_codes * 2 * M * Lb * 4          # z_prev/z_after band blocks
+    return views + zh + stack + synout + io + codes
 
 
-def lista2d_tiled_supported(M, C, P, s, K, H, W, z_bytes=2) -> bool:
+def lista2d_tiled_supported(M, C, P, s, K, H, W, z_bytes=2,
+                            n_codes=0) -> bool:
     """True when the banded pair path applies (stride-divisible shape and
     a valid band size exists). Complements lista2d_fused_supported.
     z_bytes must match the z_dtype the call will use (2 for the default
     bf16 carry; pass 4 when calling lista2d_tiled(z_dtype=jnp.float32) —
     the band pick is dtype-dependent, so gating at the wrong width can
-    admit a shape whose fp32 call has no fitting band)."""
+    admit a shape whose fp32 call has no fitting band). n_codes counts
+    the VMEM-resident neighbor-code bands of the CSR prox modes."""
     if H % s or W % s:
         return False
-    return _pick_band(M, C, P, s, H // s, W // s, z_bytes=z_bytes) is not None
+    return _pick_band(M, C, P, s, H // s, W // s, z_bytes=z_bytes,
+                      n_codes=n_codes) is not None
 
 
-def _pick_band(M, C, P, s, Hc, Wc, z_bytes=2):
+def _pick_band(M, C, P, s, Hc, Wc, z_bytes=2, n_codes=0):
     """Largest fitting band height. Hc need NOT be divisible: the wrapper
     zero-pads the code grid to a band multiple and masks pad rows every
     iteration (exactly the conv's zero-padding semantics). z_bytes is the
@@ -91,8 +95,8 @@ def _pick_band(M, C, P, s, Hc, Wc, z_bytes=2):
     P_, pads, Qh, Qw, qlh, qlw, Hh = _geometry(P, s)
     T, Cp = Qh * Qw, C * s * s
     for Bh in (128, 64, 32, 16, 8):
-        if Bh > Hh and _band_bytes(M, Cp, T, Bh, Wc, Hh,
-                                   z_bytes=z_bytes) < _VMEM_BUDGET:
+        if Bh > Hh and _band_bytes(M, Cp, T, Bh, Wc, Hh, z_bytes=z_bytes,
+                                   n_codes=n_codes) < _VMEM_BUDGET:
             return Bh
     return None
 
@@ -147,12 +151,25 @@ def _kernel_syn_band(zu_ref, zc_ref, zd_ref, y2_ref, m2_ref, B2m_ref,
 
 
 def _kernel_ana_band(ru_ref, rc_ref, rd_ref, z_ref, tb_ref, cv_ref, A2m_ref,
-                     acol_ref, vm_ref, zout_ref, stack_ref,
-                     *, Qh, Qw, Cp, Wc, Bh, Hh, q_lo, r_lo, zero_prev):
-    """z[band] <- ST(z[band] - A_k stack(r)[band], tau_k). Grid (N, nb).
+                     acol_ref, vm_ref, *rest, Qh, Qw, Cp, Wc, Bh, Hh,
+                     q_lo, r_lo, zero_prev, prox="st"):
+    """z[band] <- prox(z[band] - A_k stack(r)[band]). Grid (N, nb).
     tb (1, 2, M) is the k-th threshold row pair; cv (1, 1, 1) the
-    per-sample noise scale."""
+    per-sample noise scale.
+
+    prox="st" is plain soft-thresholding; "csr"/"csrf2" are the CSR
+    temporal proxes (core/ops.py::prox_csr / prox_csr_f2, reference
+    model/net.py:229-262) over banded neighbor-frame codes — `rest`
+    then leads with the gamma row pair(s) and z_prev[/z_after] band
+    blocks, all pure VPU work on top of the same analysis dot."""
     from jax.experimental.pallas import tpu as pltpu
+
+    if prox == "st":
+        zout_ref, stack_ref = rest
+    elif prox == "csr":
+        gb1_ref, zp_ref, zout_ref, stack_ref = rest
+    else:
+        gb1_ref, gb2_ref, zp_ref, za_ref, zout_ref, stack_ref = rest
 
     b = pl.program_id(1)
     nb = pl.num_programs(1)
@@ -181,24 +198,52 @@ def _kernel_ana_band(ru_ref, rc_ref, rd_ref, z_ref, tb_ref, cv_ref, A2m_ref,
         A2m_ref[:], stack_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    tau = tb_ref[0, 0][:, None] + cv_ref[0, 0, 0] * tb_ref[0, 1][:, None]
+    cval = cv_ref[0, 0, 0]
+    tau = tb_ref[0, 0][:, None] + cval * tb_ref[0, 1][:, None]
     prev = 0.0 if zero_prev else z_ref[0, 0].astype(jnp.float32)
     zn = prev - u
+
+    def _soft(x, thr):
+        return jnp.sign(x) * jnp.maximum(jnp.abs(x) - thr, 0.0)
+
+    if prox == "st":
+        out = _soft(zn, tau)
+    elif prox == "csr":
+        gam = gb1_ref[0, 0][:, None] + cval * gb1_ref[0, 1][:, None]
+        zp = zp_ref[0, 0]
+        shift = zp + tau * jnp.sign(zp)
+        out = _soft(_soft(zn - shift, tau * gam) + shift, tau)
+    else:
+        g1 = gb1_ref[0, 0][:, None] + cval * gb1_ref[0, 1][:, None]
+        g2 = gb2_ref[0, 0][:, None] + cval * gb2_ref[0, 1][:, None]
+        zp, za = zp_ref[0, 0], za_ref[0, 0]
+        Ca = zp + tau * jnp.sign(zp) + tau * g2 * jnp.sign(zp - za)
+        Cb = za + tau * jnp.sign(za) + tau * g1 * jnp.sign(za - zp)
+        inner = _soft(zn - Ca, g1 * tau)
+        corr = tau * g1 * jnp.sign(zn - Ca)
+        midder = _soft(inner - Cb + corr, g2 * tau)
+        out = _soft(midder + Cb - corr, tau)
     # vm zeroes rows past the true image height (ragged-Hc zero padding)
-    zout_ref[0, 0] = (
-        vm_ref[0, 0] * jnp.sign(zn) * jnp.maximum(jnp.abs(zn) - tau, 0.0)
-    ).astype(zout_ref.dtype)
+    zout_ref[0, 0] = (vm_ref[0, 0] * out).astype(zout_ref.dtype)
 
 
 def lista2d_tiled(yp, A, B, t, c, stride=1, mask=None, return_z=False,
                   z_dtype=jnp.bfloat16, interpret=False, band=None,
-                  return_hists=False):
+                  return_hists=False, g=None, z_prev=None, g2=None,
+                  z_after=None):
     """Banded per-iteration fused 2D LISTA for big images. Same contract
     as lista2d_fused: returns (xphat, z or None), matching the XLA scan
     to the z_dtype carry tolerance (~0.5% codes, <0.02 dB on trained
     models; pass z_dtype=jnp.float32 for fp32-exactness — and gate such
     calls with lista2d_tiled_supported(..., z_bytes=4), since the band
     pick is made at the requested code width).
+
+    CSR prox modes (frame-recurrent models at native eval frames,
+    reference model/net.py:426-463 and :544-564): pass z_prev (N, M, Hc,
+    Wc) + gamma bank g (K, 2, M, 1, 1) for the one-sided prox_csr,
+    z_after + g2 for the other side, or all four for the two-sided
+    prox_csr_f2 — neighbor codes ride banded next to the code being
+    solved (gate with lista2d_tiled_supported(..., n_codes=...)).
 
     return_hists=True (training residuals for the banded reverse kernel,
     kernels/lista2d_tiled_bwd) additionally returns (z_hist (K, N, nb, M,
@@ -209,12 +254,29 @@ def lista2d_tiled(yp, A, B, t, c, stride=1, mask=None, return_z=False,
     N, C, H, W = yp.shape
     K, M = A.shape[0], A.shape[1]
     s = stride
+
+    if z_prev is not None and z_after is not None:
+        prox_mode = "csrf2"
+    elif z_prev is not None or z_after is not None:
+        prox_mode = "csr"
+        if z_prev is None:  # one-sided on the following frame: gamma = g2
+            z_prev, g = z_after, g2
+            z_after = g2 = None
+    else:
+        prox_mode = "st"
+    n_codes = {"st": 0, "csr": 1, "csrf2": 2}[prox_mode]
+    assert not (return_hists and prox_mode != "st"), (
+        "banded CSR prox is inference-only (no banded prox reverse kernel); "
+        "big-frame CSR training takes the XLA path"
+    )
+
     P, pads, Qh, Qw, q_lo_h, q_lo_w, Hh = _geometry(A.shape[-2:], s)
     Hc, Wc = H // s, W // s
     Cp = C * s * s
     T = Qh * Qw
     Bh = band if band is not None else _pick_band(
-        M, C, P, s, Hc, Wc, z_bytes=jnp.dtype(z_dtype).itemsize)
+        M, C, P, s, Hc, Wc, z_bytes=jnp.dtype(z_dtype).itemsize,
+        n_codes=n_codes)
     assert Bh is not None, "caller must gate on lista2d_tiled_supported"
     Hcp = -(-Hc // Bh) * Bh   # ragged Hc: zero-pad rows, mask each iteration
     nb = Hcp // Bh
@@ -223,11 +285,12 @@ def lista2d_tiled(yp, A, B, t, c, stride=1, mask=None, return_z=False,
     A2m = _prep_A2m(A, s, pads, T, Cp).astype(z_dtype)   # (K, M, T*Cp)
     B2m = _prep_B2m(B, s, pads, T, Cp)                    # (K, T*Cp, M)
 
-    def to_bands(x4):  # (N, Cp, Hc, Wc) -> (N, nb, Cp, Bh*Wc), row-padded
+    def to_bands(x4):  # (N, ch, Hc, Wc) -> (N, nb, ch, Bh*Wc), row-padded
+        ch = x4.shape[1]
         if Hcp != Hc:
             x4 = jnp.pad(x4, ((0, 0), (0, 0), (0, Hcp - Hc), (0, 0)))
-        return (x4.reshape(N, Cp, nb, Bh, Wc)
-                .transpose(0, 2, 1, 3, 4).reshape(N, nb, Cp, Lb))
+        return (x4.reshape(N, ch, nb, Bh, Wc)
+                .transpose(0, 2, 1, 3, 4).reshape(N, nb, ch, Lb))
 
     y2 = to_bands(pp.space_to_depth(yp, s, 2))
     use_mask = mask is not None
@@ -238,6 +301,14 @@ def lista2d_tiled(yp, A, B, t, c, stride=1, mask=None, return_z=False,
     )
 
     tbank = t[:, :, :, 0, 0].astype(jnp.float32)         # (K, 2, M)
+    gbank1 = (g[:, :, :, 0, 0].astype(jnp.float32)
+              if prox_mode != "st" else None)
+    gbank2 = (g2[:, :, :, 0, 0].astype(jnp.float32)
+              if prox_mode == "csrf2" else None)
+    zpb = (to_bands(z_prev.astype(jnp.float32))
+           if prox_mode != "st" else None)                # (N, nb, M, Lb)
+    zab = (to_bands(z_after.astype(jnp.float32))
+           if prox_mode == "csrf2" else None)
     c_arr = jnp.asarray(c, jnp.float32).reshape(-1)
     if c_arr.size == 1:
         c_arr = jnp.broadcast_to(c_arr, (N,))
@@ -299,22 +370,37 @@ def lista2d_tiled(yp, A, B, t, c, stride=1, mask=None, return_z=False,
             interpret=interpret,
         )(z, z, z, y2, m2, B2m_k[None], scol, vmask)
 
-    def analyze(r, z, A2m_k, tb_k, zero_prev):
+    row_spec = pl.BlockSpec((1, 2, M), lambda n, b: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def analyze(r, z, A2m_k, tb_k, zero_prev, gb1_k=None, gb2_k=None):
         kern = functools.partial(_kernel_ana_band, **geom,
-                                 zero_prev=zero_prev)
+                                 zero_prev=zero_prev, prox=prox_mode)
+        extra_specs, extra_args = [], []
+        if prox_mode != "st":
+            extra_specs.append(row_spec)
+            extra_args.append(gb1_k[None])
+            if prox_mode == "csrf2":
+                extra_specs.append(row_spec)
+                extra_args.append(gb2_k[None])
+            extra_specs.append(bspec(M))
+            extra_args.append(zpb)
+            if prox_mode == "csrf2":
+                extra_specs.append(bspec(M))
+                extra_args.append(zab)
         return pl.pallas_call(
             kern,
             grid=grid,
             in_specs=[*bviews(Cp),
                       bspec(M),
-                      pl.BlockSpec((1, 2, M), lambda n, b: (0, 0, 0),
-                                   memory_space=pltpu.VMEM),
+                      row_spec,
                       pl.BlockSpec((1, 1, 1), lambda n, b: (n, 0, 0),
                                    memory_space=pltpu.VMEM),
                       full,  # A2m_k (M, T*Cp)
                       full,
                       pl.BlockSpec((1, 1, Lb), lambda n, b: (b, 0, 0),
-                                   memory_space=pltpu.VMEM)],
+                                   memory_space=pltpu.VMEM),
+                      *extra_specs],
             out_specs=bspec(M),
             out_shape=jax.ShapeDtypeStruct((N, nb, M, Lb), z_dtype),
             scratch_shapes=[pltpu.VMEM((T * Cp, Lb), jnp.float32)],
@@ -322,20 +408,29 @@ def lista2d_tiled(yp, A, B, t, c, stride=1, mask=None, return_z=False,
                 vmem_limit_bytes=128 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(r, r, r, z, tb_k[None], cvec, A2m_k, acol, vmask)
+        )(r, r, r, z, tb_k[None], cvec, A2m_k, acol, vmask, *extra_args)
 
-    # k = 0: z = ST(A0 y2, tau0) via analyze(r=-y2, z=0)
+    # k = 0: z = prox(A0 y2) via analyze(r=-y2, z=0)
     z0 = jnp.zeros((N, nb, M, Lb), z_dtype)
-    z = analyze(-y2.astype(jnp.float32), z0, A2m[0], tbank[0], True)
+    z = analyze(-y2.astype(jnp.float32), z0, A2m[0], tbank[0], True,
+                gbank1[0] if gbank1 is not None else None,
+                gbank2[0] if gbank2 is not None else None)
     z_first = z
 
     def body(z, xs):
-        A2m_k, B2m_k, tb_k = xs
+        A2m_k, B2m_k, tb_k = xs[:3]
+        gb1_k = xs[3] if prox_mode != "st" else None
+        gb2_k = xs[4] if prox_mode == "csrf2" else None
         r = synthesize(z, B2m_k, sub_y=True)
-        z = analyze(r, z, A2m_k, tb_k, False)
+        z = analyze(r, z, A2m_k, tb_k, False, gb1_k, gb2_k)
         return z, ((z, r) if return_hists else None)
 
-    z, hists = lax.scan(body, z, (A2m[1:], B2m[1:], tbank[1:]))
+    xs = (A2m[1:], B2m[1:], tbank[1:])
+    if prox_mode != "st":
+        xs = xs + (gbank1[1:],)
+    if prox_mode == "csrf2":
+        xs = xs + (gbank2[1:],)
+    z, hists = lax.scan(body, z, xs)
 
     x2 = synthesize(z, B2m[0], sub_y=False)  # (N, nb, Cp, Lb)
     xphat = pp.depth_to_space(

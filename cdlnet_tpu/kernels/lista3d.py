@@ -823,6 +823,11 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
                       full],
             out_specs=bs(Cp),
             out_shape=jax.ShapeDtypeStruct((N, Dc, Cp, Lhw), jnp.float32),
+            # same raised VMEM ceiling as analyze: big frames blow the
+            # default 16 MB scoped limit on double-buffered blocks alone
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(z, y2, m2, B2m_k.reshape(Qd, Qh * Qw * Cp, Mp), sm)
 
@@ -840,6 +845,19 @@ def lista3d_fused(yp, A, B, t, c, stride=1, mask=None, return_z=True,
             out_specs=bspec(Mp),
             out_shape=jax.ShapeDtypeStruct((N, Dc, Mp, Lhw), z_dtype),
             scratch_shapes=[pltpu.VMEM((T * Cp, Lhw), z_dtype)],
+            # donate z-in into z-out: each grid step reads only its OWN z
+            # block before writing it (the depth views index r, not z), so
+            # aliasing is exact and saves a whole z-sized HBM buffer per
+            # iteration.
+            input_output_aliases={Qd: 0},
+            # big frames need the raised Mosaic VMEM ceiling: the tap stack
+            # scratch alone is T*Cp*Lhw*2 bytes (19 MB at 240x432, Qd=4),
+            # past the DEFAULT 16 MB scoped limit — without this the
+            # compile hard-fails (seen at M=32, 8x240x432; the gate's
+            # _VMEM_BUDGET estimate is the real bound).
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(*([r] * Qd), z, A2m_k,
           tau_k.reshape(-1, 1, tau_k.shape[-1]), acol, arow)

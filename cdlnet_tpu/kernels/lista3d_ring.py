@@ -1,0 +1,507 @@
+"""Depth-ring fused 3D LISTA for big frames — one Pallas call per LISTA
+iteration with synthesis AND analysis merged, the residual r never
+leaving VMEM, and a VMEM ring of haloed code slabs so each z band is
+read from HBM ~3x per iteration instead of the banded pair path's
+3*Qd (+ r round trips) — on a workload that is HBM-bound (measured:
+halving z bytes via bf16 nearly halves wall time).
+
+Targets the reference's own native-resolution eval loops: analyze3d.py
+DAVIS 480x854 clips (analyze3d.py:77-161) and analyzemri.py fastMRI
+640x368 volumes (analyzemri.py:185-298), whose frames exceed the fused
+pair gate (kernels/lista3d).
+
+Structure — grid (N, nb, Dc + lat), depth e INNERMOST so scratch
+persists across the depth sweep (Mosaic runs grid steps sequentially and
+scratch carries over; same idiom as the resident kernels' staging
+rings). Each step is a 3-stage software pipeline, skewed by the depth
+tap ranges:
+
+  load     zh[e]   <- 3 clamped band views of z_old at depth e, row-
+                      haloed by G=2*Hh rows into ring slot e % Rz
+                      (b-edge halos zeroed = the conv's zero padding).
+  synth    r[e-lat1] on Bh+2*Hh EXTENDED rows (the row halo is
+                      recomputed locally, ~Hh/Bh extra MXU work, so the
+                      analysis needs no r band neighbors): one merged
+                      (Qh*Qw*Cp)-row MXU dot per depth tap slab from the
+                      z ring, output-side rolls (see kernels/lista3d
+                      _kernel_syn for the commutation argument),
+                      depth-validity SELECTS (not multiplies: warmup
+                      slots are uninitialized VMEM and 0*NaN poisons),
+                      [mask *] ... - y2 on extended rows, into ring slot.
+  analyze  z_new[e-lat1-lat2] <- ST(z_old - A_k r, tau_k): tap stack
+                      built from the r ring (already haloed — no band
+                      views), one T*Cp-deep MXU contraction, z_old
+                      center re-read from the z ring (no extra HBM).
+
+lat1 = max(0, -dlo) and lat2 = max(0, dhi) are the forward/backward
+depth reaches of synthesis/analysis; output blocks use clamped index
+maps so the first lat steps revisit block 0 (Mosaic copies a revisited
+block out after its LAST visit, so the warmup garbage never lands).
+
+Per-iteration HBM traffic per code pixel (flagship M=169, bf16 carry):
+3 z views (3*352 B) + z_new write (352 B) + y2_ext (~38 B) ~= 1.5 KB vs
+the banded pair path's ~4.2 KB (3*Qd z views + r round trips) — ~2.8x
+less on an HBM-bound path.
+
+First iteration (z = ST(A0 y2, tau0), model/net.py:200-207's k=0) and
+the final dictionary synthesis (x = D z, model/net.py:209) run as
+degenerate modes of the same kernel (first: r ring <- -y2, no z term;
+last: synthesis only, no y subtraction).
+
+Inference-only, like kernels/lista3d_tiled: big-frame TRAINING (beyond
+the reference's 128^2-crop protocol, train3d.py:35-152) takes the XLA
+path; the model wraps calls nondifferentiable.
+
+Hardware validation (2026-08-19, fp32 carry, s=2 P=(7,7,5) M=16 K=3
+8x128x128): bit-identical to the long-validated lista3d_tiled on the
+real chip (max |ring - tiled| = 0.0 on x AND z). Do NOT gate hardware
+parity of these kernels against the XLA scan with random *unnormalized*
+weights: such iterations are expansive (spectral radius of I - AB > 1),
+so the TPU-XLA scan itself lands 1e-1..2e-1 max from a CPU-fp32 run and
+every kernel "fails" by the same 5.8e-2 the scan does. Compare
+kernel-vs-kernel, or use spectrally-normalized (init=True) weights.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+from cdlnet_tpu.kernels.lista2d import _axis_masks
+from cdlnet_tpu.kernels.lista3d import prep_A2m_3d, prep_B2m_3d
+from cdlnet_tpu.kernels.lista3d_tiled import _geometry3
+from cdlnet_tpu.ops import polyphase as pp
+
+_VMEM_BUDGET = int(100 * 1024 * 1024)
+
+
+def _lats(dlo, Qd):
+    """Pipeline skews: synthesis of r[d] needs z up to d + (-dlo);
+    analysis of z[d] needs r up to d + dhi (dhi = dlo + Qd - 1)."""
+    dhi = dlo + Qd - 1
+    lat1 = max(0, -dlo)
+    lat2 = max(0, dhi)
+    return lat1, lat2, dhi
+
+
+def _ring_bytes3(M, Cp, Qd, Qh, Qw, Bh, Wc, Hh, nb, dlo, z_bytes=2,
+                 use_mask=False):
+    """Per-program VMEM estimate for the merged mid-iteration kernel
+    (the biggest of the three modes). Blocked inputs/outputs are
+    double-buffered (x2)."""
+    Mp = -(-M // 8) * 8
+    T = Qd * Qh * Qw
+    Lb = Bh * Wc
+    Lwr = (Bh + 2 * Hh) * Wc
+    Lwz = (Bh + 4 * Hh) * Wc
+    lat1, lat2, dhi = _lats(dlo, Qd)
+    Rz = max(lat1 + dhi, lat1 + lat2) + 1
+    Rr = lat2 - dlo + 1
+    n = (
+        3 * 2 * Mp * Lb * z_bytes          # z band views, dbl-buffered
+        + (2 if use_mask else 1) * 2 * Cp * Lwr * 4  # y2e (+ m2e)
+        + 2 * Mp * Lb * z_bytes            # z_new out block
+        + Rz * Mp * Lwz * z_bytes          # z slab ring
+        + Rr * Cp * Lwr * 4                # r slab ring
+        + T * Cp * Lb * z_bytes            # analysis tap stack
+        + Qh * Qw * Cp * Lwz * 4           # synthesis dot out
+        + Mp * Lwz * 4                     # zh f32 upcast transient
+        + Mp * Lb * 4                      # u transient
+        + Qd * Qh * Qw * Cp * Mp * 4       # B2m bank
+        + Mp * T * Cp * z_bytes            # A2m bank
+        + 2 * Qw * (Lwr + Lb) * 4          # scol/acol masks
+        + 2 * nb * (Lwr + Lb) * 4          # vm masks (full VMEM)
+    )
+    return n
+
+
+def _pick_band_ring(M, C, P, s, Dc, Hc, Wc, z_bytes=2, use_mask=False):
+    P_, pads, Qd, Qh, Qw, dlo, hlo, wlo, Hh = _geometry3(P, s)
+    Cp = C * s**3
+    for Bh in (128, 64, 32, 16, 8):
+        if Bh < 2 * Hh:
+            continue  # halo slices need G=2*Hh rows inside a band
+        nb = -(-Hc // Bh)
+        if _ring_bytes3(M, Cp, Qd, Qh, Qw, Bh, Wc, Hh, nb, dlo,
+                        z_bytes=z_bytes, use_mask=use_mask) < _VMEM_BUDGET:
+            return Bh
+    return None
+
+
+def lista3d_ring_supported(M, C, P, s, K, D, H, W, residual=None,
+                           z_bytes=2, use_mask=False) -> bool:
+    """True when the depth-ring path applies: stride-divisible shape, no
+    residual blocks, and a fitting band exists."""
+    if residual is not None:
+        return False
+    if D % s or H % s or W % s:
+        return False
+    return _pick_band_ring(M, C, P, s, D // s, H // s, W // s,
+                           z_bytes=z_bytes, use_mask=use_mask) is not None
+
+
+def _pad128(L):
+    return -(-L // 128) * 128
+
+
+def _lanepad(x, Lpad):
+    if Lpad == x.shape[-1]:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((x.shape[0], Lpad - x.shape[-1]), x.dtype)], axis=1)
+
+
+def _haloed_value(zu, zc, zd, b, nb, G, Wc, Bh, Lpad):
+    """(ch, Lpad) slab value: [G rows of band b-1 | band b | G rows of
+    band b+1 | lane padding], out-of-image halos zeroed (= the conv's
+    zero padding). Built as ONE lane-axis concatenate and stored as a
+    FULL ring slot: ring slots must be whole-slab assignments because a
+    lane-partial ref slice of a dynamically indexed slot is a
+    `tpu.memref_slice` that Mosaic requires 128-aligned (hardware
+    compile error: "Slice shape along dimension 2 must be aligned to
+    tiling (128)")."""
+    Lb = Bh * Wc
+    g = jnp.where(b > 0, 1, 0).astype(zu.dtype)
+    h = jnp.where(b < nb - 1, 1, 0).astype(zd.dtype)
+    parts = [g * zu[:, (Bh - G) * Wc:], zc, h * zd[:, : G * Wc]]
+    Lwz = Lb + 2 * G * Wc
+    if Lpad != Lwz:
+        parts.append(jnp.zeros((zc.shape[0], Lpad - Lwz), zc.dtype))
+    return jnp.concatenate(parts, axis=1)
+
+
+def _syn_from_ring(zring, e, B2m_ref, scol_ref, *, Qd, Qh, Qw, Cp, Wc,
+                   Bh, Hh, dlo, wlo, hlo, lat1, Rz, Dc):
+    """r[e - lat1] on Bh+2*Hh extended rows from the z slab ring:
+    (B_k z)[d] summed over depth taps, one merged MXU dot per tap."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    G = 2 * Hh
+    Lwr = (Bh + 2 * Hh) * Wc
+    Lwz = (Bh + 2 * G) * Wc
+    lo2 = Hh * Wc  # (G - Hh) rows: ext-row halo margin inside the slab
+    dr = e - lat1
+    part = jnp.zeros((Cp, Lwr), jnp.float32)
+    for j in range(Qd):
+        sd = j - (Qd - 1) - dlo
+        dsl = dr + sd
+        slot = lax.rem(e + (8 * Rz - lat1 + sd), Rz)
+        zh = zring[slot][:, :Lwz].astype(jnp.float32)
+        out = jax.lax.dot_general(
+            B2m_ref[j], zh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Qh*Qw*Cp, Lwz)
+        pj = jnp.zeros((Cp, Lwr), jnp.float32)
+        for qi in range(Qh):
+            for ri in range(Qw):
+                t = qi * Qw + ri
+                off = (qi - (Qh - 1) - hlo) * Wc + (ri - (Qw - 1) - wlo)
+                rolled = (
+                    pltpu.roll(out[t * Cp : (t + 1) * Cp], (-off) % Lwz, 1)
+                    if off % Lwz else out[t * Cp : (t + 1) * Cp]
+                )
+                pj += rolled[:, lo2 : lo2 + Lwr] * scol_ref[ri][None, :]
+        valid = jnp.logical_and(dsl >= 0, dsl < Dc)
+        # SELECT, don't multiply: warmup slots hold uninitialized VMEM
+        part += jnp.where(valid, pj, 0.0)
+    return part
+
+
+def _ana_from_ring(rring, zring, e, A2m_ref, tau_ref, acol_ref, vm,
+                   stack_ref, *, Qd, Qh, Qw, Cp, Wc, Bh, Hh, dlo, wlo,
+                   hlo, lat1, lat2, Rz, Rr, Dc, first, z_dtype):
+    """z_new[e - lat1 - lat2] = ST(z_old - A_k r, tau_k) from the r slab
+    ring (slabs already row-haloed — no band views)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    G = 2 * Hh
+    Lb = Bh * Wc
+    Lwr = (Bh + 2 * Hh) * Wc
+    lo = Hh * Wc
+    dz = e - lat1 - lat2
+
+    def roll(buf, off):
+        return pltpu.roll(buf, (-off) % Lwr, 1) if off % Lwr else buf
+
+    for j in range(Qd):
+        dd = dz + dlo + j
+        slot = lax.rem(e + (8 * Rr - lat1 - lat2 + dlo + j), Rr)
+        valid = jnp.logical_and(dd >= 0, dd < Dc)
+        rh = jnp.where(valid, rring[slot][:, :Lwr], 0.0)
+        for qi in range(Qh):
+            rowed = roll(rh, (hlo + qi) * Wc)
+            for ri in range(Qw):
+                t = (j * Qh + qi) * Qw + ri
+                stack_ref[t * Cp : (t + 1) * Cp] = (
+                    roll(rowed, wlo + ri)[:, lo : lo + Lb]
+                    * acol_ref[ri][None, :]
+                ).astype(stack_ref.dtype)
+
+    u = jax.lax.dot_general(
+        A2m_ref[:], stack_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if first:
+        zn = -u
+    else:
+        zslot = lax.rem(e + (8 * Rz - lat1 - lat2), Rz)
+        zc = zring[zslot][:, G * Wc : G * Wc + Lb].astype(jnp.float32)
+        zn = zc - u  # full-slot read, value-sliced (alignment rule above)
+    tau = tau_ref[0, 0][:, None]
+    return (vm * jnp.sign(zn) * jnp.maximum(jnp.abs(zn) - tau, 0.0)
+            ).astype(z_dtype)
+
+
+def _kernel_mid(zu_ref, zc_ref, zd_ref, y2e_ref, m2e_ref, B2m_ref,
+                A2m_ref, tau_ref, scol_ref, acol_ref, vme_ref, vm_ref,
+                zout_ref, zring, rring, stack_ref, *, Qd, Qh, Qw, Cp,
+                Wc, Bh, Hh, dlo, hlo, wlo, lat1, lat2, Rz, Rr, Dc,
+                use_mask, z_dtype):
+    e = pl.program_id(2)
+    b = pl.program_id(1)
+    nb = pl.num_programs(1)
+    G = 2 * Hh
+    geo = dict(Qd=Qd, Qh=Qh, Qw=Qw, Cp=Cp, Wc=Wc, Bh=Bh, Hh=Hh,
+               dlo=dlo, wlo=wlo, hlo=hlo)
+
+    slot = lax.rem(e, Rz)
+    zring[slot] = _haloed_value(
+        zu_ref[0, 0, 0], zc_ref[0, 0, 0], zd_ref[0, 0, 0], b, nb, G, Wc,
+        Bh, zring.shape[-1])
+
+    part = _syn_from_ring(zring, e, B2m_ref, scol_ref, **geo,
+                          lat1=lat1, Rz=Rz, Dc=Dc)
+    if use_mask:
+        part = m2e_ref[0, 0, 0] * part
+    r = vme_ref[0, 0] * (part - y2e_ref[0, 0, 0])
+    rslot = lax.rem(e + (8 * Rr - lat1), Rr)
+    rring[rslot] = _lanepad(r, rring.shape[-1])
+
+    zout_ref[0, 0, 0] = _ana_from_ring(
+        rring, zring, e, A2m_ref, tau_ref, acol_ref, vm_ref[0, 0],
+        stack_ref, **geo, lat1=lat1, lat2=lat2, Rz=Rz, Rr=Rr, Dc=Dc,
+        first=False, z_dtype=z_dtype)
+
+
+def _kernel_first(y2e_ref, A2m_ref, tau_ref, acol_ref, vme_ref, vm_ref,
+                  zout_ref, rring, stack_ref, *, Qd, Qh, Qw, Cp, Wc, Bh,
+                  Hh, dlo, hlo, wlo, lat2, Rr, Dc, z_dtype):
+    """k = 0: z = ST(A0 y2, tau0) — r ring is fed -y2 directly."""
+    e = pl.program_id(2)
+    geo = dict(Qd=Qd, Qh=Qh, Qw=Qw, Cp=Cp, Wc=Wc, Bh=Bh, Hh=Hh,
+               dlo=dlo, wlo=wlo, hlo=hlo)
+    rring[lax.rem(e, Rr)] = _lanepad(
+        -(vme_ref[0, 0] * y2e_ref[0, 0, 0]), rring.shape[-1])
+    zout_ref[0, 0, 0] = _ana_from_ring(
+        rring, None, e, A2m_ref, tau_ref, acol_ref, vm_ref[0, 0],
+        stack_ref, **geo, lat1=0, lat2=lat2, Rz=1, Rr=Rr, Dc=Dc,
+        first=True, z_dtype=z_dtype)
+
+
+def _kernel_last(zu_ref, zc_ref, zd_ref, B2m_ref, scol_ref, vm_ref,
+                 xout_ref, zring, *, Qd, Qh, Qw, Cp, Wc, Bh, Hh, dlo,
+                 hlo, wlo, lat1, Rz, Dc):
+    """x = D z (no y subtraction, no mask — model/net.py:209)."""
+    e = pl.program_id(2)
+    b = pl.program_id(1)
+    nb = pl.num_programs(1)
+    G = 2 * Hh
+    Lb = Bh * Wc
+    lo = Hh * Wc
+    slot = lax.rem(e, Rz)
+    zring[slot] = _haloed_value(
+        zu_ref[0, 0, 0], zc_ref[0, 0, 0], zd_ref[0, 0, 0], b, nb, G, Wc,
+        Bh, zring.shape[-1])
+    part = _syn_from_ring(
+        zring, e, B2m_ref, scol_ref, Qd=Qd, Qh=Qh, Qw=Qw, Cp=Cp, Wc=Wc,
+        Bh=Bh, Hh=Hh, dlo=dlo, wlo=wlo, hlo=hlo, lat1=lat1, Rz=Rz, Dc=Dc)
+    xout_ref[0, 0, 0] = vm_ref[0, 0] * part[:, lo : lo + Lb]
+
+
+def lista3d_ring(yp, A, B, t, c, stride=1, mask=None, return_z=False,
+                 z_dtype=jnp.bfloat16, interpret=False, band=None):
+    """Depth-ring fused 3D LISTA. Same contract as lista3d_tiled /
+    lista3d_fused: (xphat (N,C,D,H,W) fp32, z (N,M,Dc,Hc,Wc) or None),
+    matching the XLA scan to the z_dtype carry tolerance."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, C, D, H, W = yp.shape
+    K, M = A.shape[0], A.shape[1]
+    s = stride
+    P, pads, Qd, Qh, Qw, dlo, hlo, wlo, Hh = _geometry3(A.shape[-3:], s)
+    Dc, Hc, Wc = D // s, H // s, W // s
+    Cp = C * s**3
+    T = Qd * Qh * Qw
+    Mp = -(-M // 8) * 8
+    G = 2 * Hh
+    lat1, lat2, dhi = _lats(dlo, Qd)
+    Rz = max(lat1 + dhi, lat1 + lat2) + 1
+    Rr = lat2 - dlo + 1
+    zb = jnp.dtype(z_dtype).itemsize
+    use_mask = mask is not None
+    Bh = band if band is not None else _pick_band_ring(
+        M, C, P, s, Dc, Hc, Wc, z_bytes=zb, use_mask=use_mask)
+    assert Bh is not None, "caller must gate on lista3d_ring_supported"
+    assert Bh >= G, f"band {Bh} must cover the {G}-row halo"
+    Hcp = -(-Hc // Bh) * Bh
+    nb = Hcp // Bh
+    Lb = Bh * Wc
+    Er = Bh + 2 * Hh
+    Lwr = Er * Wc
+    Lwz = (Bh + 2 * G) * Wc
+
+    A2m = prep_A2m_3d(A, s, pads).astype(z_dtype)          # (K, Mp, T*Cp)
+    B2m = prep_B2m_3d(B, s, pads).reshape(K, Qd, Qh * Qw * Cp, Mp)
+
+    def to_ext_bands(x5):
+        # (N, Cp, Dc, Hc, Wc) -> (N, Dc, nb, Cp, Lwr): overlapping
+        # Hh-row-haloed bands, out-of-image rows zero
+        x5 = jnp.pad(
+            x5, ((0, 0), (0, 0), (0, 0), (Hh, Hh + Hcp - Hc), (0, 0)))
+        idx = np.arange(nb)[:, None] * Bh + np.arange(Er)[None, :]
+        xb = x5[:, :, :, idx, :]          # (N, Cp, Dc, nb, Er, Wc)
+        return xb.transpose(0, 2, 3, 1, 4, 5).reshape(N, Dc, nb, Cp, Lwr)
+
+    y2e = to_ext_bands(pp.space_to_depth(yp, s, 3))
+    m2e = (
+        to_ext_bands(pp.space_to_depth(jnp.broadcast_to(mask, yp.shape), s, 3))
+        if use_mask
+        else jnp.zeros((N, 1, 1, 1, 1), yp.dtype)
+    )
+
+    c_arr = jnp.asarray(c, jnp.float32).reshape(-1)
+    if c_arr.size == 1:
+        c_arr = jnp.broadcast_to(c_arr, (N,))
+    tau = (
+        t[None, :, 0, :, 0, 0, 0].astype(jnp.float32)
+        + c_arr[:, None, None] * t[None, :, 1, :, 0, 0, 0]
+    )  # (N, K, M)
+    if Mp != M:
+        tau = jnp.pad(tau, ((0, 0), (0, 0), (0, Mp - M)))
+
+    acol = jnp.asarray(_axis_masks([wlo + ri for ri in range(Qw)], Bh, Wc, 1))
+    scol = jnp.asarray(
+        _axis_masks([ri - (Qw - 1) - wlo for ri in range(Qw)], Er, Wc, 1))
+    grow = np.arange(Hcp).reshape(nb, Bh, 1)
+    vm = jnp.asarray(
+        np.broadcast_to(grow < Hc, (nb, Bh, Wc)).reshape(nb, 1, Lb)
+        .astype(np.float32))
+    gext = (np.arange(nb)[:, None] * Bh
+            + np.arange(Er)[None, :] - Hh)[:, :, None]
+    vme = jnp.asarray(
+        np.broadcast_to((gext >= 0) & (gext < Hc), (nb, Er, Wc))
+        .reshape(nb, 1, Lwr).astype(np.float32))
+
+    geom = dict(Qd=Qd, Qh=Qh, Qw=Qw, Cp=Cp, Wc=Wc, Bh=Bh, Hh=Hh,
+                dlo=dlo, hlo=hlo, wlo=wlo)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024)
+
+    def zview(db, dshift=0):
+        return pl.BlockSpec(
+            (1, 1, 1, Mp, Lb),
+            lambda n, b, e: (n, jnp.clip(e - dshift, 0, Dc - 1),
+                             jnp.clip(b + db, 0, nb - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def extview(ch, dshift):
+        return pl.BlockSpec(
+            (1, 1, 1, ch, Lwr),
+            lambda n, b, e: (n, jnp.clip(e - dshift, 0, Dc - 1), b, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def outspec(ch, L, lat):
+        return pl.BlockSpec(
+            (1, 1, 1, ch, L),
+            lambda n, b, e: (n, jnp.clip(e - lat, 0, Dc - 1), b, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def vmspec(L):
+        return pl.BlockSpec((1, 1, L), lambda n, b, e: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    tauspec = pl.BlockSpec((1, 1, Mp), lambda n, b, e: (n, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dummyspec = pl.BlockSpec((1, 1, 1, 1, 1),
+                             lambda n, b, e: (0, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    zshape = jax.ShapeDtypeStruct((N, Dc, nb, Mp, Lb), z_dtype)
+
+    # k = 0
+    z = pl.pallas_call(
+        functools.partial(_kernel_first, **geom, lat2=lat2, Rr=Rr, Dc=Dc,
+                          z_dtype=z_dtype),
+        grid=(N, nb, Dc + lat2),
+        in_specs=[extview(Cp, 0), full, tauspec, full,
+                  vmspec(Lwr), vmspec(Lb)],
+        out_specs=outspec(Mp, Lb, lat2),
+        out_shape=zshape,
+        scratch_shapes=[pltpu.VMEM((Rr, Cp, _pad128(Lwr)), jnp.float32),
+                        pltpu.VMEM((T * Cp, Lb), z_dtype)],
+        compiler_params=cparams,
+        interpret=interpret,
+    )(y2e, A2m[0], tau[:, 0].reshape(N, 1, Mp), acol, vme, vm)
+
+    mid = pl.pallas_call(
+        functools.partial(_kernel_mid, **geom, lat1=lat1, lat2=lat2,
+                          Rz=Rz, Rr=Rr, Dc=Dc, use_mask=use_mask,
+                          z_dtype=z_dtype),
+        grid=(N, nb, Dc + lat1 + lat2),
+        in_specs=[zview(-1), zview(0), zview(1),
+                  extview(Cp, lat1),
+                  extview(Cp, lat1) if use_mask else dummyspec,
+                  full, full, tauspec, full, full,
+                  vmspec(Lwr), vmspec(Lb)],
+        out_specs=outspec(Mp, Lb, lat1 + lat2),
+        out_shape=zshape,
+        scratch_shapes=[pltpu.VMEM((Rz, Mp, _pad128(Lwz)), z_dtype),
+                        pltpu.VMEM((Rr, Cp, _pad128(Lwr)), jnp.float32),
+                        pltpu.VMEM((T * Cp, Lb), z_dtype)],
+        compiler_params=cparams,
+        interpret=interpret,
+    )
+
+    def body(z, xs):
+        A2m_k, B2m_k, tau_k = xs
+        z = mid(z, z, z, y2e, m2e, B2m_k, A2m_k,
+                tau_k.reshape(N, 1, Mp), scol, acol, vme, vm)
+        return z, None
+
+    if K > 1:
+        z, _ = lax.scan(
+            body, z, (A2m[1:], B2m[1:], tau.transpose(1, 0, 2)[1:]))
+
+    x2 = pl.pallas_call(
+        functools.partial(_kernel_last, **geom, lat1=lat1, Rz=Rz, Dc=Dc),
+        grid=(N, nb, Dc + lat1),
+        in_specs=[zview(-1), zview(0), zview(1),
+                  full, full, vmspec(Lb)],
+        out_specs=outspec(Cp, Lb, lat1),
+        out_shape=jax.ShapeDtypeStruct((N, Dc, nb, Cp, Lb), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Rz, Mp, _pad128(Lwz)), z_dtype)],
+        compiler_params=cparams,
+        interpret=interpret,
+    )(z, z, z, B2m[0], scol, vm)
+
+    x5 = (
+        x2.reshape(N, Dc, nb, Cp, Bh, Wc)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(N, Dc, Cp, Hcp, Wc)[:, :, :, :Hc]
+        .transpose(0, 2, 1, 3, 4)
+    )
+    xphat = pp.depth_to_space(x5, s, 3, C)
+    z_out = (
+        z.astype(jnp.float32)
+        .reshape(N, Dc, nb, Mp, Bh, Wc)[:, :, :, :M]
+        .transpose(0, 3, 1, 2, 4, 5)
+        .reshape(N, M, Dc, Hcp, Wc)[:, :, :, :Hc]
+        if return_z
+        else None
+    )
+    return xphat, z_out

@@ -135,6 +135,19 @@ class CDLNetVideo:
             residual=params.get("residual"),
         ):
             return "fused"
+        import os
+
+        from cdlnet_tpu.kernels.lista3d_ring import lista3d_ring_supported
+
+        if os.environ.get("CDLNET_LISTA3D_RING", "1") != "0" and (
+            lista3d_ring_supported(
+                self.M, self.C, self.P, self.s, self.K, D, H, W,
+                residual=params.get("residual"),
+            )
+        ):
+            # depth-ring merged kernel: ~2.8x less HBM traffic per
+            # iteration than the banded pair path on the same frames
+            return "ring"
         from cdlnet_tpu.kernels.lista3d_tiled import lista3d_tiled_supported
 
         if lista3d_tiled_supported(
@@ -158,7 +171,7 @@ class CDLNetVideo:
         yp, prm, mask = pre_process_3d(y, self.s, mask=mask)
         c = sigma_scale(sigma, self.adaptive, 5)
         path = self._pallas_path(params, yp, return_z, train=train)
-        if path == "tiled":
+        if path in ("ring", "tiled"):
             # banded big-frame inference (DAVIS-native / fastMRI-native
             # frames the fused gate rejects); parameter gradients are not
             # implemented here — big-frame training takes the XLA path
@@ -166,10 +179,18 @@ class CDLNetVideo:
                 _RETURN_Z_HINT,
                 nondifferentiable,
             )
-            from cdlnet_tpu.kernels.lista3d_tiled import lista3d_tiled
+
+            if path == "ring":
+                from cdlnet_tpu.kernels.lista3d_ring import (
+                    lista3d_ring as big_frame_fn,
+                )
+            else:
+                from cdlnet_tpu.kernels.lista3d_tiled import (
+                    lista3d_tiled as big_frame_fn,
+                )
 
             xphat, z = nondifferentiable(
-                lambda yp, A, B, t, c: lista3d_tiled(
+                lambda yp, A, B, t, c: big_frame_fn(
                     yp, A, B, t, c, stride=self.s, mask=mask,
                     return_z=return_z),
                 _RETURN_Z_HINT,

@@ -124,7 +124,10 @@ class CDLNetCSR:
         kernel fits VMEM (autodiff.csr_fused_2d_train: fused forward with
         prox-argument histories + the hand-written prox-mode reverse;
         gradients flow to the params AND through the carried codes), else
-        the XLA scan."""
+        the XLA scan. Native-resolution eval frames the resident kernel
+        rejects (fastMRI 640x368 via analyzemri) run the BANDED pair
+        kernels with the CSR prox in-kernel (kernels/lista2d_tiled;
+        inference-only — returned codes carry bf16 rounding, ~0.5%)."""
         yp, prm, mask = pre_process(y, self.s, mask=mask)
         c = sigma_scale(sigma, self.adaptive, 4)
 
@@ -164,6 +167,46 @@ class CDLNetCSR:
                                    c, mask=mask, g=params["g"],
                                    z_prev=z_prev)
                 return post_process(xphat, prm), z
+            if not train:
+                # native-resolution eval frames (fastMRI 640x368 through
+                # analyzemri's csr_inference_loop) exceed the resident
+                # kernel's VMEM: run the banded pair kernels with the CSR
+                # prox, neighbor codes banded alongside (inference only —
+                # codes carry bf16 rounding, ~0.5%, like CDLNet's banded
+                # path)
+                from cdlnet_tpu.kernels.lista2d_tiled import (
+                    lista2d_tiled,
+                    lista2d_tiled_supported,
+                )
+
+                if lista2d_tiled_supported(
+                    self.M, self.C, self.P, self.s, self.K,
+                    yp.shape[-2], yp.shape[-1], n_codes=n_codes,
+                ):
+                    from cdlnet_tpu.kernels.autodiff import (
+                        _RETURN_Z_HINT,
+                        nondifferentiable,
+                    )
+
+                    if z_prev is None:
+                        Bk = jnp.concatenate(
+                            [params["B"][:1], params["B2"][1:]], axis=0
+                        )
+                        xphat, z = nondifferentiable(
+                            lambda yp, A, B, t, c: lista2d_tiled(
+                                yp, A, B, t, c, stride=self.s, mask=mask,
+                                return_z=True),
+                            _RETURN_Z_HINT,
+                        )(yp, params["A2"], Bk, params["t2"], c)
+                    else:
+                        xphat, z = nondifferentiable(
+                            lambda yp, A, B, t, c, g, zp: lista2d_tiled(
+                                yp, A, B, t, c, stride=self.s, mask=mask,
+                                return_z=True, g=g, z_prev=zp),
+                            _RETURN_Z_HINT,
+                        )(yp, params["A"], params["B"], params["t"], c,
+                          params["g"], z_prev)
+                    return post_process(xphat, prm), z
 
         if z_prev is None:
             A, B, t = params["A2"], params["B2"], params["t2"]
@@ -233,7 +276,9 @@ class CDLNetCSRf2:
         VMEM-resident next to the code being solved. train=True runs the
         FULLY fused training path when the reverse kernel fits VMEM
         (autodiff.csr_fused_2d_train; gradients flow to the params and
-        through the carried neighbor codes), else the XLA scan."""
+        through the carried neighbor codes), else the XLA scan.
+        Native-resolution eval frames the resident kernel rejects run the
+        BANDED pair kernels with the prox in-kernel (see CDLNetCSR.apply)."""
         yp, prm, mask = pre_process(y, self.s, mask=mask)
         c = sigma_scale(sigma, self.adaptive, 4)
 
@@ -270,6 +315,37 @@ class CDLNetCSRf2:
                 xphat, z = run(yp, params["A"], params["B"], params["t"],
                                c, mask=mask, **kw)
                 return post_process(xphat, prm), z
+            if not train:
+                # native-resolution eval frames: banded pair kernels with
+                # the CSR prox in-kernel (see CDLNetCSR.apply)
+                from cdlnet_tpu.kernels.lista2d_tiled import (
+                    lista2d_tiled,
+                    lista2d_tiled_supported,
+                )
+
+                if lista2d_tiled_supported(
+                    self.M, self.C, self.P, self.s, self.K,
+                    yp.shape[-2], yp.shape[-1], n_codes=n_codes,
+                ):
+                    from cdlnet_tpu.kernels.autodiff import (
+                        _RETURN_Z_HINT,
+                        nondifferentiable,
+                    )
+
+                    kw = {}
+                    if z_prev is not None:
+                        kw.update(g=params["g1"], z_prev=z_prev)
+                    if z_after is not None:
+                        kw.update(g2=params["g2"], z_after=z_after)
+                    names = sorted(kw)
+                    xphat, z = nondifferentiable(
+                        lambda yp, A, B, t, c, *vals: lista2d_tiled(
+                            yp, A, B, t, c, stride=self.s, mask=mask,
+                            return_z=True, **dict(zip(names, vals))),
+                        _RETURN_Z_HINT,
+                    )(yp, params["A"], params["B"], params["t"], c,
+                      *(kw[n] for n in names))
+                    return post_process(xphat, prm), z
 
         A, B, t = params["A"], params["B"], params["t"]
         g1, g2 = params["g1"], params["g2"]

@@ -1132,6 +1132,8 @@ def test_tiled3d_model_routing(monkeypatch):
     import cdlnet_tpu.kernels.lista3d as k3d
     import cdlnet_tpu.kernels.lista3d_tiled as ktl3
 
+    # the depth-ring path outranks banded when enabled; force banded here
+    monkeypatch.setenv("CDLNET_LISTA3D_RING", "0")
     orig = ktl3.lista3d_tiled
     called = {}
 
@@ -1152,3 +1154,153 @@ def test_tiled3d_model_routing(monkeypatch):
     x_got, z_got = mp.apply(params, y, 25.0, return_z=True)
     assert called.get("tiled")
     np.testing.assert_allclose(np.asarray(x_got), np.asarray(x_ref), atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# Depth-ring big-frame 3D kernel (kernels/lista3d_ring.py)
+# ---------------------------------------------------------------------------
+
+from cdlnet_tpu.kernels.lista3d_ring import (  # noqa: E402
+    lista3d_ring,
+    lista3d_ring_supported,
+)
+
+
+@pytest.mark.parametrize(
+    "s,P,C,M,K,D,H,W,Bh,use_mask",
+    [(2, (5, 5, 3), 1, 8, 3, 8, 64, 16, 8, False),   # nb=4: halo crossings
+     (2, (5, 5, 3), 1, 8, 3, 8, 56, 16, 8, False),   # ragged Hc=28
+     (1, (5, 5, 3), 1, 6, 2, 4, 33, 16, 8, False),   # stride 1, ragged
+     (2, (5, 5, 3), 3, 6, 2, 4, 32, 16, 8, True),    # color + mask
+     (2, (7, 7, 5), 1, 8, 2, 8, 64, 16, 16, False),  # asymmetric taps
+     (2, (9, 9, 5), 1, 8, 2, 8, 64, 16, 16, False),  # odd-tap Qh=5
+     (2, (5, 5, 3), 1, 8, 1, 8, 64, 16, 8, False),   # K=1: no mid kernel
+     (2, (5, 5, 3), 1, 8, 3, 4, 64, 16, 8, False)],  # Dc=2 < ring size
+)
+def test_ring3d_matches_scan_interpret(s, P, C, M, K, D, H, W, Bh, use_mask):
+    shape = (2, C, D, H, W)
+    yp, A, B, t = _mk3d(s, P, C, M, K, shape)
+    c = jnp.asarray([0.1, 0.2]).reshape(2, 1, 1, 1, 1)
+    mask = (
+        (jax.random.uniform(jax.random.PRNGKey(9), shape) > 0.5).astype(jnp.float32)
+        if use_mask
+        else None
+    )
+    z_ref = lista_3d(yp, A, B, t, c, mask=mask, stride=s)
+    pads = tuple(p // 2 for p in P)
+    x_ref = conv_transpose3d(
+        z_ref, B[0], stride=s, padding=pads, output_padding=s - 1
+    )
+    x, z = lista3d_ring(yp, A, B, t, c, stride=s, mask=mask, return_z=True,
+                        z_dtype=jnp.float32, interpret=True, band=Bh)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref), atol=1e-4)
+
+
+def test_ring3d_gate_covers_native_eval_frames():
+    """The depth-ring path covers the same native-resolution eval frames
+    the banded pair path does (DAVIS 480x854, fastMRI 640x368), rejects
+    residual variants and stride-indivisible shapes."""
+    assert lista3d_ring_supported(169, 1, (7, 7, 5), 2, 30, 16, 480, 854)
+    assert lista3d_ring_supported(169, 1, (9, 9, 5), 2, 30, 30, 640, 368)
+    assert not lista3d_ring_supported(169, 1, (7, 7, 5), 2, 30, 16, 480, 854,
+                                      residual=object())
+    assert not lista3d_ring_supported(169, 1, (7, 7, 5), 2, 30, 15, 480, 854)
+
+
+def test_ring3d_model_routing(monkeypatch):
+    """CDLNetVideo backend='pallas' prefers the depth-ring path over the
+    banded pair path for frames the fused gate rejects; CDLNET_LISTA3D_RING=0
+    opts back out to banded."""
+    import cdlnet_tpu.kernels.lista3d as k3d
+    import cdlnet_tpu.kernels.lista3d_ring as krg3
+
+    orig = krg3.lista3d_ring
+    called = {}
+
+    def spy(*a, **kw):
+        called["ring"] = True
+        return orig(*a, **{**kw, "interpret": True})
+
+    monkeypatch.setattr(krg3, "lista3d_ring", spy)
+    monkeypatch.setattr(k3d, "_VMEM_BUDGET", 64 * 1024)
+    cfg = {"K": 2, "M": 6, "P": (5, 5, 3), "s": 2, "C": 1, "adaptive": True,
+           "depth": 4}
+    mx = build_model("CDLNetVideo", dict(cfg))
+    mp = build_model("CDLNetVideo", dict(cfg, backend="pallas"))
+    params = mx.init(jax.random.PRNGKey(0), init=True)
+    y = jax.random.uniform(jax.random.PRNGKey(1), (1, 1, 4, 32, 16), jnp.float32)
+    x_ref, _ = mx.apply(params, y, 25.0)
+    x_got, _ = mp.apply(params, y, 25.0, return_z=True)
+    assert called.get("ring")
+    np.testing.assert_allclose(np.asarray(x_got), np.asarray(x_ref), atol=5e-3)
+    # opt-out routes to the banded pair path instead
+    monkeypatch.setenv("CDLNET_LISTA3D_RING", "0")
+    assert mp._pallas_path(params, jnp.zeros((1, 1, 4, 32, 16)), True) == "tiled"
+
+
+# ---------------------------------------------------------------------------
+# Banded CSR prox modes (big-frame frame-recurrent inference)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["CDLNet_CSR", "CDLNet_CSRf2"])
+def test_tiled_csr_prox_matches_scan_interpret(name, monkeypatch):
+    """Frames the resident CSR kernel rejects route to the banded pair
+    kernels with the CSR prox applied in-kernel (neighbor codes banded
+    alongside); every neighbor-code dispatch case matches the XLA scan.
+    This is analyzemri's native-resolution eval workload
+    (reference analyzemri.py:87-156)."""
+    import cdlnet_tpu.kernels.lista2d as k2d
+    import cdlnet_tpu.kernels.lista2d_tiled as ktl
+
+    # force the resident gate to reject so routing takes the banded path
+    monkeypatch.setattr(k2d, "_VMEM_CAPACITY", 64 * 1024)
+    orig = ktl.lista2d_tiled
+    called = {}
+
+    def spy(*a, **kw):
+        called["tiled"] = True
+        return orig(*a, **{**kw, "interpret": True, "z_dtype": jnp.float32})
+
+    monkeypatch.setattr(ktl, "lista2d_tiled", spy)
+
+    cfg = {"K": 3, "M": 8, "P": 7, "s": 2, "C": 1, "adaptive": True}
+    mx = build_model(name, dict(cfg))
+    mp = build_model(name, dict(cfg, backend="pallas"))
+    params = mx.init(jax.random.PRNGKey(0), init=True)
+    for k in params:
+        params[k] = (
+            params[k] * 0.3 if k[0] in "AB"
+            else jnp.abs(params[k]) * 0.05 + 1e-3
+        )
+    # 64x32 with band 16: several bands, halo crossings
+    y = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 64, 32), jnp.float32)
+    zp = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (2, 8, 32, 16))
+    za = 0.1 * jax.random.normal(jax.random.PRNGKey(3), (2, 8, 32, 16))
+    sig = jnp.asarray([20.0, 30.0]).reshape(2, 1, 1, 1)
+    if name == "CDLNet_CSR":
+        cases = [dict(z_prev=None), dict(z_prev=zp)]
+    else:
+        cases = [dict(z_prev=None, z_after=None), dict(z_prev=zp, z_after=None),
+                 dict(z_prev=None, z_after=za), dict(z_prev=zp, z_after=za)]
+    for case in cases:
+        x_ref, z_ref = mx.apply(params, y, sigma=sig, **case)
+        x_got, z_got = mp.apply(params, y, sigma=sig, **case)
+        np.testing.assert_allclose(np.asarray(z_got), np.asarray(z_ref),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(x_got), np.asarray(x_ref),
+                                   atol=1e-5)
+    assert called.get("tiled")
+
+
+def test_tiled_csr_gate_covers_native_mri_frames():
+    """fastMRI-native 640x368 frames (argscsr config) pass the banded gate
+    with neighbor codes counted; the resident gate rejects them."""
+    from cdlnet_tpu.kernels.lista2d import lista2d_fused_supported
+
+    for n_codes in (0, 1, 2):
+        assert not lista2d_fused_supported(169, 1, 9, 2, 30, 640, 368,
+                                           return_z=True, n_codes=n_codes)
+        assert lista2d_tiled_supported(169, 1, 9, 2, 30, 640, 368,
+                                       n_codes=n_codes)

@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Native-resolution CSR frame-recurrent inference timing.
+
+analyzemri's eval (reference analyzemri.py:185-298) runs csr_inference_loop
+over fastMRI-native 640x368 frame volumes. The resident CSR kernel's VMEM
+gate rejects these frames, so before the banded CSR prox path (r2) they ran
+on the XLA scan. This pins the XLA cost and the banded speedup.
+
+Protocol: bench.py's honest timing (R clips inside one jitted scan, single
+readback, RTT measured and subtracted, median of rounds).
+
+Usage: python tools/bench_csr_bigframe.py [csr csrf2] [D]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+MARGS = {"K": 30, "M": 169, "P": 9, "s": 2, "C": 1, "adaptive": True}
+
+
+def bench_case(name, D, backends=("xla", "pallas"), R=5):
+    import jax
+    import jax.numpy as jnp
+
+    from cdlnet_tpu.models import build_model
+    from cdlnet_tpu.models.csr import csr_video_denoise, csrf2_video_denoise
+
+    mtype = "CDLNet_CSR" if name == "csr" else "CDLNet_CSRf2"
+    loop = csr_video_denoise if name == "csr" else csrf2_video_denoise
+    clip = (1, 1, D, 640, 368)
+    noisy = jax.random.uniform(jax.random.PRNGKey(1), clip, jnp.float32)
+
+    zero = jnp.zeros(())
+    float(zero + 0)
+    rtts = []
+    for _ in range(5):
+        t0 = time.time()
+        float(zero + 1)
+        rtts.append(time.time() - t0)
+    rtt = sorted(rtts)[len(rtts) // 2]
+
+    for backend in backends:
+        model = build_model(mtype, dict(MARGS, backend=backend))
+        params = model.init(jax.random.PRNGKey(0), init=False)
+        for k in params:
+            params[k] = (
+                params[k] * 0.02 if k[0] in "AB"
+                else jnp.abs(params[k]) * 0.02 + 1e-3
+            )
+
+        @jax.jit
+        def run(p, y):
+            def body(c, _):
+                out = loop(model, p, c, sigma=25.0)
+                return y + 0.0 * jnp.mean(out), jnp.mean(out)
+            _, outs = jax.lax.scan(body, y, None, length=R)
+            return jnp.sum(outs)
+
+        for _ in range(2):
+            float(run(params, noisy))
+        times = []
+        for _ in range(5):
+            t0 = time.time()
+            float(run(params, noisy))
+            times.append((time.time() - t0 - rtt) / R)
+        dt = sorted(times)[len(times) // 2]
+        print(
+            f"{name:6s} backend={backend:6s} {dt * 1e3:8.1f} ms/clip "
+            f"= {D / dt:6.1f} frames/s  ({D}x640x368)"
+        )
+
+
+def main():
+    from cdlnet_tpu.utils import setup_compilation_cache
+
+    setup_compilation_cache()
+    args = [a for a in sys.argv[1:] if not a.isdigit()]
+    D = next((int(a) for a in sys.argv[1:] if a.isdigit()), 8)
+    for n in args or ["csr", "csrf2"]:
+        bench_case(n, D)
+
+
+if __name__ == "__main__":
+    main()
