@@ -395,6 +395,96 @@ def _tiled2d_bwd(stride, interpret, res, gx):
 _tiled2d.defvjp(_tiled2d_fwd, _tiled2d_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _tiled3d(yp, A, B, t, c, mask, stride, interpret):
+    from cdlnet_tpu.kernels.lista3d_tiled import lista3d_tiled
+
+    x, _ = lista3d_tiled(yp, A, B, t, c, stride=stride, mask=mask,
+                         return_z=False, interpret=interpret)
+    return x
+
+
+def _tiled3d_fwd(yp, A, B, t, c, mask, stride, interpret):
+    from cdlnet_tpu.kernels.lista2d import hist_dtype
+    from cdlnet_tpu.kernels.lista3d_tiled import lista3d_tiled
+    from cdlnet_tpu.kernels.lista3d_tiled_bwd import (
+        lista3d_tiled_bwd_supported,
+    )
+
+    K, M = A.shape[0], A.shape[1]
+    C = yp.shape[1]
+    D, H, W = yp.shape[-3], yp.shape[-2], yp.shape[-1]
+    if lista3d_tiled_bwd_supported(M, C, A.shape[-3:], stride, K, D, H, W):
+        # banded fused gradient path: stack the code/residual streams the
+        # banded forward carries through HBM anyway (hist dtype carry —
+        # bf16 default rounds the training primal like the pair path;
+        # CDLNET_HIST_DTYPE=f32 for exactness). The band is picked JOINTLY
+        # with the reverse kernels (the histories arrive banded at it).
+        from cdlnet_tpu.kernels.lista3d_tiled_bwd import pick_band3_train
+
+        Bh = pick_band3_train(M, C, A.shape[-3:], stride,
+                              D // stride, H // stride, W // stride)
+        x, _, (z_hist, r_hist) = lista3d_tiled(
+            yp, A, B, t, c, stride=stride, mask=mask, return_z=False,
+            z_dtype=hist_dtype(), interpret=interpret, return_hists=True,
+            band=Bh,
+        )
+        return x, (yp, A, B, t, c, mask, z_hist, r_hist)
+    # banded reverse doesn't fit: banded forward + XLA gradient fallback
+    x, _ = lista3d_tiled(yp, A, B, t, c, stride=stride, mask=mask,
+                         return_z=False, interpret=interpret)
+    return x, (yp, A, B, t, c, mask, None, None)
+
+
+def _tiled3d_bwd(stride, interpret, res, gx):
+    yp, A, B, t, c, mask, z_hist, r_hist = res
+    if z_hist is None:  # XLA-gradient fallback
+        _, vjp = jax.vjp(
+            lambda A, B, t: _xla_forward_3d(yp, A, B, t, c, mask, stride),
+            A, B, t,
+        )
+        dA, dB, dt = vjp(gx)
+    else:
+        from cdlnet_tpu.kernels.lista3d_tiled_bwd import (
+            lista3d_tiled_fused_bwd,
+        )
+
+        dA, dB, dt = lista3d_tiled_fused_bwd(
+            gx, yp, A, B, t, c, mask, z_hist, r_hist, stride=stride,
+            interpret=interpret,
+        )
+    dc = jnp.zeros_like(jnp.asarray(c))
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return (jnp.zeros_like(yp), dA, dB, dt, dc, dmask)
+
+
+_tiled3d.defvjp(_tiled3d_fwd, _tiled3d_bwd)
+
+
+def lista3d_tiled_diff(yp, A, B, t, c, stride=1, mask=None, interpret=False):
+    """Banded big-frame 3D fused forward (kernels/lista3d_tiled),
+    differentiable. When the banded reverse kernels fit
+    (kernels/lista3d_tiled_bwd), the gradient is fully fused; otherwise
+    the custom VJP falls back to the XLA scan's gradient. Returns xphat."""
+    return _tiled3d(yp, A, B, t, jnp.asarray(c), mask, stride, interpret)
+
+
+def lista3d_tiled_train_supported(M, C, P, s, K, D, H, W):
+    """True when big-frame 3D training runs FULLY fused: the banded
+    forward has a fitting band at the history dtype and the banded
+    reverse kernels fit at that band (kernels/lista3d_tiled_bwd)."""
+    from cdlnet_tpu.kernels.lista3d_tiled import lista3d_tiled_supported
+    from cdlnet_tpu.kernels.lista3d_tiled_bwd import (
+        lista3d_tiled_bwd_supported,
+    )
+
+    hb = jnp.dtype(hist3d_dtype()).itemsize
+    return (
+        lista3d_tiled_supported(M, C, P, s, K, D, H, W, z_bytes=hb)
+        and lista3d_tiled_bwd_supported(M, C, P, s, K, D, H, W)
+    )
+
+
 def lista2d_tiled_diff(yp, A, B, t, c, stride=1, mask=None, interpret=False):
     """Banded big-image fused forward (kernels/lista2d_tiled),
     differentiable. When the banded whole-reverse-resident kernel fits

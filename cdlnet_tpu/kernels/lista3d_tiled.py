@@ -217,10 +217,17 @@ def _kernel_ana3_band(*refs, Qd, Qh, Qw, Cp, Wc, Bh, Hh, dlo, hlo, wlo):
 
 
 def lista3d_tiled(yp, A, B, t, c, stride=1, mask=None, return_z=False,
-                  z_dtype=jnp.bfloat16, interpret=False, band=None):
+                  z_dtype=jnp.bfloat16, interpret=False, band=None,
+                  return_hists=False):
     """Banded per-iteration fused 3D LISTA for big frames. Same contract
     as lista3d_fused: (xphat (N,C,D,H,W) fp32, z (N,M,Dc,Hc,Wc) or None),
-    matching the XLA scan to the z_dtype carry tolerance."""
+    matching the XLA scan to the z_dtype carry tolerance.
+
+    return_hists=True (training residuals for the banded 3D reverse,
+    kernels/lista3d_tiled_bwd) additionally returns (z_hist (K, N, Dc, nb,
+    Mp, Lb) in z_dtype, r_hist (K-1, N, Dc, nb, Cp, Lb) fp32) — the scan
+    stacks the per-iteration streams the banded forward carries through
+    HBM anyway, so collecting them costs only the HBM writes."""
     from jax.experimental.pallas import tpu as pltpu
 
     N, C, D, H, W = yp.shape
@@ -367,14 +374,16 @@ def lista3d_tiled(yp, A, B, t, c, stride=1, mask=None, return_z=False,
     # k = 0: z = ST(A0 y2, tau0) via analyze(r=-y2, z=0)
     z0 = jnp.zeros((N, Dc, nb, Mp, Lb), z_dtype)
     z = analyze(-y2.astype(jnp.float32), z0, A2m[0], tau[:, 0])
+    z_first = z
 
     def body(z, xs):
         A2m_k, B2m_k, tau_k = xs
         r = synthesize(z, B2m_k, sub_y=True)
         z = analyze(r, z, A2m_k, tau_k)
-        return z, None
+        return z, ((z, r) if return_hists else None)
 
-    z, _ = lax.scan(body, z, (A2m[1:], B2m[1:], tau.transpose(1, 0, 2)[1:]))
+    z, hists = lax.scan(body, z, (A2m[1:], B2m[1:],
+                                  tau.transpose(1, 0, 2)[1:]))
 
     x2 = synthesize(z, B2m[0], sub_y=False)  # (N, Dc, nb, Cp, Lb)
     x5 = (
@@ -392,4 +401,8 @@ def lista3d_tiled(yp, A, B, t, c, stride=1, mask=None, return_z=False,
         if return_z
         else None
     )
+    if return_hists:
+        zs, rs = hists
+        z_hist = jnp.concatenate([z_first[None], zs], axis=0)
+        return xphat, z_out, (z_hist, rs)
     return xphat, z_out

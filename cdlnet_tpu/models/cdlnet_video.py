@@ -125,11 +125,22 @@ class CDLNetVideo:
             # (beyond the reference's 128^2-crop protocol) train on XLA.
             if params.get("residual") is not None:
                 return None
-            from cdlnet_tpu.kernels.autodiff import lista3d_train_supported
+            from cdlnet_tpu.kernels.autodiff import (
+                lista3d_tiled_train_supported,
+                lista3d_train_supported,
+            )
 
-            return "fused" if lista3d_train_supported(
+            if lista3d_train_supported(
                 self.M, self.C, self.P, self.s, self.K, D, H, W
-            ) else None
+            ):
+                return "fused"
+            if lista3d_tiled_train_supported(
+                self.M, self.C, self.P, self.s, self.K, D, H, W
+            ):
+                # big-frame training (beyond the reference's 128^2-crop
+                # protocol): banded fused forward + banded reverse
+                return "tiled_train"
+            return None
         if lista3d_fused_supported(
             self.M, self.C, self.P, self.s, self.K, D, H, W,
             residual=params.get("residual"),
@@ -196,6 +207,14 @@ class CDLNetVideo:
                 _RETURN_Z_HINT,
             )(yp, params["A"], params["B"], params["t"], c)
             return post_process_3d(xphat, prm), z
+        if path == "tiled_train":
+            from cdlnet_tpu.kernels.autodiff import lista3d_tiled_diff
+
+            xphat = lista3d_tiled_diff(
+                yp, params["A"], params["B"], params["t"], c,
+                stride=self.s, mask=mask,
+            )
+            return post_process_3d(xphat, prm), None
         if path == "fused":
             if not return_z:
                 from cdlnet_tpu.kernels.autodiff import lista3d_fused_diff

@@ -1156,6 +1156,120 @@ def test_tiled3d_model_routing(monkeypatch):
     np.testing.assert_allclose(np.asarray(x_got), np.asarray(x_ref), atol=5e-3)
 
 
+@pytest.mark.parametrize(
+    "s,P,C,M,K,D,H,W,Bh,use_mask",
+    [(2, (5, 5, 3), 1, 8, 3, 8, 64, 16, 8, False),  # nb=4: halo crossings
+     (2, (5, 5, 3), 3, 6, 2, 4, 32, 16, 8, True)],  # color + mask
+)
+def test_tiled3d_bwd_kernels_grads_match_xla(s, P, C, M, K, D, H, W, Bh,
+                                             use_mask, monkeypatch):
+    """The banded 3D reverse pair (kernels/lista3d_tiled_bwd) matches the
+    XLA scan's autodiff on weight/threshold gradients (fp32-history mode,
+    per-sample sigma, masked JDD path) — gradients of model/net.py:121-227
+    semantics at frames beyond the resident reverse's VMEM gate."""
+    monkeypatch.setenv("CDLNET_HIST_DTYPE", "f32")
+    from cdlnet_tpu.kernels.lista3d_tiled import lista3d_tiled
+    from cdlnet_tpu.kernels.lista3d_tiled_bwd import lista3d_tiled_fused_bwd
+
+    shape = (2, C, D, H, W)
+    yp, A, B, t = _mk3d(s, P, C, M, K, shape)
+    c = jnp.asarray([0.1, 0.2]).reshape(2, 1, 1, 1, 1)
+    mask = (
+        (jax.random.uniform(jax.random.PRNGKey(9), shape) > 0.5)
+        .astype(jnp.float32) if use_mask else None
+    )
+    gx = jax.random.normal(jax.random.PRNGKey(4), shape)
+    pads = tuple(p // 2 for p in P)
+
+    def loss_ref(params):
+        A_, B_, t_ = params
+        z = lista_3d(yp, A_, B_, t_, c, mask=mask, stride=s)
+        x = conv_transpose3d(z, B_[0], stride=s, padding=pads,
+                             output_padding=s - 1)
+        return jnp.sum(x * gx)
+
+    _, g_ref = jax.value_and_grad(loss_ref)((A, B, t))
+
+    _, _, (zh, rh) = lista3d_tiled(
+        yp, A, B, t, c, stride=s, mask=mask, return_z=False,
+        z_dtype=jnp.float32, interpret=True, return_hists=True, band=Bh,
+    )
+    g_tl = lista3d_tiled_fused_bwd(
+        gx, yp, A, B, t, c, mask, zh, rh, stride=s, interpret=True
+    )
+    for name, a, b in zip("ABt", g_ref, g_tl):
+        rel = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-12)
+        assert rel < 1e-4, (name, rel)
+
+
+def test_tiled3d_train_gate_and_routing(monkeypatch):
+    """Big-frame 3D training routes to the banded fused gradient
+    (lista3d_tiled_train_supported / path 'tiled_train'): the reference's
+    native eval frames (DAVIS 480x854, fastMRI 640x368) train fully fused
+    where the whole-frame reverse's gate rejects them; flagship 128^2
+    crops keep the resident 'fused' path."""
+    from cdlnet_tpu.kernels.autodiff import (
+        lista3d_tiled_train_supported,
+        lista3d_train_supported,
+    )
+
+    assert not lista3d_train_supported(169, 1, (7, 7, 5), 2, 30, 16, 480, 854)
+    assert lista3d_tiled_train_supported(169, 1, (7, 7, 5), 2, 30, 16, 480, 854)
+    assert not lista3d_train_supported(169, 1, (9, 9, 5), 2, 30, 30, 640, 368)
+    assert lista3d_tiled_train_supported(169, 1, (9, 9, 5), 2, 30, 30, 640, 368)
+    # stride-indivisible frames stay on XLA
+    assert not lista3d_tiled_train_supported(169, 1, (7, 7, 5), 2, 30,
+                                             16, 481, 854)
+
+    import cdlnet_tpu.kernels.autodiff as ad
+
+    marker = object()
+    monkeypatch.setattr(ad, "lista3d_tiled_diff", lambda *a, **kw: marker)
+    cfg = {"K": 2, "M": 8, "P": (5, 5, 3), "s": 2, "C": 1,
+           "adaptive": True, "depth": 8, "backend": "pallas"}
+    m = build_model("CDLNetVideo", dict(cfg))
+    params = m.init(jax.random.PRNGKey(0), init=False)
+    # toy shape: resident fused fits -> 'fused' outranks 'tiled_train'
+    yp = jnp.zeros((1, 1, 8, 32, 32), jnp.float32)
+    assert m._pallas_path(params, yp, return_z=False, train=True) == "fused"
+    # close the resident/scan reverse gates: training falls to tiled_train
+    monkeypatch.setattr(ad, "lista3d_train_supported",
+                        lambda *a, **kw: False)
+    assert (m._pallas_path(params, yp, return_z=False, train=True)
+            == "tiled_train")
+
+
+def test_tiled3d_diff_end_to_end_grads(monkeypatch):
+    """lista3d_tiled_diff's custom VJP (banded hist-collecting forward +
+    banded reverse) matches XLA value-and-grad end-to-end through the
+    fused path at fp32 histories."""
+    monkeypatch.setenv("CDLNET_HIST_DTYPE", "f32")
+    from cdlnet_tpu.kernels.autodiff import _xla_forward_3d, lista3d_tiled_diff
+
+    s, P, C, M, K = 2, (5, 5, 3), 1, 8, 2
+    shape = (2, C, 8, 64, 16)
+    yp, A, B, t = _mk3d(s, P, C, M, K, shape)
+    c = jnp.asarray([0.1, 0.2]).reshape(2, 1, 1, 1, 1)
+    tgt = jax.random.uniform(jax.random.PRNGKey(4), shape)
+
+    def loss_ref(params):
+        A_, B_, t_ = params
+        return jnp.mean((_xla_forward_3d(yp, A_, B_, t_, c, None, s)
+                         - tgt) ** 2)
+
+    def loss_pal(params):
+        A_, B_, t_ = params
+        return jnp.mean((lista3d_tiled_diff(yp, A_, B_, t_, c, stride=s,
+                                            interpret=True) - tgt) ** 2)
+
+    v_ref, g_ref = jax.value_and_grad(loss_ref)((A, B, t))
+    v_pal, g_pal = jax.value_and_grad(loss_pal)((A, B, t))
+    np.testing.assert_allclose(float(v_pal), float(v_ref), rtol=1e-5)
+    for name, a, b in zip("ABt", g_ref, g_pal):
+        rel = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-12)
+        assert rel < 1e-4, (name, rel)
+
+
 # ---------------------------------------------------------------------------
 # Depth-ring big-frame 3D kernel (kernels/lista3d_ring.py)
 # ---------------------------------------------------------------------------

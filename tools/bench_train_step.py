@@ -63,6 +63,24 @@ CONFIGS = {
         batch=(2, 1, 16, 128, 128),
         workload="3d",
     ),
+    # big-frame 3D training (out-of-protocol for the reference, which
+    # crops 128^2 — measured for the banded 3D gradient path,
+    # kernels/lista3d_tiled_bwd): quarter-DAVIS frames and a half-res
+    # fastMRI-like volume
+    "video-256": dict(
+        mtype="CDLNetVideo",
+        model={"K": 30, "M": 169, "P": (7, 7, 5), "s": 2, "C": 1,
+               "adaptive": True, "depth": 16},
+        batch=(1, 1, 16, 256, 256),
+        workload="3d",
+    ),
+    "video-512": dict(
+        mtype="CDLNetVideo",
+        model={"K": 30, "M": 169, "P": (7, 7, 5), "s": 2, "C": 1,
+               "adaptive": True, "depth": 8},
+        batch=(1, 1, 8, 512, 512),
+        workload="3d",
+    ),
     # "Gabor is Enough" protocol: GDLNet at the CDLNet-s2030 scale (the
     # paper trains the same K/M/P/s grid with Gabor-parameterized banks);
     # order=1, nothing shared — the heaviest GDLNet train config
