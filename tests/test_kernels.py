@@ -1052,6 +1052,7 @@ def test_video_train_gate_requires_bwd_fit(monkeypatch):
     """CDLNetVideo._pallas_path(train=True) requires the fp32-history
     forward AND a reverse path (resident or scan kernels) to fit;
     inference gating is unchanged."""
+    import cdlnet_tpu.kernels.autodiff as ad
     import cdlnet_tpu.kernels.lista3d_bwd as k3b
     import cdlnet_tpu.kernels.lista3d_bwd_resident as k3r
 
@@ -1066,7 +1067,13 @@ def test_video_train_gate_requires_bwd_fit(monkeypatch):
     assert m._pallas_path(params, yp, return_z=False, train=True) == "fused"
     monkeypatch.setattr(
         k3r, "lista3d_bwd_resident_supported", lambda *a, **kw: False)
-    # ...but with both reverse gates closed, training routes to XLA
+    # ...with both whole-frame reverse gates closed, training falls to
+    # the banded fused forward+reverse (big-frame training path)...
+    assert (m._pallas_path(params, yp, return_z=False, train=True)
+            == "tiled_train")
+    # ...and with that gate closed too, training routes to XLA
+    monkeypatch.setattr(
+        ad, "lista3d_tiled_train_supported", lambda *a, **kw: False)
     assert m._pallas_path(params, yp, return_z=False, train=True) is None
     # inference routing ignores the reverse-kernel gates
     assert m._pallas_path(params, yp, return_z=False, train=False) == "fused"
