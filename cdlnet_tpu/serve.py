@@ -53,15 +53,36 @@ class Denoiser:
         self.bucket = bucket
         self.blind = blind
         self._shard_batch = None
+        self._is_csr = isinstance(model, (CDLNetCSR, CDLNetCSRf2))
+        rec = None
+        if self._is_csr:
+            # frame-recurrent models: videos run the carried-code recurrence,
+            # single frames run without neighbor context
+            from cdlnet_tpu.models.csr import csr_video_denoise, csrf2_video_denoise
+
+            rec = (
+                csrf2_video_denoise
+                if isinstance(model, CDLNetCSRf2)
+                else csr_video_denoise
+            )
+
+        smf = smf_rec = None
+        ndata = 1
+        run_model = model  # what the plain (non-shard_map) forward runs
         if mesh is not None:
             # multi-chip serving: params replicated, inputs sharded on the
-            # batch dim over the mesh's "data" axis — XLA partitions every
-            # forward (incl. the fused kernels, which are batch-gridded)
-            # across chips with no collectives on the hot path
+            # batch dim over the mesh's "data" axis. XLA-backend models are
+            # partitioned by GSPMD from the shardings; backend="pallas"
+            # models CANNOT be (jax refuses to compile a Mosaic kernel in a
+            # multi-device jit: "Mosaic kernels cannot be automatically
+            # partitioned. Please wrap the call in a shard_map.") — their
+            # forward runs per-device inside shard_map instead, and ragged
+            # batches fall back to a replicated XLA-backend forward.
             from cdlnet_tpu.dist.mesh import make_mesh
             from cdlnet_tpu.dist.sharding import (
                 batch_sharding,
                 replicate_sharding,
+                shard_map_forward,
             )
 
             if isinstance(mesh, dict):
@@ -76,28 +97,47 @@ class Denoiser:
                 return jax.device_put(y, bsh)
 
             self._shard_batch = shard_batch
-        self._is_csr = isinstance(model, (CDLNetCSR, CDLNetCSRf2))
-        if self._is_csr:
-            # frame-recurrent models: videos run the carried-code recurrence,
-            # single frames run without neighbor context
-            from cdlnet_tpu.models.csr import csr_video_denoise, csrf2_video_denoise
+            if getattr(model, "backend", None) == "pallas":
+                import dataclasses
 
-            rec = (
-                csrf2_video_denoise
-                if isinstance(model, CDLNetCSRf2)
-                else csr_video_denoise
-            )
-            self._fwd = jax.jit(
-                lambda p, y, s: (
-                    rec(self.model, p, y, s)[0]
-                    if y.ndim == 5
-                    else self.model.apply(p, y, sigma=s)[0]
-                )
-            )
+                run_model = dataclasses.replace(model, backend="xla")
+                if self._is_csr:
+                    smf = shard_map_forward(
+                        mesh, lambda p, y, s, m: model.apply(p, y, sigma=s)[0]
+                    )
+                    smf_rec = shard_map_forward(
+                        mesh, lambda p, y, s, m: rec(model, p, y, s)[0]
+                    )
+                else:
+                    smf = shard_map_forward(
+                        mesh,
+                        lambda p, y, s, m: _xhat(
+                            model.apply(p, y, s, return_z=False)
+                        ),
+                    )
+
+        if self._is_csr:
+
+            def fwd_impl(p, y, s):
+                # trace-time dispatch: shapes are static under jit
+                sharded = smf is not None and y.shape[0] % ndata == 0
+                if y.ndim == 5:
+                    if sharded:
+                        return smf_rec(p, y, s)
+                    return rec(run_model, p, y, s)[0]
+                if sharded:
+                    return smf(p, y, s)
+                return run_model.apply(p, y, sigma=s)[0]
+
+            self._fwd = jax.jit(fwd_impl)
         else:
-            self._fwd = jax.jit(
-                lambda p, y, s: _xhat(self.model.apply(p, y, s, return_z=False))
-            )
+
+            def fwd_impl(p, y, s):
+                if smf is not None and y.shape[0] % ndata == 0:
+                    return smf(p, y, s)
+                return _xhat(run_model.apply(p, y, s, return_z=False))
+
+            self._fwd = jax.jit(fwd_impl)
         self._fwd_blind = jax.jit(self._blind_forward)
 
     @classmethod

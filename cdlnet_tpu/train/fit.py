@@ -129,18 +129,59 @@ def _model_forward(model, params, y, sigma, mask, state=None, train=False):
 
 
 def make_train_step(model, opt, *, workload="2d", noise_std=(25, 25), demosaic=False,
-                    mcsure=False, loss_type="mse", project=True, stateful=False):
+                    mcsure=False, loss_type="mse", project=True, stateful=False,
+                    mesh=None):
     """Build the jitted per-batch train step:
       (params, opt_state, batch, key) -> (params, opt_state, loss)
     or, with stateful=True (BatchNorm families — DnCNN/FFDNet):
       (params, state, opt_state, batch, key) -> (params, state, opt_state, loss)
     where `state` carries the BN running stats, updated in train mode
     (reference model/net.py:700-706 BatchNorm2d under net.train()) and frozen
-    in the eval step."""
+    in the eval step.
+
+    mesh: required when the step will run under a multi-device mesh AND the
+    model uses backend="pallas" — Mosaic kernels cannot be GSPMD-partitioned
+    (jax refuses to compile them inside a multi-device jit), so the forward
+    is wrapped in shard_map over the mesh's "data" axis
+    (dist.sharding.shard_map_forward). Batches whose dim 0 does not divide
+    the data axis (ragged eval batches) run an XLA-backend forward instead.
+    XLA-backend models ignore this argument (GSPMD partitions them directly)."""
     is3d = workload in ("3d", "mri")
     noiser = awgn3d if is3d else awgn
     bayer = gen_bayer_mask3d if is3d else gen_bayer_mask
     nstd = tuple(noise_std) if isinstance(noise_std, (list, tuple)) else noise_std
+
+    fwd = _model_forward
+    if (
+        mesh is not None
+        and not stateful
+        and getattr(model, "backend", None) == "pallas"
+    ):
+        import dataclasses
+
+        from cdlnet_tpu.dist.sharding import shard_map_forward
+
+        ndata = mesh.shape["data"]
+        xla_model = dataclasses.replace(model, backend="xla")
+        smf = {
+            train: shard_map_forward(
+                mesh,
+                lambda p, y, s, m, _t=train: _model_forward(
+                    model, p, y, s, m, train=_t
+                )[0],
+            )
+            for train in (False, True)
+        }
+
+        def fwd(mdl, params, y, sigma, mask, state=None, train=False):
+            # trace-time dispatch (shapes are static under jit): shard_mapped
+            # per-device pallas when the batch divides the mesh, replicated
+            # XLA otherwise
+            if y.shape[0] % ndata == 0:
+                return smf[train](params, y, sigma, mask), None
+            return _model_forward(
+                xla_model, params, y, sigma, mask, state=state, train=train
+            )
 
     def loss_fn(params, batch, key, state):
         noisy, sigma = noiser(key, batch, nstd)
@@ -151,19 +192,19 @@ def make_train_step(model, opt, *, workload="2d", noise_std=(25, 25), demosaic=F
             h = 1e-3
             kb = jax.random.fold_in(key, 1)
             b = jax.random.normal(kb, obsrv.shape, obsrv.dtype)
-            xhat, new_state = _model_forward(
+            xhat, new_state = fwd(
                 model, params, obsrv, sigma, mask, state=state, train=True
             )
             # the perturbed pass reuses the SAME pre-update stats; its state
             # delta is a Monte-Carlo artifact, not a training statistic
-            xhat_b, _ = _model_forward(
+            xhat_b, _ = fwd(
                 model, params, obsrv + h * b, sigma, mask, state=state, train=True
             )
             sig = jnp.asarray(sigma, obsrv.dtype) / 255.0
             div = 2.0 * jnp.mean((sig**2) * b * (xhat_b - xhat)) / h
             return jnp.mean((obsrv - xhat) ** 2) + div, new_state
 
-        xhat, new_state = _model_forward(
+        xhat, new_state = fwd(
             model, params, obsrv, sigma, mask, state=state, train=True
         )
         if loss_type == "combmse":
@@ -188,7 +229,7 @@ def make_train_step(model, opt, *, workload="2d", noise_std=(25, 25), demosaic=F
             noisy, sigma = noiser(key, batch, nstd)
             mask = bayer(batch) if demosaic else None
             obsrv = mask * noisy if mask is not None else noisy
-            xhat, _ = _model_forward(
+            xhat, _ = fwd(
                 model, params, obsrv, sigma, mask, state=state, train=False
             )
             return mse_loss(xhat, batch)
@@ -211,7 +252,7 @@ def make_train_step(model, opt, *, workload="2d", noise_std=(25, 25), demosaic=F
         noisy, sigma = noiser(key, batch, nstd)
         mask = bayer(batch) if demosaic else None
         obsrv = mask * noisy if mask is not None else noisy
-        xhat, _ = _model_forward(model, params, obsrv, sigma, mask)
+        xhat, _ = fwd(model, params, obsrv, sigma, mask)
         return mse_loss(xhat, batch)
 
     return train_step, eval_step
@@ -314,12 +355,14 @@ def _fit_impl(
     train_step, _ = make_train_step(
         model, opt, workload=workload, noise_std=noise_std, demosaic=demosaic,
         mcsure=mcsure, loss_type=loss_type, project=project, stateful=stateful,
+        mesh=mesh,
     )
     # val/test use the midpoint sigma (train.py:69-72)
     mid = (noise_std[0] + noise_std[1]) / 2.0
     _, eval_step = make_train_step(
         model, opt, workload=workload, noise_std=mid, demosaic=demosaic,
         mcsure=False, loss_type="mse", project=project, stateful=stateful,
+        mesh=mesh,
     )
 
     ckpt0 = os.path.join(save_dir, "0.ckpt" + ckpt_ext)

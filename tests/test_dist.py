@@ -304,3 +304,141 @@ def test_two_process_distributed_dp_matches_single(tmp_path):
     href = float(jnp.sum(jnp.abs(xhat)))
     assert hcks[0] == hcks[1]
     np.testing.assert_allclose(hcks[0], href, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# backend="pallas" under a mesh (shard_map wrapping)
+#
+# GSPMD cannot partition Mosaic kernels: jax raises NotImplementedError
+# ("Mosaic kernels cannot be automatically partitioned. Please wrap the call
+# in a shard_map.", jax/_src/tpu_custom_call.py) for ANY pallas_call inside a
+# multi-device jit. dist/sharding.py::shard_map_forward is the required
+# wrapper; these tests pin that fit/serve route through it and that the
+# results match the single-device pallas step. Kernels run in interpret mode
+# (CPU); the on-hardware shard_map+Mosaic compile is validated by /verify
+# (see docs/parallelism.md).
+# ---------------------------------------------------------------------------
+
+
+def _force_interpret_2d(monkeypatch):
+    import cdlnet_tpu.kernels.lista2d as k2d
+
+    for name in ("lista2d_fused", "lista2d_fused_bwd"):
+        orig = getattr(k2d, name)
+        monkeypatch.setattr(
+            k2d, name,
+            lambda *a, _o=orig, **kw: _o(*a, **{**kw, "interpret": True}),
+        )
+
+
+def test_shard_map_forward_pallas_matches_single_device(monkeypatch):
+    """Per-shard pallas forward under shard_map == unsharded pallas forward
+    (per-sample kernels; batch split is exact)."""
+    _force_interpret_2d(monkeypatch)
+    from cdlnet_tpu.dist.sharding import shard_map_forward
+
+    model = CDLNet(K=2, M=6, P=5, s=2, adaptive=True, backend="pallas")
+    params = model.init(jax.random.PRNGKey(0), init=True)
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.random((8, 1, 32, 32)).astype(np.float32))
+    sig = jnp.asarray(rng.uniform(20, 30, (8, 1, 1, 1)).astype(np.float32))
+
+    ref = model.apply(params, y, sig, return_z=False)[0]
+
+    mesh = make_mesh({"data": 8})
+    fwd = shard_map_forward(
+        mesh, lambda p, yl, s, m: model.apply(p, yl, s, mask=m,
+                                              return_z=False)[0]
+    )
+    got = jax.jit(lambda p, yv, s: fwd(p, yv, s))(params, y, sig)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+    # scalar sigma replicates instead of sharding
+    ref_s = model.apply(params, y, 25.0, return_z=False)[0]
+    got_s = jax.jit(lambda p, yv: fwd(p, yv, 25.0))(params, y)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s), atol=1e-6)
+
+
+def test_dp_train_step_pallas_backend_matches_single(monkeypatch):
+    """make_train_step(mesh=...) on a pallas-backend model: one full step
+    (fused fwd+bwd inside shard_map, grad psum, Adam, projection) matches
+    the single-device pallas step."""
+    monkeypatch.setenv("CDLNET_HIST_DTYPE", "f32")  # exact-comparison mode
+    _force_interpret_2d(monkeypatch)
+    from cdlnet_tpu.train.fit import make_train_step
+
+    model = CDLNet(K=2, M=6, P=5, s=2, adaptive=True, backend="pallas")
+    params = model.init(jax.random.PRNGKey(0), init=True)
+    opt = make_optimizer(1e-3, clip_grad=0.05)
+    rng = np.random.default_rng(1)
+    batch = jnp.asarray(rng.random((8, 1, 32, 32)).astype(np.float32))
+    key = jax.random.PRNGKey(5)
+
+    step_ref, _ = make_train_step(model, opt, noise_std=(20, 30))
+    p_ref, _, loss_ref = step_ref(params, opt.init(params), batch, key)
+
+    mesh = make_mesh({"data": 8})
+    step_dp, eval_dp = make_train_step(model, opt, noise_std=(20, 30),
+                                       mesh=mesh)
+    from cdlnet_tpu.dist.sharding import batch_sharding, replicate_sharding
+
+    p_d = jax.device_put(params, replicate_sharding(mesh))
+    b_d = jax.device_put(batch, batch_sharding(mesh))
+    p_dp, o_dp, loss_dp = step_dp(p_d, opt.init(p_d), b_d, key)
+
+    np.testing.assert_allclose(float(loss_dp), float(loss_ref), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_dp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-7)
+
+    # ragged eval batch (3 % 8 != 0) falls back to the XLA forward — must
+    # run under the mesh without tripping the Mosaic partitioning error
+    loss_e = eval_dp(p_dp, batch[:3], key)
+    assert np.isfinite(float(loss_e))
+
+
+def test_serve_mesh_pallas_matches_single(monkeypatch):
+    """serve.Denoiser(mesh=...) on a pallas-backend model shard_maps the
+    forward; outputs match the single-device Denoiser. Ragged batches fall
+    back to the replicated XLA forward."""
+    _force_interpret_2d(monkeypatch)
+    from cdlnet_tpu.serve import Denoiser
+
+    model = CDLNet(K=2, M=6, P=5, s=2, adaptive=True, backend="pallas")
+    params = model.init(jax.random.PRNGKey(0), init=True)
+    rng = np.random.default_rng(2)
+    imgs = rng.random((8, 64, 64)).astype(np.float32)
+
+    d_one = Denoiser(model, params)
+    d_mesh = Denoiser(model, params, mesh={"data": -1})
+    ref = d_one.denoise_image_batch(imgs, sigmas=25.0)
+    got = d_mesh.denoise_image_batch(imgs, sigmas=25.0)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    # ragged batch: replicated XLA fallback (bf16-free path) stays close
+    got3 = d_mesh.denoise_image_batch(imgs[:3], sigmas=25.0)
+    ref3 = ref[:3]
+    np.testing.assert_allclose(got3, ref3, atol=5e-3)
+
+
+def test_serve_mesh_csr_video_batch(monkeypatch):
+    """Frame-recurrent (CSR) serving under a mesh: the whole carried-code
+    recurrence runs inside shard_map over the clip batch; outputs match the
+    single-device Denoiser."""
+    _force_interpret_2d(monkeypatch)
+    from cdlnet_tpu.models.base import build_model
+    from cdlnet_tpu.serve import Denoiser
+
+    model = build_model("CDLNet_CSR", {"K": 2, "M": 4, "P": 3, "s": 1,
+                                       "adaptive": True, "backend": "pallas"})
+    params = model.init(jax.random.PRNGKey(0), init=False)
+    for k in ("A", "B", "A2", "B2"):
+        params[k] = params[k] * 0.1
+    rng = np.random.default_rng(4)
+    clips = rng.uniform(0, 1, (8, 1, 4, 32, 32)).astype(np.float32)
+    d_one = Denoiser(model, params, bucket=16)
+    d_mesh = Denoiser(model, params, bucket=16, mesh={"data": -1})
+    ref = d_one.denoise_video(clips, sigma=25)
+    got = d_mesh.denoise_video(clips, sigma=25)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
