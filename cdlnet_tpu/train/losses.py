@@ -147,7 +147,14 @@ _warned_no_vgg = False
 
 def combined_loss(output, target, alpha=1.0, beta=0.01, gamma=0.1):
     """alpha*MSE + beta*VGG-feature MSE + gamma*(1-SSIM) over (N, C, D, H, W)
-    video batches, computed per frame (reference loss.py:17-57)."""
+    video batches, computed per frame (reference loss.py:17-57).
+
+    The perceptual term batches all frames through one VGG forward — for
+    equal-sized frames the batched feature MSE equals the reference's mean
+    of per-frame MSEs (loss.py:20-37). The SSIM term follows the
+    reference's PER-FRAME data_range = output_frame.max() - .min()
+    (loss.py:52; the max/min spans that frame index's whole (N, 3, H, W)
+    slab, matching torch tensor .max()), averaging 1-SSIM over frames."""
     global _warned_no_vgg
     total = alpha * mse_loss(output, target)
     N, C, D, H, W = output.shape
@@ -169,6 +176,13 @@ def combined_loss(output, target, alpha=1.0, beta=0.01, gamma=0.1):
         )
         _warned_no_vgg = True
 
-    drange = jnp.maximum(jnp.max(of3) - jnp.min(of3), 1e-6)
-    total = total + gamma * (1.0 - ssim(of3, tf3, data_range=drange))
+    # per-frame SSIM with per-frame data_range (loss.py:39-55)
+    C3 = 3 if C == 1 else C
+    oft = jnp.swapaxes(of3.reshape(N, D, C3, H, W), 0, 1)  # (D, N, C3, H, W)
+    tft = jnp.swapaxes(tf3.reshape(N, D, C3, H, W), 0, 1)
+    dr = jnp.maximum(
+        oft.max(axis=(1, 2, 3, 4)) - oft.min(axis=(1, 2, 3, 4)), 1e-6
+    )
+    ssim_t = jax.vmap(lambda a, b, d: ssim(a, b, data_range=d))(oft, tft, dr)
+    total = total + gamma * jnp.mean(1.0 - ssim_t)
     return total
