@@ -1,0 +1,252 @@
+#!/usr/bin/env python3
+"""On-hardware kernel-matrix sweep (VERDICT r2 next-round #8).
+
+The interpret-mode fuzz tests cannot catch Mosaic's hardware-only
+rejections (alignment rules on HBM DMA slices, scoped-vmem limits — both
+bit this repo before: the P=(9,9,5) tap-axis misalignment and the 240x432
+pair-path scoped-vmem error surfaced only at first TPU compile). This tool
+compiles and runs EVERY routed pallas path for every committed reference
+geometry once on the real chip and records pass/fail (+ max relative
+deviation vs the XLA backend on identical inputs) to KERNELMATRIX.json at
+the repo root.
+
+Covered (reference config -> paths):
+  args.json / CDLNet-s2030 (K30 M169 P7 s2):  eval 128^2 (whole-K resident),
+      eval 512^2 + 320x480 batch (banded), train 128^2 (fused reverse),
+      train 256^2 (banded reverse)
+  JDD_CDLNet-s0120 (K42 M64 P7 s1 C3 + Bayer mask): eval + train 128^2
+  args3d.json (K30 M169 (7,7,5) s2): eval 16x128^2 (resident 3D), train
+      2x16x128^2 (resident hist fwd + resident reverse), eval DAVIS-native
+      16x240x432 (depth-ring)
+  args3dmri.json (K30 M169 (9,9,5) s2): eval 30x128^2, train 1x30x128^2,
+      eval fastMRI-native 30x320x192 (ring; full 640x368 covered by
+      tools/bench_bigframe3d.py)
+  args3dt.json (K30 M64 P7 s1 3D): eval + train 16x64^2
+  argscsr.json (K30 M169 P9 s2): CSR apply n_codes=0/1 and CSRf2
+      n_codes=2, eval + train, 128^2 frames
+  GDLNet at flagship scale (K30 M169 P7 s2 order1): train 128^2
+
+Native full-resolution frames (480x854 / 640x368) are exercised and timed
+by tools/bench_bigframe3d.py; this sweep uses reduced native-like shapes
+to keep one run under ~10 min while still hitting the same kernels and
+alignment classes.
+
+Usage: python tools/hw_kernel_sweep.py [--out KERNELMATRIX.json]
+Exits nonzero if any case fails to compile/run or deviates grossly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cdlnet_tpu.utils import setup_compilation_cache
+
+
+def _params_for(model, key, scale=None):
+    import jax
+
+    params = model.init(jax.random.PRNGKey(key), init=True)
+    return params
+
+
+def _rel(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float(np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-12))
+
+
+def run_case(name, fn):
+    t0 = time.time()
+    try:
+        out = fn()
+        wall = time.time() - t0
+        row = {"case": name, "ok": True, "sec": round(wall, 1)}
+        if out is not None:
+            row.update(out)
+        print(f"PASS {name} ({wall:.1f}s) {out or ''}", flush=True)
+    except Exception as e:  # noqa: BLE001 — record and continue
+        wall = time.time() - t0
+        row = {"case": name, "ok": False, "sec": round(wall, 1),
+               "error": f"{type(e).__name__}: {str(e)[:300]}"}
+        print(f"FAIL {name} ({wall:.1f}s): {row['error']}", flush=True)
+    return row
+
+
+def main():
+    out_path = "KERNELMATRIX.json"
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+    setup_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from cdlnet_tpu.models import build_model
+
+    print("platform:", jax.devices()[0].platform, flush=True)
+    rows = []
+
+    def both(cfg_type, cfg, y, sigma=25.0, mask=None, train=False,
+             tol=None, **apply_kw):
+        """Run pallas vs xla on identical inputs; return max rel deviation.
+        train=True compares one value_and_grad instead (exercises the
+        reverse kernels)."""
+        outs = {}
+        for backend in ("xla", "pallas"):
+            model = build_model(cfg_type, dict(cfg, backend=backend))
+            params = model.init(jax.random.PRNGKey(0), init=True)
+
+            if train:
+
+                def loss(p, m=model):
+                    xhat = m.apply(p, y, sigma, mask=mask, return_z=False,
+                                   train=True, **apply_kw)[0]
+                    return jnp.mean(xhat * xhat)
+
+                val, g = jax.jit(jax.value_and_grad(loss))(params)
+                gn = jax.tree_util.tree_map(lambda v: jnp.sum(jnp.abs(v)), g)
+                outs[backend] = np.concatenate(
+                    [np.atleast_1d(np.asarray(val))]
+                    + [np.atleast_1d(np.asarray(v))
+                       for v in jax.tree_util.tree_leaves(gn)]
+                )
+            else:
+                xhat = jax.jit(
+                    lambda p, yv, m=model: m.apply(
+                        p, yv, sigma, mask=mask, return_z=False, **apply_kw
+                    )[0]
+                )(params, y)
+                outs[backend] = np.asarray(xhat)
+            # force execution through the tunnel (block_until_ready lies)
+            float(np.sum(outs[backend][:1].astype(np.float64)))
+        rel = _rel(outs["pallas"], outs["xla"])
+        limit = tol if tol is not None else (5e-2 if train else 2e-2)
+        assert np.isfinite(rel) and rel < limit, f"rel dev {rel:.3e} > {limit}"
+        return {"rel_vs_xla": f"{rel:.2e}"}
+
+    rng = np.random.default_rng(0)
+
+    def img(*shape):
+        return jnp.asarray(rng.random(shape).astype(np.float32))
+
+    flag2d = dict(K=30, M=169, P=7, s=2, C=1, adaptive=True)
+    jdd = dict(K=42, M=64, P=7, s=1, C=3, adaptive=True)
+    v3d = dict(K=30, M=169, P=(7, 7, 5), s=2, C=1, adaptive=True, depth=16)
+    mri = dict(K=30, M=169, P=(9, 9, 5), s=2, C=1, adaptive=True, depth=30)
+    v3dt = dict(K=30, M=64, P=(7, 7, 5), s=1, C=1, adaptive=True, depth=16)
+    csr = dict(K=30, M=169, P=9, s=2, C=1, adaptive=True)
+    gab = dict(K=30, M=169, P=7, s=2, C=1, adaptive=True, order=1)
+
+    rows.append(run_case("2d-flagship eval 128^2", lambda: both(
+        "CDLNet", flag2d, img(2, 1, 128, 128))))
+    rows.append(run_case("2d-flagship eval 512^2 banded", lambda: both(
+        "CDLNet", flag2d, img(1, 1, 512, 512))))
+    rows.append(run_case("2d-flagship eval 320x480 banded", lambda: both(
+        "CDLNet", flag2d, img(2, 1, 320, 480))))
+    rows.append(run_case("2d-flagship train 128^2", lambda: both(
+        "CDLNet", flag2d, img(2, 1, 128, 128), train=True)))
+    rows.append(run_case("2d-flagship train 256^2 banded-bwd", lambda: both(
+        "CDLNet", flag2d, img(1, 1, 256, 256), train=True)))
+
+    from cdlnet_tpu.data.noise import gen_bayer_mask
+
+    ym = img(2, 3, 128, 128)
+    mask = gen_bayer_mask(ym)
+    rows.append(run_case("jdd eval 128^2 masked", lambda: both(
+        "CDLNet", jdd, ym * mask, mask=mask)))
+    rows.append(run_case("jdd train 128^2 masked", lambda: both(
+        "CDLNet", jdd, ym * mask, mask=mask, train=True)))
+
+    rows.append(run_case("3d eval 16x128^2 resident", lambda: both(
+        "CDLNetVideo", v3d, img(1, 1, 16, 128, 128))))
+    rows.append(run_case("3d train 2x16x128^2 resident", lambda: both(
+        "CDLNetVideo", v3d, img(2, 1, 16, 128, 128), train=True)))
+    rows.append(run_case("3d eval 16x240x432 ring", lambda: both(
+        "CDLNetVideo", v3d, img(1, 1, 16, 240, 432))))
+
+    rows.append(run_case("mri eval 30x128^2 (9,9,5)", lambda: both(
+        "CDLNetVideo", mri, img(1, 1, 30, 128, 128))))
+    rows.append(run_case("mri train 1x30x128^2 (9,9,5)", lambda: both(
+        "CDLNetVideo", mri, img(1, 1, 30, 128, 128), train=True)))
+    rows.append(run_case("mri eval 30x320x192 ring (9,9,5)", lambda: both(
+        "CDLNetVideo", mri, img(1, 1, 30, 320, 192))))
+
+    rows.append(run_case("3dt eval 16x64^2 s1", lambda: both(
+        "CDLNetVideo", v3dt, img(1, 1, 16, 64, 64))))
+    rows.append(run_case("3dt train 16x64^2 s1", lambda: both(
+        "CDLNetVideo", v3dt, img(1, 1, 16, 64, 64), train=True)))
+
+    # CSR prox modes: n_codes=0 (first frame) is the plain path; n_codes=1
+    # (prox_CSR) and 2 (prox_CSR_f2) stream the prox-argument history
+    def csr_case(model_type, n_codes, train):
+        def fn():
+            import jax
+
+            outs = {}
+            yf = img(1, 1, 128, 128)
+            for backend in ("xla", "pallas"):
+                model = build_model(model_type, dict(csr, backend=backend))
+                params = model.init(jax.random.PRNGKey(0), init=True)
+                zshape = (1, 169, 64, 64)
+                z_prev = 0.1 * img(*zshape) if n_codes >= 1 else None
+                z_after = 0.1 * img(*zshape) if n_codes >= 2 else None
+                kw = {"sigma": 25.0}
+                if model_type == "CDLNet_CSRf2":
+                    kw.update(z_prev=z_prev, z_after=z_after)
+                else:
+                    kw.update(z_prev=z_prev)
+                if train:
+
+                    def loss(p, m=model, kw=kw):
+                        xhat = m.apply(p, yf, train=True, **kw)[0]
+                        return jnp.mean(xhat * xhat)
+
+                    val, g = jax.jit(jax.value_and_grad(loss))(params)
+                    outs[backend] = np.concatenate(
+                        [np.atleast_1d(np.asarray(val))]
+                        + [np.atleast_1d(np.asarray(jnp.sum(jnp.abs(v))))
+                           for v in jax.tree_util.tree_leaves(g)]
+                    )
+                else:
+                    xhat = jax.jit(
+                        lambda p, m=model, kw=kw: m.apply(p, yf, **kw)[0]
+                    )(params)
+                    outs[backend] = np.asarray(xhat)
+                float(np.sum(outs[backend][:1].astype(np.float64)))
+            rel = _rel(outs["pallas"], outs["xla"])
+            limit = 5e-2 if train else 2e-2
+            assert np.isfinite(rel) and rel < limit, f"rel {rel:.3e}"
+            return {"rel_vs_xla": f"{rel:.2e}"}
+
+        return fn
+
+    for mt, nc in (("CDLNet_CSR", 0), ("CDLNet_CSR", 1), ("CDLNet_CSRf2", 2)):
+        for train in (False, True):
+            rows.append(run_case(
+                f"csr {mt} n_codes={nc} {'train' if train else 'eval'}",
+                csr_case(mt, nc, train)))
+
+    rows.append(run_case("gdlnet train 128^2", lambda: both(
+        "GDLNet", gab, img(2, 1, 128, 128), train=True)))
+
+    ok = all(r["ok"] for r in rows)
+    result = {
+        "date": time.strftime("%Y-%m-%d"),
+        "platform": jax.devices()[0].platform,
+        "all_ok": ok,
+        "cases": rows,
+    }
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(f"\n{'ALL PASS' if ok else 'FAILURES'} -> {out_path}")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
