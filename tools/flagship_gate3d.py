@@ -316,6 +316,53 @@ def main():
         else:
             workdir = a
 
+    if cmd == "streaming-curve":
+        # overlap -> PSNR on TRAINED thresholds (VERDICT r2 #2 tail): the
+        # streaming docs claim trained thresholds decay chunk-boundary
+        # error faster than random-init ones; measure it on the gate's
+        # trained checkpoint against whole-clip processing.
+        import jax
+        import jax.numpy as jnp
+
+        from cdlnet_tpu.models.streaming import denoise_long_video
+
+        src = "jax" if os.path.exists(
+            os.path.join(workdir, "jax_net.ckpt.npz")) else "torch"
+        if src == "jax":
+            from cdlnet_tpu.train.checkpoint import load_ckpt
+
+            model, params = _build_jax(workdir, backend="xla")
+            params, _, _, _ = load_ckpt(
+                os.path.join(workdir, "jax_net.ckpt.npz"), params)
+        else:
+            model, params = _build_jax(workdir, backend="xla",
+                                       init_ckpt="torch_net.ckpt")
+        # one long clip: the gate test clips tiled along depth (64 frames)
+        clips = load_clips(workdir, "test")
+        long = np.concatenate([clips[i] for i in range(4)], axis=1)[None]
+        rng = np.random.default_rng(5)
+        noisy = long + TEST_SIGMA / 255.0 * rng.standard_normal(
+            long.shape).astype(np.float32)
+        full = np.asarray(jax.jit(
+            lambda p, y: model.apply(p, y, TEST_SIGMA, return_z=False)[0]
+        )(params, jnp.asarray(noisy)))
+        base = psnr(full, long)
+        print(f"whole-clip ({long.shape[2]} frames) PSNR {base:.3f} dB "
+              f"(ckpt: {src})")
+        rows = []
+        for ov in (0, 1, 2, 4, 6):  # 2*overlap must stay < chunk_depth
+            out = np.asarray(denoise_long_video(
+                model, params, jnp.asarray(noisy), TEST_SIGMA,
+                chunk_depth=16, overlap=ov))
+            p_ = psnr(out, long)
+            rows.append((ov, p_, p_ - base))
+            print(f"overlap {ov}: {p_:.3f} dB (delta vs whole-clip "
+                  f"{p_ - base:+.4f} dB)")
+        with open(os.path.join(workdir, "streaming_curve.json"), "w") as f:
+            json.dump({"ckpt": src, "whole_clip_psnr": base,
+                       "rows": rows}, f, indent=2)
+        return
+
     if cmd == "gen":
         gen(workdir)
     elif cmd == "torch-train":
