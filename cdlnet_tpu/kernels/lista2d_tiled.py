@@ -62,7 +62,8 @@ def _geometry(P, s):
 
 def _band_bytes(M, Cp, T, Bh, Wc, Hh, z_bytes=2, n_codes=0):
     Lb, Lh = Bh * Wc, (Bh + 2 * Hh) * Wc
-    views = 3 * 2 * M * Lb * z_bytes          # double-buffered z band views
+    hs = _sliver_rows(Bh, Hh, Wc)
+    views = 2 * M * (Lb + 2 * hs * Wc) * z_bytes  # z band + 2 slivers
     zh = M * Lh * 4
     stack = T * Cp * max(Lb, Lh) * 4
     synout = T * Cp * Lh * 4
@@ -101,6 +102,26 @@ def _pick_band(M, C, P, s, Hc, Wc, z_bytes=2, n_codes=0):
     return None
 
 
+def _sliver_rows(Bh, G, Wc):
+    """Height of the neighbor-band halo sliver blocks: the smallest
+    power-of-2 divisor of Bh covering the G-row halo (band heights are
+    powers of 2). Reading thin slivers of the b-1/b+1 bands instead of
+    full band views cuts the dominant z HBM read from 3x the band bytes
+    to (1 + 2*hs/Bh)x — e.g. 3x -> 1.25x at Bh=64, G=6.
+
+    Mosaic constraint (hardware-only; interpret mode does not check it):
+    a block's LAST dim must be a multiple of 128 lanes or the full array
+    dim, so the sliver height must also satisfy (hs * Wc) % 128 == 0.
+    When no such height < Bh exists (e.g. odd Wc), returns Bh — the
+    full-band view, degenerating to the original 3-view read."""
+    hs = 1
+    while hs < G:
+        hs *= 2
+    while hs < Bh and (hs * Wc) % 128:
+        hs *= 2
+    return min(hs, Bh)
+
+
 def _halo(refs, Hh, Wc, Bh, dtype=jnp.float32):
     """Build the haloed flat buffer (ch, (Bh+2Hh)*Wc) from three clamped
     band views (above, cur, below) with out-of-image halos zeroed. Pure
@@ -110,7 +131,8 @@ def _halo(refs, Hh, Wc, Bh, dtype=jnp.float32):
     above = above_ref[0, 0].astype(dtype)
     cur = cur_ref[0, 0].astype(dtype)
     below = below_ref[0, 0].astype(dtype)
-    top = jnp.where(b > 0, 1.0, 0.0) * above[:, (Bh - Hh) * Wc :]
+    hu = above.shape[1] // Wc  # neighbor sliver (or full-band) height
+    top = jnp.where(b > 0, 1.0, 0.0) * above[:, (hu - Hh) * Wc :]
     bot = jnp.where(b < nb - 1, 1.0, 0.0) * below[:, : Hh * Wc]
     return jnp.concatenate([top, cur, bot], axis=1)
 
@@ -331,13 +353,20 @@ def lista2d_tiled(yp, A, B, t, c, stride=1, mask=None, return_z=False,
     grid = (N, nb)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
+    hs = _sliver_rows(Bh, Hh, Wc)
+
     def bviews(ch):
-        """Three clamped band views of a (N, nb, ch, Lb) array."""
+        """Clamped band view of a (N, nb, ch, Lb) array plus the two
+        hs-row neighbor halo slivers (only Hh boundary rows are used —
+        full views tripled the dominant HBM read)."""
         out = []
         for db in (-1, 0, 1):
+            rows = Lb if db == 0 else hs * Wc
+            idx = 0 if db >= 0 else Bh // hs - 1
             out.append(pl.BlockSpec(
-                (1, 1, ch, Lb),
-                lambda n, b, db=db: (n, jnp.clip(b + db, 0, nb - 1), 0, 0),
+                (1, 1, ch, rows),
+                lambda n, b, db=db, idx=idx: (
+                    n, jnp.clip(b + db, 0, nb - 1), 0, idx),
                 memory_space=pltpu.VMEM,
             ))
         return out

@@ -1,9 +1,13 @@
 """Depth-ring fused 3D LISTA for big frames — one Pallas call per LISTA
 iteration with synthesis AND analysis merged, the residual r never
 leaving VMEM, and a VMEM ring of haloed code slabs so each z band is
-read from HBM ~3x per iteration instead of the banded pair path's
-3*Qd (+ r round trips) — on a workload that is HBM-bound (measured:
-halving z bytes via bf16 nearly halves wall time).
+read from HBM ~(1 + 2*hs/Bh)x per iteration (~1.1-1.25x: the band plus
+two thin neighbor halo SLIVERS, _sliver_rows) instead of the banded
+pair path's 3*Qd full views (+ r round trips) — on a workload that is
+HBM-bound (measured: halving z bytes via bf16 nearly halves wall
+time). r3 note: the slivers replaced the original 3 full band views —
+z read was the dominant HBM term, 3x352 B/code-pixel/iter of the 1.5 KB
+total.
 
 Targets the reference's own native-resolution eval loops: analyze3d.py
 DAVIS 480x854 clips (analyze3d.py:77-161) and analyzemri.py fastMRI
@@ -16,8 +20,9 @@ scratch carries over; same idiom as the resident kernels' staging
 rings). Each step is a 3-stage software pipeline, skewed by the depth
 tap ranges:
 
-  load     zh[e]   <- 3 clamped band views of z_old at depth e, row-
-                      haloed by G=2*Hh rows into ring slot e % Rz
+  load     zh[e]   <- clamped band view of z_old at depth e plus the
+                      two hs-row neighbor halo slivers, assembled into
+                      a G=2*Hh-row-haloed slab in ring slot e % Rz
                       (b-edge halos zeroed = the conv's zero padding).
   synth    r[e-lat1] on Bh+2*Hh EXTENDED rows (the row halo is
                       recomputed locally, ~Hh/Bh extra MXU work, so the
@@ -38,10 +43,11 @@ depth reaches of synthesis/analysis; output blocks use clamped index
 maps so the first lat steps revisit block 0 (Mosaic copies a revisited
 block out after its LAST visit, so the warmup garbage never lands).
 
-Per-iteration HBM traffic per code pixel (flagship M=169, bf16 carry):
-3 z views (3*352 B) + z_new write (352 B) + y2_ext (~38 B) ~= 1.5 KB vs
-the banded pair path's ~4.2 KB (3*Qd z views + r round trips) — ~2.8x
-less on an HBM-bound path.
+Per-iteration HBM traffic per code pixel (flagship M=169, bf16 carry,
+Bh=64 G=6 hs=8): z band + slivers (1.25*352 B) + z_new write (352 B) +
+y2_ext (~40 B) ~= 0.83 KB vs the banded pair path's ~4.2 KB (3*Qd z
+views + r round trips) — ~5x less on an HBM-bound path (was 1.5 KB /
+~2.8x before the slivers).
 
 First iteration (z = ST(A0 y2, tau0), model/net.py:200-207's k=0) and
 the final dictionary synthesis (x = D z, model/net.py:209) run as
@@ -74,7 +80,7 @@ from jax.experimental import pallas as pl
 
 from cdlnet_tpu.kernels.lista2d import _axis_masks
 from cdlnet_tpu.kernels.lista3d import prep_A2m_3d, prep_B2m_3d
-from cdlnet_tpu.kernels.lista3d_tiled import _geometry3
+from cdlnet_tpu.kernels.lista3d_tiled import _geometry3, _sliver_rows
 from cdlnet_tpu.ops import polyphase as pp
 
 _VMEM_BUDGET = int(100 * 1024 * 1024)
@@ -99,11 +105,12 @@ def _ring_bytes3(M, Cp, Qd, Qh, Qw, Bh, Wc, Hh, nb, dlo, z_bytes=2,
     Lb = Bh * Wc
     Lwr = (Bh + 2 * Hh) * Wc
     Lwz = (Bh + 4 * Hh) * Wc
+    hs = _sliver_rows(Bh, 2 * Hh, Wc)
     lat1, lat2, dhi = _lats(dlo, Qd)
     Rz = max(lat1 + dhi, lat1 + lat2) + 1
     Rr = lat2 - dlo + 1
     n = (
-        3 * 2 * Mp * Lb * z_bytes          # z band views, dbl-buffered
+        2 * Mp * (Lb + 2 * hs * Wc) * z_bytes  # z band + 2 sliver views
         + (2 if use_mask else 1) * 2 * Cp * Lwr * 4  # y2e (+ m2e)
         + 2 * Mp * Lb * z_bytes            # z_new out block
         + Rz * Mp * Lwz * z_bytes          # z slab ring
@@ -120,9 +127,27 @@ def _ring_bytes3(M, Cp, Qd, Qh, Qw, Bh, Wc, Hh, nb, dlo, z_bytes=2,
     return n
 
 
+def _padded_wc(Wc, G):
+    """Code width after zero-column padding for halo-sliver alignment.
+
+    When Wc admits no 128-aligned sliver height below the largest band
+    (odd Wc: gcd(Wc, 128) == 1 forces hs == Bh), pad the code grid to a
+    multiple of 16 columns — then hs = 8 * 2^k always aligns. The pad
+    columns are EXACT: the vm/vme masks zero them on every r and z (the
+    same mechanism that already reproduces the conv's zero padding for
+    ragged band rows), so real columns see zeros beyond the true width —
+    identical to the conv's own zero padding — and outputs are cropped.
+    Costs (Wcp - Wc)/Wc extra compute (1.2% at DAVIS-native Wc=427).
+    """
+    if Wc % 16 and _sliver_rows(128, G, Wc) == 128:
+        return -(-Wc // 16) * 16
+    return Wc
+
+
 def _pick_band_ring(M, C, P, s, Dc, Hc, Wc, z_bytes=2, use_mask=False):
     P_, pads, Qd, Qh, Qw, dlo, hlo, wlo, Hh = _geometry3(P, s)
     Cp = C * s**3
+    Wc = _padded_wc(Wc, 2 * Hh)
     for Bh in (128, 64, 32, 16, 8):
         if Bh < 2 * Hh:
             continue  # halo slices need G=2*Hh rows inside a band
@@ -159,16 +184,19 @@ def _lanepad(x, Lpad):
 def _haloed_value(zu, zc, zd, b, nb, G, Wc, Bh, Lpad):
     """(ch, Lpad) slab value: [G rows of band b-1 | band b | G rows of
     band b+1 | lane padding], out-of-image halos zeroed (= the conv's
-    zero padding). Built as ONE lane-axis concatenate and stored as a
-    FULL ring slot: ring slots must be whole-slab assignments because a
-    lane-partial ref slice of a dynamically indexed slot is a
-    `tpu.memref_slice` that Mosaic requires 128-aligned (hardware
-    compile error: "Slice shape along dimension 2 must be aligned to
-    tiling (128)")."""
+    zero padding). zu/zd are the hs-row halo SLIVER blocks of the
+    neighbor bands (_sliver_rows; hs == Bh degenerates to full views) —
+    only their G boundary rows are used. Built as ONE lane-axis
+    concatenate and stored as a FULL ring slot: ring slots must be
+    whole-slab assignments because a lane-partial ref slice of a
+    dynamically indexed slot is a `tpu.memref_slice` that Mosaic
+    requires 128-aligned (hardware compile error: "Slice shape along
+    dimension 2 must be aligned to tiling (128)")."""
     Lb = Bh * Wc
+    hu = zu.shape[1] // Wc  # sliver height (rows)
     g = jnp.where(b > 0, 1, 0).astype(zu.dtype)
     h = jnp.where(b < nb - 1, 1, 0).astype(zd.dtype)
-    parts = [g * zu[:, (Bh - G) * Wc:], zc, h * zd[:, : G * Wc]]
+    parts = [g * zu[:, (hu - G) * Wc:], zc, h * zd[:, : G * Wc]]
     Lwz = Lb + 2 * G * Wc
     if Lpad != Lwz:
         parts.append(jnp.zeros((zc.shape[0], Lpad - Lwz), zc.dtype))
@@ -335,6 +363,8 @@ def lista3d_ring(yp, A, B, t, c, stride=1, mask=None, return_z=False,
     s = stride
     P, pads, Qd, Qh, Qw, dlo, hlo, wlo, Hh = _geometry3(A.shape[-3:], s)
     Dc, Hc, Wc = D // s, H // s, W // s
+    Wct = Wc  # true code width; Wc below may carry sliver-alignment pad
+    Wc = _padded_wc(Wc, 2 * Hh)
     Cp = C * s**3
     T = Qd * Qh * Qw
     Mp = -(-M // 8) * 8
@@ -362,7 +392,8 @@ def lista3d_ring(yp, A, B, t, c, stride=1, mask=None, return_z=False,
         # (N, Cp, Dc, Hc, Wc) -> (N, Dc, nb, Cp, Lwr): overlapping
         # Hh-row-haloed bands, out-of-image rows zero
         x5 = jnp.pad(
-            x5, ((0, 0), (0, 0), (0, 0), (Hh, Hh + Hcp - Hc), (0, 0)))
+            x5, ((0, 0), (0, 0), (0, 0), (Hh, Hh + Hcp - Hc),
+                 (0, Wc - Wct)))
         idx = np.arange(nb)[:, None] * Bh + np.arange(Er)[None, :]
         xb = x5[:, :, :, idx, :]          # (N, Cp, Dc, nb, Er, Wc)
         return xb.transpose(0, 2, 3, 1, 4, 5).reshape(N, Dc, nb, Cp, Lwr)
@@ -387,14 +418,15 @@ def lista3d_ring(yp, A, B, t, c, stride=1, mask=None, return_z=False,
     acol = jnp.asarray(_axis_masks([wlo + ri for ri in range(Qw)], Bh, Wc, 1))
     scol = jnp.asarray(
         _axis_masks([ri - (Qw - 1) - wlo for ri in range(Qw)], Er, Wc, 1))
+    colv = np.arange(Wc)[None, None, :] < Wct  # sliver-pad columns off
     grow = np.arange(Hcp).reshape(nb, Bh, 1)
     vm = jnp.asarray(
-        np.broadcast_to(grow < Hc, (nb, Bh, Wc)).reshape(nb, 1, Lb)
-        .astype(np.float32))
+        (np.broadcast_to(grow < Hc, (nb, Bh, Wc)) & colv)
+        .reshape(nb, 1, Lb).astype(np.float32))
     gext = (np.arange(nb)[:, None] * Bh
             + np.arange(Er)[None, :] - Hh)[:, :, None]
     vme = jnp.asarray(
-        np.broadcast_to((gext >= 0) & (gext < Hc), (nb, Er, Wc))
+        (np.broadcast_to((gext >= 0) & (gext < Hc), (nb, Er, Wc)) & colv)
         .reshape(nb, 1, Lwr).astype(np.float32))
 
     geom = dict(Qd=Qd, Qh=Qh, Qw=Qw, Cp=Cp, Wc=Wc, Bh=Bh, Hh=Hh,
@@ -407,6 +439,19 @@ def lista3d_ring(yp, A, B, t, c, stride=1, mask=None, return_z=False,
             (1, 1, 1, Mp, Lb),
             lambda n, b, e: (n, jnp.clip(e - dshift, 0, Dc - 1),
                              jnp.clip(b + db, 0, nb - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+
+    hs = _sliver_rows(Bh, G, Wc)
+
+    def zsliver(db, dshift=0):
+        # hs-row halo sliver of the neighbor band (bottom rows for b-1,
+        # top rows for b+1): block index along the flattened row*lane
+        # axis addresses in hs*Wc units (Bh % hs == 0 by construction)
+        idx = Bh // hs - 1 if db < 0 else 0
+        return pl.BlockSpec(
+            (1, 1, 1, Mp, hs * Wc),
+            lambda n, b, e: (n, jnp.clip(e - dshift, 0, Dc - 1),
+                             jnp.clip(b + db, 0, nb - 1), 0, idx),
             memory_space=pltpu.VMEM)
 
     def extview(ch, dshift):
@@ -453,7 +498,7 @@ def lista3d_ring(yp, A, B, t, c, stride=1, mask=None, return_z=False,
                           Rz=Rz, Rr=Rr, Dc=Dc, use_mask=use_mask,
                           z_dtype=z_dtype),
         grid=(N, nb, Dc + lat1 + lat2),
-        in_specs=[zview(-1), zview(0), zview(1),
+        in_specs=[zsliver(-1), zview(0), zsliver(1),
                   extview(Cp, lat1),
                   extview(Cp, lat1) if use_mask else dummyspec,
                   full, full, tauspec, full, full,
@@ -480,7 +525,7 @@ def lista3d_ring(yp, A, B, t, c, stride=1, mask=None, return_z=False,
     x2 = pl.pallas_call(
         functools.partial(_kernel_last, **geom, lat1=lat1, Rz=Rz, Dc=Dc),
         grid=(N, nb, Dc + lat1),
-        in_specs=[zview(-1), zview(0), zview(1),
+        in_specs=[zsliver(-1), zview(0), zsliver(1),
                   full, full, vmspec(Lb)],
         out_specs=outspec(Cp, Lb, lat1),
         out_shape=jax.ShapeDtypeStruct((N, Dc, nb, Cp, Lb), jnp.float32),
@@ -492,7 +537,7 @@ def lista3d_ring(yp, A, B, t, c, stride=1, mask=None, return_z=False,
     x5 = (
         x2.reshape(N, Dc, nb, Cp, Bh, Wc)
         .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(N, Dc, Cp, Hcp, Wc)[:, :, :, :Hc]
+        .reshape(N, Dc, Cp, Hcp, Wc)[:, :, :, :Hc, :Wct]
         .transpose(0, 2, 1, 3, 4)
     )
     xphat = pp.depth_to_space(x5, s, 3, C)
@@ -500,7 +545,7 @@ def lista3d_ring(yp, A, B, t, c, stride=1, mask=None, return_z=False,
         z.astype(jnp.float32)
         .reshape(N, Dc, nb, Mp, Bh, Wc)[:, :, :, :M]
         .transpose(0, 3, 1, 2, 4, 5)
-        .reshape(N, M, Dc, Hcp, Wc)[:, :, :, :Hc]
+        .reshape(N, M, Dc, Hcp, Wc)[:, :, :, :Hc, :Wct]
         if return_z
         else None
     )

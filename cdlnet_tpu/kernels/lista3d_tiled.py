@@ -40,6 +40,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 
 from cdlnet_tpu.kernels.lista2d import _axis_masks
+from cdlnet_tpu.kernels.lista2d_tiled import _sliver_rows
 from cdlnet_tpu.kernels.lista3d import _geom, prep_A2m_3d, prep_B2m_3d
 from cdlnet_tpu.ops import polyphase as pp
 
@@ -62,15 +63,16 @@ def _band_bytes3(M, Cp, Qd, Qh, Qw, Bh, Wc, Hh, z_bytes=2):
     T = Qd * Qh * Qw
     Lb = Bh * Wc
     Lw = (Bh + 2 * Hh) * Wc
+    hs = _sliver_rows(Bh, Hh, Wc)
     syn = (
-        3 * 2 * Mp * Lb * z_bytes      # z band views
+        2 * Mp * (Lb + 2 * hs * Wc) * z_bytes  # z band + 2 sliver views
         + Mp * Lw * 4                  # haloed z (f32 upcast)
         + (Qh * Qw * Cp) * Lw * 4      # merged-dot out
         + 2 * (Qh * Qw * Cp) * Mp * 4  # B2m block
         + 3 * 2 * Cp * Lb * 4          # y2/m2/r blocks
     )
     ana = (
-        3 * Qd * 2 * Cp * Lb * 4       # r band views
+        Qd * 2 * Cp * (Lb + 2 * hs * Wc) * 4  # r band + sliver views
         + Cp * Lw * 4                  # haloed r
         + 2 * 2 * Mp * Lb * z_bytes    # z in + z out blocks
         + T * Cp * Lb * z_bytes        # tap stack
@@ -105,9 +107,12 @@ def lista3d_tiled_supported(M, C, P, s, K, D, H, W, residual=None,
 
 
 def _halo_vals(above, cur, below, b, nb, Hh, Wc, Bh):
-    """Haloed flat (ch, (Bh+2Hh)*Wc) buffer from three clamped band
-    values, out-of-image halos zeroed (= the conv's zero padding)."""
-    top = jnp.where(b > 0, 1.0, 0.0) * above[:, (Bh - Hh) * Wc:]
+    """Haloed flat (ch, (Bh+2Hh)*Wc) buffer from a clamped band value and
+    its two neighbor halo SLIVERS (hs-row blocks, _sliver_rows — full
+    bands degenerate correctly), out-of-image halos zeroed (= the conv's
+    zero padding)."""
+    hu = above.shape[1] // Wc  # sliver (or full-band) height
+    top = jnp.where(b > 0, 1.0, 0.0) * above[:, (hu - Hh) * Wc:]
     bot = jnp.where(b < nb - 1, 1.0, 0.0) * below[:, : Hh * Wc]
     return jnp.concatenate([top, cur, bot], axis=1)
 
@@ -244,6 +249,7 @@ def lista3d_tiled(yp, A, B, t, c, stride=1, mask=None, return_z=False,
     Hcp = -(-Hc // Bh) * Bh
     nb = Hcp // Bh
     Lb = Bh * Wc
+    hs = _sliver_rows(Bh, Hh, Wc)  # neighbor halo sliver height
 
     A2m = prep_A2m_3d(A, s, pads).astype(z_dtype)          # (K, Mp, T*Cp)
     B2m = prep_B2m_3d(B, s, pads).reshape(K, Qd, Qh * Qw * Cp, Mp)
@@ -313,14 +319,18 @@ def lista3d_tiled(yp, A, B, t, c, stride=1, mask=None, return_z=False,
     def synthesize(z, B2m_k, sub_y):
         kern = functools.partial(_kernel_syn3_band, **geom,
                                  use_mask=use_mask, sub_y=sub_y)
-        # three band views of z at the j-th depth tap: both indices clamped
+        # band view of z at the j-th depth tap plus the two hs-row
+        # neighbor halo slivers (the kernel uses only Hh boundary rows of
+        # the neighbors; reading full bands tripled the dominant z read)
         zviews = []
         for db in (-1, 0, 1):
+            rows = Lb if db == 0 else hs * Wc
+            idx = 0 if db >= 0 else Bh // hs - 1
             zviews.append(pl.BlockSpec(
-                (1, 1, 1, Mp, Lb),
-                lambda n, d, b, j, db=db: (
+                (1, 1, 1, Mp, rows),
+                lambda n, d, b, j, db=db, idx=idx: (
                     n, jnp.clip(d + j - (Qd - 1) - dlo, 0, Dc - 1),
-                    jnp.clip(b + db, 0, nb - 1), 0, 0),
+                    jnp.clip(b + db, 0, nb - 1), 0, idx),
                 memory_space=pltpu.VMEM,
             ))
         return pl.pallas_call(
@@ -347,11 +357,13 @@ def lista3d_tiled(yp, A, B, t, c, stride=1, mask=None, return_z=False,
         rviews = []
         for j in range(Qd):
             for db in (-1, 0, 1):
+                rows = Lb if db == 0 else hs * Wc
+                idx = 0 if db >= 0 else Bh // hs - 1
                 rviews.append(pl.BlockSpec(
-                    (1, 1, 1, Cp, Lb),
-                    lambda n, d, b, j=j, db=db: (
+                    (1, 1, 1, Cp, rows),
+                    lambda n, d, b, j=j, db=db, idx=idx: (
                         n, jnp.clip(d + dlo + j, 0, Dc - 1),
-                        jnp.clip(b + db, 0, nb - 1), 0, 0),
+                        jnp.clip(b + db, 0, nb - 1), 0, idx),
                     memory_space=pltpu.VMEM,
                 ))
         return pl.pallas_call(

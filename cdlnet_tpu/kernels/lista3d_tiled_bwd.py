@@ -60,6 +60,7 @@ from cdlnet_tpu.kernels.lista3d_tiled import (
     _VMEM_BUDGET,
     _geometry3,
     _pick_band3,
+    _sliver_rows,
 )
 from cdlnet_tpu.ops import polyphase as pp
 
@@ -71,8 +72,9 @@ def _bwd_bytes3(M, Cp, Qd, Qh, Qw, Bh, Wc, Hh, hist_bytes=2):
     T = Qd * Qh * Qw
     Lb = Bh * Wc
     Lw2 = (Bh + 2 * (Hh + 1)) * Wc
+    hs = _sliver_rows(Bh, Hh, Wc)
     ds_builder = (
-        3 * 2 * Mp * Lb * 4            # dv band views (f32)
+        2 * Mp * (Lb + 2 * hs * Wc) * 4  # dv band + 2 sliver views (f32)
         + Mp * Lw2 * 4                 # haloed dv window
         + 2 * (Qh * Qw * Cp) * Mp * 4  # A_syn bank block
         + (Qh * Qw * Cp) * Lw2 * 4     # transposed-bank dot out
@@ -80,7 +82,7 @@ def _bwd_bytes3(M, Cp, Qd, Qh, Qw, Bh, Wc, Hh, hist_bytes=2):
         + Qw * Lw2 * 4                 # acolw mask
     )
     dz_builder = (
-        3 * Qd * 2 * Cp * Lb * 4 * 2   # ds + r band views
+        Qd * 2 * Cp * (Lb + 2 * hs * Wc) * 4 * 2  # ds + r band/sliver views
         + Cp * Lw2 * 4                 # haloed window transient
         + 2 * Mp * Lb * hist_bytes     # z_{k-1} block
         + 2 * 2 * Mp * Lb * 4          # dv in + dv out blocks
@@ -135,9 +137,9 @@ def _halo2(above, cur, below, b, nb, Hh, Wc):
     rows keep every in-kernel roll-back in-buffer: roll reach is at most
     Hh rows plus one lane-crossing row, so reads land either on real
     halo data or on a zero row — never wrap around to the far end."""
-    Bh = cur.shape[1] // Wc
+    hu = above.shape[1] // Wc  # neighbor sliver (or full-band) height
     zrow = jnp.zeros((cur.shape[0], Wc), cur.dtype)
-    top = jnp.where(b > 0, 1.0, 0.0) * above[:, (Bh - Hh) * Wc:]
+    top = jnp.where(b > 0, 1.0, 0.0) * above[:, (hu - Hh) * Wc:]
     bot = jnp.where(b < nb - 1, 1.0, 0.0) * below[:, : Hh * Wc]
     return jnp.concatenate([zrow, top, cur, bot, zrow], axis=1)
 
@@ -371,6 +373,7 @@ def lista3d_tiled_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
 
     geom = dict(Qd=Qd, Qh=Qh, Qw=Qw, Cp=Cp, Wc=Wc, Bh=Bh, Hh=Hh,
                 dlo=dlo, hlo=hlo, wlo=wlo)
+    hs = _sliver_rows(Bh, Hh, Wc)  # neighbor halo sliver height
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     cparams = pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024)
 
@@ -387,11 +390,13 @@ def lista3d_tiled_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
         kern = functools.partial(_kernel_ds_band, **geom, use_mask=use_mask)
         dvviews = []
         for db in (-1, 0, 1):
+            rows = Lb if db == 0 else hs * Wc
+            idx = 0 if db >= 0 else Bh // hs - 1
             dvviews.append(pl.BlockSpec(
-                (1, 1, 1, Mp, Lb),
-                lambda n, d, b, j, db=db: (
+                (1, 1, 1, Mp, rows),
+                lambda n, d, b, j, db=db, idx=idx: (
                     n, jnp.clip(d + j - (Qd - 1) - dlo, 0, Dc - 1),
-                    jnp.clip(b + db, 0, nb - 1), 0, 0),
+                    jnp.clip(b + db, 0, nb - 1), 0, idx),
                 memory_space=pltpu.VMEM,
             ))
         return pl.pallas_call(
@@ -421,11 +426,13 @@ def lista3d_tiled_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
         for src in range(2):  # 0: ds views, 1: r views
             for j in range(Qd):
                 for db in (-1, 0, 1):
+                    rows = Lb if db == 0 else hs * Wc
+                    idx = 0 if db >= 0 else Bh // hs - 1
                     views.append(pl.BlockSpec(
-                        (1, 1, 1, Cp, Lb),
-                        lambda n, d, b, j=j, db=db: (
+                        (1, 1, 1, Cp, rows),
+                        lambda n, d, b, j=j, db=db, idx=idx: (
                             n, jnp.clip(d + dlo + j, 0, Dc - 1),
-                            jnp.clip(b + db, 0, nb - 1), 0, 0),
+                            jnp.clip(b + db, 0, nb - 1), 0, idx),
                         memory_space=pltpu.VMEM,
                     ))
         base = [ds] * (3 * Qd) + [rkm1] * (3 * Qd) + [zkm1]
