@@ -62,7 +62,12 @@ def _rel(a, b):
     return float(np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-12))
 
 
+_ONLY = [None]
+
+
 def run_case(name, fn):
+    if _ONLY[0] is not None and _ONLY[0] not in name:
+        return {"case": name, "ok": True, "skipped": True}
     t0 = time.time()
     try:
         out = fn()
@@ -83,6 +88,10 @@ def main():
     out_path = "KERNELMATRIX.json"
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
+    _ONLY[0] = only
     setup_compilation_cache()
     import jax
     import jax.numpy as jnp
@@ -104,12 +113,12 @@ def main():
 
             if train:
 
-                def loss(p, m=model):
-                    xhat = m.apply(p, y, sigma, mask=mask, return_z=False,
+                def loss(p, y_, mk, m=model):
+                    xhat = m.apply(p, y_, sigma, mask=mk, return_z=False,
                                    train=True, **apply_kw)[0]
                     return jnp.mean(xhat * xhat)
 
-                val, g = jax.jit(jax.value_and_grad(loss))(params)
+                val, g = jax.jit(jax.value_and_grad(loss))(params, y, mask)
                 gn = jax.tree_util.tree_map(lambda v: jnp.sum(jnp.abs(v)), g)
                 outs[backend] = np.concatenate(
                     [np.atleast_1d(np.asarray(val))]
@@ -118,10 +127,10 @@ def main():
                 )
             else:
                 xhat = jax.jit(
-                    lambda p, yv, m=model: m.apply(
-                        p, yv, sigma, mask=mask, return_z=False, **apply_kw
+                    lambda p, yv, mk, m=model: m.apply(
+                        p, yv, sigma, mask=mk, return_z=False, **apply_kw
                     )[0]
-                )(params, y)
+                )(params, y, mask)
                 outs[backend] = np.asarray(xhat)
             # force execution through the tunnel (block_until_ready lies)
             float(np.sum(outs[backend][:1].astype(np.float64)))
@@ -189,25 +198,36 @@ def main():
             import jax
 
             outs = {}
+            # inputs drawn ONCE, outside the backend loop: the shared rng
+            # otherwise hands each arm different neighbor codes (caught as
+            # a false 2.6e-1 CSRf2 "failure" — with gamma=0 thresholds the
+            # one-sided prox cancels z_prev analytically, masking the bug
+            # for n_codes=1)
             yf = img(1, 1, 128, 128)
+            zshape = (1, 169, 64, 64)
+            z_prev = 0.1 * img(*zshape) if n_codes >= 1 else None
+            z_after = 0.1 * img(*zshape) if n_codes >= 2 else None
             for backend in ("xla", "pallas"):
                 model = build_model(model_type, dict(csr, backend=backend))
                 params = model.init(jax.random.PRNGKey(0), init=True)
-                zshape = (1, 169, 64, 64)
-                z_prev = 0.1 * img(*zshape) if n_codes >= 1 else None
-                z_after = 0.1 * img(*zshape) if n_codes >= 2 else None
                 kw = {"sigma": 25.0}
                 if model_type == "CDLNet_CSRf2":
                     kw.update(z_prev=z_prev, z_after=z_after)
                 else:
                     kw.update(z_prev=z_prev)
+                # inputs are jit ARGUMENTS, never closed-over constants:
+                # the TPU-XLA const-fusion miscompile (CLAUDE.md,
+                # tools/probe_xla_const_fusion.py) silently corrupts the
+                # XLA arm when eval arrays are embedded in the program
+                # (observed here: a false rel=2.6e-1 "failure" on the
+                # CSRf2 eval case whose kernel was bit-exact)
                 if train:
 
-                    def loss(p, m=model, kw=kw):
-                        xhat = m.apply(p, yf, train=True, **kw)[0]
+                    def loss(p, yf_, kw_, m=model):
+                        xhat = m.apply(p, yf_, train=True, **kw_)[0]
                         return jnp.mean(xhat * xhat)
 
-                    val, g = jax.jit(jax.value_and_grad(loss))(params)
+                    val, g = jax.jit(jax.value_and_grad(loss))(params, yf, kw)
                     outs[backend] = np.concatenate(
                         [np.atleast_1d(np.asarray(val))]
                         + [np.atleast_1d(np.asarray(jnp.sum(jnp.abs(v))))
@@ -215,8 +235,8 @@ def main():
                     )
                 else:
                     xhat = jax.jit(
-                        lambda p, m=model, kw=kw: m.apply(p, yf, **kw)[0]
-                    )(params)
+                        lambda p, yf_, kw_, m=model: m.apply(p, yf_, **kw_)[0]
+                    )(params, yf, kw)
                     outs[backend] = np.asarray(xhat)
                 float(np.sum(outs[backend][:1].astype(np.float64)))
             rel = _rel(outs["pallas"], outs["xla"])
