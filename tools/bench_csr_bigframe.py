@@ -53,7 +53,7 @@ def bench_case(name, D, backends=("xla", "pallas"), R=5):
         @jax.jit
         def run(p, y):
             def body(c, _):
-                out = loop(model, p, c, sigma=25.0)
+                out = loop(model, p, c, sigma=25.0)[0]  # (denoised, z)
                 return y + 0.0 * jnp.mean(out), jnp.mean(out)
             _, outs = jax.lax.scan(body, y, None, length=R)
             return jnp.sum(outs)
