@@ -1425,3 +1425,51 @@ def test_tiled_csr_gate_covers_native_mri_frames():
                                            return_z=True, n_codes=n_codes)
         assert lista2d_tiled_supported(169, 1, 9, 2, 30, 640, 368,
                                        n_codes=n_codes)
+
+
+def test_sliver_rows_alignment_invariants():
+    """Halo-sliver heights must satisfy Mosaic's last-dim block rule
+    ((hs*Wc) % 128 == 0) or degenerate to the full band — the rule is
+    hardware-only (interpret mode never checks it), so pin it here."""
+    from cdlnet_tpu.kernels.lista2d_tiled import _sliver_rows
+
+    for Bh in (8, 16, 32, 64, 128):
+        for G in (1, 2, 3, 4, 6, 8, 12):
+            for Wc in (16, 27, 64, 184, 216, 427, 432):
+                hs = _sliver_rows(Bh, G, Wc)
+                assert Bh % hs == 0, (Bh, G, Wc, hs)
+                assert hs >= min(G, Bh), (Bh, G, Wc, hs)
+                assert hs == Bh or (hs * Wc) % 128 == 0, (Bh, G, Wc, hs)
+
+
+def test_ring_padded_wc():
+    """Odd code widths (DAVIS-native Wc=427) pad to a multiple of 16 so an
+    aligned sliver exists; widths that already admit one stay unpadded."""
+    from cdlnet_tpu.kernels.lista3d_ring import _padded_wc
+
+    assert _padded_wc(427, 6) == 432   # DAVIS-native: no aligned hs -> pad
+    assert _padded_wc(216, 6) == 216   # hs=16 aligns -> no pad
+    assert _padded_wc(184, 8) == 184   # fastMRI-native: hs=16 aligns
+    assert _padded_wc(64, 6) == 64     # power-of-2 widths align at hs=8
+    assert _padded_wc(27, 4) == 32
+
+
+def test_ring3d_odd_width_stride2_matches_scan_interpret():
+    """s=2 ring with an odd code width (Wc=27 -> column-padded to 32):
+    the pad columns are zeroed by the vm masks every iteration and the
+    outputs cropped — must match the XLA scan exactly (fp32 carry)."""
+    s, P, C, M, K = 2, (5, 5, 3), 1, 8, 3
+    shape = (1, C, 8, 48, 54)  # W=54 -> Wc=27 (odd)
+    yp, A, B, t = _mk3d(s, P, C, M, K, shape)
+    c = jnp.asarray([0.15]).reshape(1, 1, 1, 1, 1)
+    z_ref = lista_3d(yp, A, B, t, c, stride=s)
+    pads = tuple(p // 2 for p in P)
+    x_ref = conv_transpose3d(
+        z_ref, B[0], stride=s, padding=pads, output_padding=s - 1
+    )
+    from cdlnet_tpu.kernels.lista3d_ring import lista3d_ring
+
+    x, z = lista3d_ring(yp, A, B, t, c, stride=s, return_z=True,
+                        z_dtype=jnp.float32, interpret=True, band=8)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref), atol=1e-4)
