@@ -178,6 +178,9 @@ def main():
         "CDLNetVideo", v3d, img(2, 1, 16, 128, 128), train=True)))
     rows.append(run_case("3d eval 16x240x432 ring", lambda: both(
         "CDLNetVideo", v3d, img(1, 1, 16, 240, 432))))
+    rows.append(run_case("3d train 8x256^2 banded", lambda: both(
+        "CDLNetVideo", dict(v3d, depth=8), img(1, 1, 8, 256, 256),
+        train=True)))
 
     rows.append(run_case("mri eval 30x128^2 (9,9,5)", lambda: both(
         "CDLNetVideo", mri, img(1, 1, 30, 128, 128))))
