@@ -20,6 +20,7 @@ torch is used only here, lazily — the rest of the framework never imports it.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -140,6 +141,231 @@ def _jnpify(obj):
     return jnp.asarray(obj)
 
 
+def param_order(model) -> list:
+    """The reference nets' `net.parameters()` ordering, as addresses into our
+    params pytree.
+
+    torch.optim state dicts key their per-parameter state by INDEX into the
+    flat parameter list handed to the optimizer — `Adam(net.parameters())`
+    (train.py:200) — so importing Adam moments requires reproducing that
+    order exactly. `named_parameters` yields the module's own parameters in
+    registration order, then each submodule's in registration order,
+    de-duplicating aliases (D = B[0], net.py:34; GDLNet's shared Gabor
+    parameter objects, net.py:607-622) at first occurrence. Orders below were
+    verified against the live reference modules (see
+    tools/opt_state_gate.py).
+
+    Returns a list of (key, index) addresses: `params[key]` when index is
+    None, else `params[key][index]` (stacked per-iteration leaves).
+    """
+    from cdlnet_tpu.models import (
+        CDLNet,
+        CDLNetVideo,
+        GDLNet,
+        CDLNetCSR,
+        CDLNetCSRf2,
+        DnCNN,
+        FFDNet,
+    )
+
+    K = getattr(model, "K", None)
+
+    def banks(*names):
+        return [(nm, k) for nm in names for k in range(K)]
+
+    if isinstance(model, CDLNetVideo):
+        order = [("t", None)] + banks("A", "B")
+        if model.residual:
+            for k in range(K):
+                order += [(("residual", "conv1"), k), (("residual", "conv2"), k)]
+        return order
+    if isinstance(model, CDLNet):
+        return [("t", None), ("g", None)] + banks("A", "B")
+    if isinstance(model, CDLNetCSRf2):
+        return [("t", None), ("g1", None), ("g2", None)] + banks("A", "B")
+    if isinstance(model, CDLNetCSR):
+        return [("t", None), ("t2", None), ("g", None)] + banks("A", "B", "A2", "B2")
+    if isinstance(model, GDLNet):
+        # per-op params in ConvAdjoint2dGabor registration order (gabor.py:36-39)
+        # with shared objects dedup'd: a/w0/psi shared -> only op 0 owns them;
+        # alpha shared -> A.0 and B.0/B.1 own it (B[0] is the dictionary and
+        # never shares alpha, net.py:611-613)
+        order = [("t", None)]
+        for bank in ("A", "B"):
+            for k in range(K):
+                for name in ("alpha", "a", "w0", "psi"):
+                    if not model._is_shared(name):
+                        order.append((f"{bank}_{name}", k))
+                    elif name == "alpha":
+                        if bank == "A" and k == 0:
+                            order.append(("A_alpha", None))
+                        elif bank == "B" and k <= 1:
+                            order.append(("B_alpha", k))
+                    elif k == 0:
+                        order.append((f"{bank}_{name}", None))
+        return order
+    if isinstance(model, (DnCNN, FFDNet)):
+        dn = model.dncnn if isinstance(model, FFDNet) else model
+        nmid = dn.K - 2
+        order = [("w_in", None), ("b_in", None)]
+        for i in range(nmid):
+            order += [("w_mid", i), ("bn_scale", i), ("bn_bias", i)]
+        return order + [("w_out", None), ("b_out", None)]
+    raise NotImplementedError(type(model))
+
+
+def _leaf_get(params, addr):
+    key, idx = addr
+    leaf = params
+    for part in key if isinstance(key, tuple) else (key,):
+        leaf = leaf[part]
+    return leaf if idx is None else leaf[idx]
+
+
+def _leaf_set(tree, addr, value):
+    """In-place write into a NUMPY pytree (full leaf or stacked slice)."""
+    key, idx = addr
+    parts = key if isinstance(key, tuple) else (key,)
+    parent = tree
+    for part in parts[:-1]:
+        parent = parent[part]
+    if idx is None:
+        parent[parts[-1]] = np.asarray(value, dtype=parent[parts[-1]].dtype)
+    else:
+        parent[parts[-1]][idx] = np.asarray(value)
+
+
+def _find_adam(opt_state):
+    """(inject_hyperparams wrapper, ScaleByAdamState) inside the optimizer
+    chain built by train.optim.make_optimizer."""
+    for i, s in enumerate(opt_state):
+        if hasattr(s, "hyperparams"):
+            for j, inner in enumerate(s.inner_state):
+                if hasattr(inner, "mu"):
+                    return i, s, j, inner
+    raise ValueError("no Adam state found in opt_state")
+
+
+def import_opt_state(model, opt_sd: dict, opt_state, params):
+    """Map a torch Adam `opt_state_dict` onto our optax opt_state so a
+    torch-trained run resumes with identical training dynamics.
+
+    The reference resume restores optimizer state (train.py:232-247:
+    `opt.load_state_dict(ckpt['opt_state_dict'])`). torch Adam state is
+    {'state': {idx: {'step', 'exp_avg', 'exp_avg_sq'}}, 'param_groups':
+    [{'lr', 'betas', 'eps', 'params': [idx...]}]} — exp_avg/exp_avg_sq map
+    1:1 onto optax ScaleByAdamState mu/nu (same update rule and bias
+    correction; optax increments count before use exactly as torch uses the
+    incremented `step`), and the live param-group lr overwrites the injected
+    learning_rate hyperparameter. Params the torch run never gave state
+    (never received a gradient) keep zero moments — torch lazily initializes
+    to zeros too. Returns a new opt_state.
+    """
+    order = param_order(model)
+    idxs = [i for g in opt_sd["param_groups"] for i in g["params"]]
+    if len(idxs) != len(order):
+        raise ValueError(
+            f"torch optimizer tracks {len(idxs)} params, model maps {len(order)}"
+        )
+    tstate = opt_sd.get("state", {})
+
+    i, inj, j, adam = _find_adam(opt_state)
+    mu = jax.tree_util.tree_map(lambda x: np.zeros(x.shape, np.float32), params)
+    nu = jax.tree_util.tree_map(lambda x: np.zeros(x.shape, np.float32), params)
+    step = 0
+    for pos, addr in zip(idxs, order):
+        st = tstate.get(pos) or tstate.get(str(pos))
+        if st is None:
+            continue
+        _leaf_set(mu, addr, st["exp_avg"])
+        _leaf_set(nu, addr, st["exp_avg_sq"])
+        step = max(step, int(np.asarray(st["step"])))
+
+    count = jnp.asarray(step, jnp.int32)
+    adam = adam._replace(count=count, mu=_jnpify(mu), nu=_jnpify(nu))
+    inner = tuple(adam if jj == j else s for jj, s in enumerate(inj.inner_state))
+    group = opt_sd["param_groups"][0]
+    inj.hyperparams["learning_rate"] = jnp.asarray(group["lr"], jnp.float32)
+    if "betas" in group:
+        inj.hyperparams["b1"] = jnp.asarray(group["betas"][0], jnp.float32)
+        inj.hyperparams["b2"] = jnp.asarray(group["betas"][1], jnp.float32)
+    if "eps" in group:
+        inj.hyperparams["eps"] = jnp.asarray(group["eps"], jnp.float32)
+    inj = inj._replace(count=count, inner_state=inner)
+    return tuple(inj if ii == i else s for ii, s in enumerate(opt_state))
+
+
+def export_opt_state(model, opt_state, params) -> dict:
+    """Inverse of import_opt_state: optax opt_state -> torch Adam
+    opt_state_dict (numpy values), so checkpoints written here resume in the
+    reference with intact moments (train.py:232-247)."""
+    order = param_order(model)
+    _, inj, _, adam = _find_adam(opt_state)
+    step = int(np.asarray(adam.count))
+    state = {}
+    for pos, addr in enumerate(order):
+        state[pos] = {
+            "step": np.float32(step),
+            "exp_avg": np.asarray(_leaf_get(adam.mu, addr)),
+            "exp_avg_sq": np.asarray(_leaf_get(adam.nu, addr)),
+        }
+    hp = inj.hyperparams
+    return {
+        "state": state,
+        "param_groups": [
+            {
+                "lr": float(np.asarray(hp["learning_rate"])),
+                "betas": (
+                    float(np.asarray(hp.get("b1", 0.9))),
+                    float(np.asarray(hp.get("b2", 0.999))),
+                ),
+                "eps": float(np.asarray(hp.get("eps", 1e-8))),
+                "weight_decay": 0,
+                "amsgrad": False,
+                "maximize": False,
+                "foreach": None,
+                "capturable": False,
+                "differentiable": False,
+                "fused": None,
+                "params": list(range(len(order))),
+            }
+        ],
+    }
+
+
+def import_sched_state(sched_sd: dict | None) -> dict | None:
+    """torch StepLR sched_state_dict -> {step_size, gamma, base_lr,
+    last_epoch} for fit()'s host-side StepLR policy (train.py:144-148).
+    Returns None when absent."""
+    if not sched_sd:
+        return None
+    return {
+        "step_size": int(sched_sd["step_size"]),
+        "gamma": float(sched_sd["gamma"]),
+        "base_lr": float(sched_sd["base_lrs"][0]),
+        "last_epoch": int(sched_sd["last_epoch"]),
+    }
+
+
+def export_sched_state(sched: dict | None, lr: float, epoch: int) -> dict | None:
+    """fit()'s sched spec -> torch StepLR state dict shape."""
+    if sched is None:
+        return None
+    gamma = float(sched["gamma"])
+    step_size = int(sched["step_size"])
+    decays = epoch // step_size
+    return {
+        "step_size": step_size,
+        "gamma": gamma,
+        "base_lrs": [lr / (gamma**decays) if gamma else lr],
+        "last_epoch": epoch,
+        "_step_count": epoch + 1,
+        "verbose": False,
+        "_get_lr_called_within_step": False,
+        "_last_lr": [lr],
+    }
+
+
 def export_net_state(model, params) -> dict:
     """Inverse of import_net_state: params pytree -> torch-style state dict
     (numpy values), so checkpoints written here load in the reference."""
@@ -219,17 +445,38 @@ def export_net_state(model, params) -> dict:
     return sd
 
 
-def save_torch_checkpoint(path: str, model, params, epoch: int = 0):
-    """Write a reference-format .ckpt readable by the torch codebase."""
+def save_torch_checkpoint(path: str, model, params, epoch: int = 0,
+                          opt_state=None, sched: dict | None = None,
+                          lr: float | None = None):
+    """Write a reference-format .ckpt readable by the torch codebase.
+
+    With opt_state given, the Adam moments are exported too so the reference
+    resumes mid-flight with intact training dynamics (train.py:232-247);
+    sched (fit()'s {step_size, gamma} spec) and the live lr reconstruct the
+    StepLR state dict."""
     import torch
 
-    sd = {k: torch.from_numpy(np.array(v)) for k, v in export_net_state(model, params).items()}
+    def t(obj):
+        if isinstance(obj, dict):
+            return {k: t(v) for k, v in obj.items()}
+        if isinstance(obj, (list, tuple)):
+            return type(obj)(t(v) for v in obj)
+        if isinstance(obj, np.ndarray):
+            return torch.from_numpy(np.array(obj))
+        return obj
+
+    opt_sd = None
+    if opt_state is not None:
+        opt_sd = export_opt_state(model, opt_state, params)
+        if lr is None:
+            lr = opt_sd["param_groups"][0]["lr"]
+    sched_sd = export_sched_state(sched, lr, epoch) if lr is not None else None
     torch.save(
         {
             "epoch": epoch,
-            "net_state_dict": sd,
-            "opt_state_dict": None,
-            "sched_state_dict": None,
+            "net_state_dict": t(export_net_state(model, params)),
+            "opt_state_dict": t(opt_sd),
+            "sched_state_dict": sched_sd,
         },
         path,
     )

@@ -89,7 +89,12 @@ def init_model(args: dict, seed: int = 0):
             if lr_saved is not None:
                 opt_state = set_lr(opt_state, lr_saved)
         else:  # reference torch checkpoint
-            from cdlnet_tpu.compat import import_net_state, load_torch_checkpoint
+            from cdlnet_tpu.compat import (
+                import_net_state,
+                import_opt_state,
+                import_sched_state,
+                load_torch_checkpoint,
+            )
 
             ckpt = load_torch_checkpoint(ckpt_path)
             imported = import_net_state(model, ckpt["net_state_dict"])
@@ -99,6 +104,23 @@ def init_model(args: dict, seed: int = 0):
                 params = imported
             epoch0 = ckpt.get("epoch") or 0
             opt_state = opt.init(params)
+            # resume restores optimizer AND scheduler state (train.py:232-247):
+            # Adam moments map onto the optax state, StepLR's live lr onto the
+            # injected hyperparameter — without this, resuming a torch run
+            # silently resets moments and training dynamics diverge
+            if ckpt.get("opt_state_dict") is not None:
+                opt_state = import_opt_state(
+                    model, ckpt["opt_state_dict"], opt_state, params
+                )
+                lr = get_lr(opt_state)
+            else:
+                sched_st = import_sched_state(ckpt.get("sched_state_dict"))
+                if sched_st is not None:
+                    lr = sched_st["base_lr"] * (
+                        sched_st["gamma"]
+                        ** (sched_st["last_epoch"] // sched_st["step_size"])
+                    )
+                    opt_state = set_lr(opt_state, lr)
 
     if state is not None:
         return model, (params, state), opt, opt_state, epoch0, lr
