@@ -53,7 +53,7 @@ def subband_shardings(params: dict, mesh: Mesh, axis: str = "model") -> dict:
     return out
 
 
-def shard_map_forward(mesh: Mesh, fn, axis: str = "data"):
+def shard_map_forward(mesh: Mesh, fn, axis: str = "data", sigma_spec=None):
     """Wrap a forward `fn(params, y, sigma, mask) -> xhat` in shard_map over
     the batch dim — REQUIRED for backend="pallas" models under a mesh.
 
@@ -75,13 +75,39 @@ def shard_map_forward(mesh: Mesh, fn, axis: str = "data"):
     compose with the fused kernels — the kernels contract over the full M
     internally. TP runs on backend="xla" (docs/parallelism.md).
 
-    sigma handling: None is dropped; arrays whose dim 0 equals the batch are
-    sharded with it; scalars/broadcast shapes replicate. mask (when given)
-    is batch-shaped and shards with y. Callers guarantee
-    y.shape[0] % mesh.shape[axis] == 0 (fit enforces it for train batches;
-    ragged eval/serve batches fall back to an XLA-backend forward).
+    sigma handling: None is dropped; scalars replicate; per-sample arrays
+    shard with the batch but must be UNAMBIGUOUSLY per-sample — shaped
+    (N, 1, ...) broadcastable against y (the models' convention, see
+    data/noise.awgn) or exactly y-shaped. A bare (N,)-shaped array is
+    rejected: its leading dim coinciding with the batch size cannot be told
+    apart from a broadcast-intended vector, and silently sharding it would
+    hand each device a wrong sigma slice. Pass sigma_spec (a PartitionSpec)
+    to override the inference outright. mask (when given) is batch-shaped
+    and shards with y. Callers guarantee y.shape[0] % mesh.shape[axis] == 0
+    (fit enforces it for train batches; ragged eval/serve batches fall back
+    to an XLA-backend forward).
     """
     from jax import shard_map
+
+    def _infer_sigma_spec(sig, y):
+        if sigma_spec is not None:
+            return sigma_spec
+        if sig.ndim == 0:
+            return P()
+        per_sample = (
+            sig.ndim == y.ndim
+            and sig.shape[0] == y.shape[0]
+            and all(d == 1 or d == yd for d, yd in zip(sig.shape[1:], y.shape[1:]))
+        )
+        if per_sample:
+            return P(axis)
+        if sig.shape[0] == y.shape[0]:
+            raise ValueError(
+                f"ambiguous sigma shape {sig.shape} for batch {y.shape}: "
+                "reshape per-sample sigmas to (N, 1, ...) matching y's rank, "
+                "or pass an explicit sigma_spec"
+            )
+        return P()
 
     def forward(params, y, sigma=None, mask=None):
         args = [params, y]
@@ -90,9 +116,7 @@ def shard_map_forward(mesh: Mesh, fn, axis: str = "data"):
         if has_sig:
             sig = jnp.asarray(sigma)
             args.append(sig)
-            specs.append(
-                P(axis) if sig.ndim > 0 and sig.shape[0] == y.shape[0] else P()
-            )
+            specs.append(_infer_sigma_spec(sig, y))
         has_mask = mask is not None
         if has_mask:
             args.append(mask)

@@ -300,6 +300,10 @@ def lista2d_tiled(yp, A, B, t, c, stride=1, mask=None, return_z=False,
         M, C, P, s, Hc, Wc, z_bytes=jnp.dtype(z_dtype).itemsize,
         n_codes=n_codes)
     assert Bh is not None, "caller must gate on lista2d_tiled_supported"
+    # a caller-supplied band smaller than the halo would make _halo slice
+    # neighbor views at negative offsets -> silently wrong halos (the auto
+    # pick only returns Bh > Hh); mirror the ring kernel's assertion
+    assert Bh > Hh, f"band {Bh} must exceed the {Hh}-row halo"
     Hcp = -(-Hc // Bh) * Bh   # ragged Hc: zero-pad rows, mask each iteration
     nb = Hcp // Bh
     Lb = Bh * Wc

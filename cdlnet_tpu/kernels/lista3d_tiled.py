@@ -221,38 +221,34 @@ def _kernel_ana3_band(*refs, Qd, Qh, Qw, Cp, Wc, Bh, Hh, dlo, hlo, wlo):
     ).astype(zout_ref.dtype)
 
 
-def lista3d_tiled(yp, A, B, t, c, stride=1, mask=None, return_z=False,
-                  z_dtype=jnp.bfloat16, interpret=False, band=None,
-                  return_hists=False):
-    """Banded per-iteration fused 3D LISTA for big frames. Same contract
-    as lista3d_fused: (xphat (N,C,D,H,W) fp32, z (N,M,Dc,Hc,Wc) or None),
-    matching the XLA scan to the z_dtype carry tolerance.
+def make_banded3_ops(N, C, Dc, Hc, Wc, M, P, s, *, z_dtype=jnp.bfloat16,
+                     interpret=False, band=None, use_mask=False):
+    """Per-iteration banded 3D kernel closures + geometry.
 
-    return_hists=True (training residuals for the banded 3D reverse,
-    kernels/lista3d_tiled_bwd) additionally returns (z_hist (K, N, Dc, nb,
-    Mp, Lb) in z_dtype, r_hist (K-1, N, Dc, nb, Cp, Lb) fp32) — the scan
-    stacks the per-iteration streams the banded forward carries through
-    HBM anyway, so collecting them costs only the HBM writes."""
+    Factored out of lista3d_tiled so the depth-sharded path
+    (dist/halo_fused.py) can run the SAME hardware-validated kernels on
+    halo-extended local blocks — the kernels are unmodified; only Dc (the
+    depth grid extent) differs per caller. Returns a dict with:
+      synthesize(z, B2m_k, sub_y, y2, m2) -> r   (N, Dc, nb, Cp, Lb) f32
+      analyze(r, z, A2m_k, tau_k) -> z_new       (N, Dc, nb, Mp, Lb) z_dtype
+      to_bands / from_bands, and the static geometry.
+    tau_k is (N, Mp); A2m_k (Mp, T*Cp) in z_dtype; B2m_k (Qd, Qh*Qw*Cp, Mp).
+    """
     from jax.experimental.pallas import tpu as pltpu
 
-    N, C, D, H, W = yp.shape
-    K, M = A.shape[0], A.shape[1]
-    s = stride
-    P, pads, Qd, Qh, Qw, dlo, hlo, wlo, Hh = _geometry3(A.shape[-3:], s)
-    Dc, Hc, Wc = D // s, H // s, W // s
+    P, pads, Qd, Qh, Qw, dlo, hlo, wlo, Hh = _geometry3(P, s)
     Cp = C * s**3
     T = Qd * Qh * Qw
     Mp = -(-M // 8) * 8
     Bh = band if band is not None else _pick_band3(
         M, C, P, s, Dc, Hc, Wc, z_bytes=jnp.dtype(z_dtype).itemsize)
     assert Bh is not None, "caller must gate on lista3d_tiled_supported"
+    # caller-supplied bands must still cover the halo (see lista2d_tiled)
+    assert Bh > Hh, f"band {Bh} must exceed the {Hh}-row halo"
     Hcp = -(-Hc // Bh) * Bh
     nb = Hcp // Bh
     Lb = Bh * Wc
     hs = _sliver_rows(Bh, Hh, Wc)  # neighbor halo sliver height
-
-    A2m = prep_A2m_3d(A, s, pads).astype(z_dtype)          # (K, Mp, T*Cp)
-    B2m = prep_B2m_3d(B, s, pads).reshape(K, Qd, Qh * Qw * Cp, Mp)
 
     def to_bands(x5):
         # (N, Cp, Dc, Hc, Wc) -> (N, Dc, nb, Cp, Lb), rows zero-padded
@@ -260,28 +256,20 @@ def lista3d_tiled(yp, A, B, t, c, stride=1, mask=None, return_z=False,
             x5 = jnp.pad(x5, ((0, 0), (0, 0), (0, 0), (0, Hcp - Hc), (0, 0)))
         return (
             x5.transpose(0, 2, 1, 3, 4)
-            .reshape(N, Dc, Cp, nb, Bh, Wc)
+            .reshape(x5.shape[0], x5.shape[2], Cp, nb, Bh, Wc)
             .transpose(0, 1, 3, 2, 4, 5)
-            .reshape(N, Dc, nb, Cp, Lb)
+            .reshape(x5.shape[0], x5.shape[2], nb, Cp, Lb)
         )
 
-    y2 = to_bands(pp.space_to_depth(yp, s, 3))
-    use_mask = mask is not None
-    m2 = (
-        to_bands(pp.space_to_depth(jnp.broadcast_to(mask, yp.shape), s, 3))
-        if use_mask
-        else jnp.zeros((N, 1, 1, 1, 1), yp.dtype)
-    )
-
-    c_arr = jnp.asarray(c, jnp.float32).reshape(-1)
-    if c_arr.size == 1:
-        c_arr = jnp.broadcast_to(c_arr, (N,))
-    tau = (
-        t[None, :, 0, :, 0, 0, 0].astype(jnp.float32)
-        + c_arr[:, None, None] * t[None, :, 1, :, 0, 0, 0]
-    )  # (N, K, M)
-    if Mp != M:
-        tau = jnp.pad(tau, ((0, 0), (0, 0), (0, Mp - M)))
+    def from_bands(xb, ch):
+        # (N, Dc', nb, ch, Lb) -> (N, ch, Dc', Hc, Wc)
+        n, dc = xb.shape[0], xb.shape[1]
+        return (
+            xb.reshape(n, dc, nb, ch, Bh, Wc)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, dc, ch, Hcp, Wc)[:, :, :, :Hc]
+            .transpose(0, 2, 1, 3, 4)
+        )
 
     # per-band column masks (Wc-periodic — identical for every band); row
     # borders need no masks: the zeroed halos ARE the zero padding
@@ -316,7 +304,7 @@ def lista3d_tiled(yp, A, B, t, c, stride=1, mask=None, return_z=False,
             memory_space=pltpu.VMEM,
         )
 
-    def synthesize(z, B2m_k, sub_y):
+    def synthesize(z, B2m_k, sub_y, y2, m2):
         kern = functools.partial(_kernel_syn3_band, **geom,
                                  use_mask=use_mask, sub_y=sub_y)
         # band view of z at the j-th depth tap plus the two hs-row
@@ -383,6 +371,67 @@ def lista3d_tiled(yp, A, B, t, c, stride=1, mask=None, return_z=False,
             interpret=interpret,
         )(*([r] * (3 * Qd)), z, tau_k.reshape(-1, 1, Mp), A2m_k, acol, vmask)
 
+    return dict(
+        synthesize=synthesize, analyze=analyze,
+        to_bands=to_bands, from_bands=from_bands,
+        pads=pads, Qd=Qd, Qh=Qh, Qw=Qw, Hh=Hh, Cp=Cp, T=T, Mp=Mp,
+        Bh=Bh, nb=nb, Lb=Lb, Hcp=Hcp, dlo=dlo, hlo=hlo, wlo=wlo,
+    )
+
+
+def lista3d_tiled(yp, A, B, t, c, stride=1, mask=None, return_z=False,
+                  z_dtype=jnp.bfloat16, interpret=False, band=None,
+                  return_hists=False):
+    """Banded per-iteration fused 3D LISTA for big frames. Same contract
+    as lista3d_fused: (xphat (N,C,D,H,W) fp32, z (N,M,Dc,Hc,Wc) or None),
+    matching the XLA scan to the z_dtype carry tolerance.
+
+    return_hists=True (training residuals for the banded 3D reverse,
+    kernels/lista3d_tiled_bwd) additionally returns (z_hist (K, N, Dc, nb,
+    Mp, Lb) in z_dtype, r_hist (K-1, N, Dc, nb, Cp, Lb) fp32) — the scan
+    stacks the per-iteration streams the banded forward carries through
+    HBM anyway, so collecting them costs only the HBM writes."""
+    N, C, D, H, W = yp.shape
+    K, M = A.shape[0], A.shape[1]
+    s = stride
+    Dc, Hc, Wc = D // s, H // s, W // s
+    use_mask = mask is not None
+
+    ops = make_banded3_ops(
+        N, C, Dc, Hc, Wc, M, A.shape[-3:], s, z_dtype=z_dtype,
+        interpret=interpret, band=band, use_mask=use_mask,
+    )
+    pads = ops["pads"]
+    Qd, Qh, Qw = ops["Qd"], ops["Qh"], ops["Qw"]
+    Cp, Mp, nb, Lb = ops["Cp"], ops["Mp"], ops["nb"], ops["Lb"]
+    to_bands = ops["to_bands"]
+
+    A2m = prep_A2m_3d(A, s, pads).astype(z_dtype)          # (K, Mp, T*Cp)
+    B2m = prep_B2m_3d(B, s, pads).reshape(K, Qd, Qh * Qw * Cp, Mp)
+
+    y2 = to_bands(pp.space_to_depth(yp, s, 3))
+    m2 = (
+        to_bands(pp.space_to_depth(jnp.broadcast_to(mask, yp.shape), s, 3))
+        if use_mask
+        else jnp.zeros((N, 1, 1, 1, 1), yp.dtype)
+    )
+
+    c_arr = jnp.asarray(c, jnp.float32).reshape(-1)
+    if c_arr.size == 1:
+        c_arr = jnp.broadcast_to(c_arr, (N,))
+    tau = (
+        t[None, :, 0, :, 0, 0, 0].astype(jnp.float32)
+        + c_arr[:, None, None] * t[None, :, 1, :, 0, 0, 0]
+    )  # (N, K, M)
+    if Mp != M:
+        tau = jnp.pad(tau, ((0, 0), (0, 0), (0, Mp - M)))
+
+    def synthesize(z, B2m_k, sub_y):
+        return ops["synthesize"](z, B2m_k, sub_y, y2, m2)
+
+    def analyze(r, z, A2m_k, tau_k):
+        return ops["analyze"](r, z, A2m_k, tau_k)
+
     # k = 0: z = ST(A0 y2, tau0) via analyze(r=-y2, z=0)
     z0 = jnp.zeros((N, Dc, nb, Mp, Lb), z_dtype)
     z = analyze(-y2.astype(jnp.float32), z0, A2m[0], tau[:, 0])
@@ -398,18 +447,10 @@ def lista3d_tiled(yp, A, B, t, c, stride=1, mask=None, return_z=False,
                                   tau.transpose(1, 0, 2)[1:]))
 
     x2 = synthesize(z, B2m[0], sub_y=False)  # (N, Dc, nb, Cp, Lb)
-    x5 = (
-        x2.reshape(N, Dc, nb, Cp, Bh, Wc)
-        .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(N, Dc, Cp, Hcp, Wc)[:, :, :, :Hc]
-        .transpose(0, 2, 1, 3, 4)
-    )
+    x5 = ops["from_bands"](x2, Cp)  # (N, Cp, Dc, Hc, Wc)
     xphat = pp.depth_to_space(x5, s, 3, C)
     z_out = (
-        z.astype(jnp.float32)
-        .reshape(N, Dc, nb, Mp, Bh, Wc)[:, :, :, :M]
-        .transpose(0, 3, 1, 2, 4, 5)
-        .reshape(N, M, Dc, Hcp, Wc)[:, :, :, :Hc]
+        ops["from_bands"](z.astype(jnp.float32), Mp)[:, :M]
         if return_z
         else None
     )

@@ -309,6 +309,7 @@ def lista3d_tiled_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
     nb, Lb = z_hist.shape[3], z_hist.shape[-1]
     Bh = Lb // Wc
     assert nb * Bh * Wc == nb * Lb and Bh * Wc == Lb, "band/shape mismatch"
+    assert Bh > Hh, f"history band {Bh} must exceed the {Hh}-row halo"
     Hcp = nb * Bh
     Lw2 = (Bh + 2 * (Hh + 1)) * Wc
 

@@ -54,36 +54,21 @@ class Denoiser:
         self.blind = blind
         self._shard_batch = None
         self._is_csr = isinstance(model, (CDLNetCSR, CDLNetCSRf2))
-        rec = None
+        self._rec = None
         if self._is_csr:
             # frame-recurrent models: videos run the carried-code recurrence,
             # single frames run without neighbor context
             from cdlnet_tpu.models.csr import csr_video_denoise, csrf2_video_denoise
 
-            rec = (
+            self._rec = (
                 csrf2_video_denoise
                 if isinstance(model, CDLNetCSRf2)
                 else csr_video_denoise
             )
 
-        smf = smf_rec = None
-        ndata = 1
-        run_model = model  # what the plain (non-shard_map) forward runs
         if mesh is not None:
-            # multi-chip serving: params replicated, inputs sharded on the
-            # batch dim over the mesh's "data" axis. XLA-backend models are
-            # partitioned by GSPMD from the shardings; backend="pallas"
-            # models CANNOT be (jax refuses to compile a Mosaic kernel in a
-            # multi-device jit: "Mosaic kernels cannot be automatically
-            # partitioned. Please wrap the call in a shard_map.") — their
-            # forward runs per-device inside shard_map instead, and ragged
-            # batches fall back to a replicated XLA-backend forward.
             from cdlnet_tpu.dist.mesh import make_mesh
-            from cdlnet_tpu.dist.sharding import (
-                batch_sharding,
-                replicate_sharding,
-                shard_map_forward,
-            )
+            from cdlnet_tpu.dist.sharding import batch_sharding, replicate_sharding
 
             if isinstance(mesh, dict):
                 mesh = make_mesh(mesh)
@@ -97,6 +82,33 @@ class Denoiser:
                 return jax.device_put(y, bsh)
 
             self._shard_batch = shard_batch
+        self._mesh = mesh
+        self._build_fwd()
+
+    def _build_fwd(self):
+        """(Re)build the jitted forward dispatch from self.model/_mesh.
+
+        Called from __init__ and again from the _run OOM fallback after a
+        backend demotion — rebuilding the SAME dispatch (CSR recurrence,
+        mesh/shard_map routing) rather than a bare apply lambda, so CSR
+        video serving and mesh serving survive the demotion."""
+        model, rec, mesh = self.model, self._rec, self._mesh
+
+        smf = smf_rec = None
+        ndata = 1
+        run_model = model  # what the plain (non-shard_map) forward runs
+        if mesh is not None:
+            # multi-chip serving: params replicated, inputs sharded on the
+            # batch dim over the mesh's "data" axis. XLA-backend models are
+            # partitioned by GSPMD from the shardings; backend="pallas"
+            # models CANNOT be (jax refuses to compile a Mosaic kernel in a
+            # multi-device jit: "Mosaic kernels cannot be automatically
+            # partitioned. Please wrap the call in a shard_map.") — their
+            # forward runs per-device inside shard_map instead, and ragged
+            # batches fall back to a replicated XLA-backend forward.
+            from cdlnet_tpu.dist.sharding import shard_map_forward
+
+            ndata = mesh.shape["data"]
             if getattr(model, "backend", None) == "pallas":
                 import dataclasses
 
@@ -231,10 +243,7 @@ class Denoiser:
                 import dataclasses
 
                 self.model = dataclasses.replace(self.model, backend="xla")
-                self._fwd = jax.jit(
-                    lambda p, y, s: _xhat(self.model.apply(p, y, s, return_z=False))
-                )
-                self._fwd_blind = jax.jit(self._blind_forward)
+                self._build_fwd()
                 return self._run(
                     np.asarray(y)[..., : spatial[0], : spatial[1]], sigma
                 )
