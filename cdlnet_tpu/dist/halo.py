@@ -173,7 +173,14 @@ def sharded_lista_3d_forward(model, params, y, sigma=None, mesh: Mesh = None,
     bspec = P(batch_axis) if batch_axis else P()
     in_spec = P(bspec[0] if batch_axis else None, None, depth_axis, None, None)
     param_spec = jax.tree_util.tree_map(lambda _: P(), params)
-    c_spec = P() if jnp.ndim(c) == 0 else in_spec
+    # per-sample c is (N, 1, ...): shard the batch dim only — its broadcast
+    # dims are size 1 and must NOT carry the depth axis
+    c_spec = (
+        P()
+        if jnp.ndim(c) == 0
+        else P(batch_axis if batch_axis else None,
+               *([None] * (jnp.ndim(c) - 1)))
+    )
 
     residual = params.get("residual")
 

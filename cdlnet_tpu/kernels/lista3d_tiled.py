@@ -233,8 +233,15 @@ def make_banded3_ops(N, C, Dc, Hc, Wc, M, P, s, *, z_dtype=jnp.bfloat16,
       analyze(r, z, A2m_k, tau_k) -> z_new       (N, Dc, nb, Mp, Lb) z_dtype
       to_bands / from_bands, and the static geometry.
     tau_k is (N, Mp); A2m_k (Mp, T*Cp) in z_dtype; B2m_k (Qd, Qh*Qw*Cp, Mp).
+
+    CDLNET_PALLAS_INTERPRET=1 forces interpret mode (CPU-mesh tests and the
+    driver's virtual-device dryrun run the depth-sharded path through here).
     """
+    import os
+
     from jax.experimental.pallas import tpu as pltpu
+
+    interpret = interpret or os.environ.get("CDLNET_PALLAS_INTERPRET") == "1"
 
     P, pads, Qd, Qh, Qw, dlo, hlo, wlo, Hh = _geometry3(P, s)
     Cp = C * s**3
@@ -272,13 +279,16 @@ def make_banded3_ops(N, C, Dc, Hc, Wc, M, P, s, *, z_dtype=jnp.bfloat16,
         )
 
     # per-band column masks (Wc-periodic — identical for every band); row
-    # borders need no masks: the zeroed halos ARE the zero padding
-    acol = jnp.asarray(_axis_masks([wlo + ri for ri in range(Qw)], Bh, Wc, 1))
-    scol = jnp.asarray(
+    # borders need no masks: the zeroed halos ARE the zero padding.
+    # Kept as NUMPY here and converted inside each call: the builder may be
+    # constructed in one trace and its closures invoked in another (the
+    # depth-sharded custom-VJP backward) — jnp constants would leak tracers
+    acol = np.asarray(_axis_masks([wlo + ri for ri in range(Qw)], Bh, Wc, 1))
+    scol = np.asarray(
         _axis_masks([ri - (Qw - 1) - wlo for ri in range(Qw)], Bh, Wc, 1)
     )
     rows = np.arange(Hcp).reshape(nb, Bh, 1)
-    vmask = jnp.asarray(
+    vmask = (
         np.broadcast_to(rows < Hc, (nb, Bh, Wc)).reshape(nb, 1, Lb)
         .astype(np.float32)
     )
@@ -338,7 +348,7 @@ def make_banded3_ops(N, C, Dc, Hc, Wc, M, P, s, *, z_dtype=jnp.bfloat16,
             out_shape=jax.ShapeDtypeStruct((N, Dc, nb, Cp, Lb), jnp.float32),
             compiler_params=cparams,
             interpret=interpret,
-        )(z, z, z, y2, m2, B2m_k, scol, vmask)
+        )(z, z, z, y2, m2, B2m_k, jnp.asarray(scol), jnp.asarray(vmask))
 
     def analyze(r, z, A2m_k, tau_k):
         kern = functools.partial(_kernel_ana3_band, **geom)
@@ -369,7 +379,8 @@ def make_banded3_ops(N, C, Dc, Hc, Wc, M, P, s, *, z_dtype=jnp.bfloat16,
             scratch_shapes=[pltpu.VMEM((T * Cp, Lb), z_dtype)],
             compiler_params=cparams,
             interpret=interpret,
-        )(*([r] * (3 * Qd)), z, tau_k.reshape(-1, 1, Mp), A2m_k, acol, vmask)
+        )(*([r] * (3 * Qd)), z, tau_k.reshape(-1, 1, Mp), A2m_k,
+          jnp.asarray(acol), jnp.asarray(vmask))
 
     return dict(
         synthesize=synthesize, analyze=analyze,

@@ -67,19 +67,33 @@ class Denoiser:
             )
 
         if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as PS
+
             from cdlnet_tpu.dist.mesh import make_mesh
-            from cdlnet_tpu.dist.sharding import batch_sharding, replicate_sharding
+            from cdlnet_tpu.dist.sharding import replicate_sharding
 
             if isinstance(mesh, dict):
                 mesh = make_mesh(mesh)
             self.params = jax.device_put(params, replicate_sharding(mesh))
-            bsh = batch_sharding(mesh)
-            ndata = mesh.shape["data"]
+            data_ax = "data" if "data" in mesh.shape else None
+            ndata = mesh.shape.get("data", 1)
+            ndepth = mesh.shape.get("depth", 1)
+            s = getattr(model, "s", 1)
 
             def shard_batch(y):
                 if y.shape[0] % ndata:
                     return y  # ragged batch: run unsharded (replicated)
-                return jax.device_put(y, bsh)
+                if y.ndim == 5 and ndepth > 1:
+                    if y.shape[2] % (ndepth * s):
+                        # ragged clip depth: data-shard only
+                        return jax.device_put(
+                            y, NamedSharding(mesh, PS(data_ax)))
+                    return jax.device_put(
+                        y,
+                        NamedSharding(
+                            mesh, PS(data_ax, None, "depth", None, None)),
+                    )
+                return jax.device_put(y, NamedSharding(mesh, PS(data_ax)))
 
             self._shard_batch = shard_batch
         self._mesh = mesh
@@ -95,9 +109,49 @@ class Denoiser:
         model, rec, mesh = self.model, self._rec, self._mesh
 
         smf = smf_rec = None
+        depth_fwd = None
         ndata = 1
         run_model = model  # what the plain (non-shard_map) forward runs
-        if mesh is not None:
+        if (
+            mesh is not None
+            and mesh.shape.get("depth", 1) > 1
+            and not self._is_csr
+            and hasattr(model, "pad")  # LISTA-family 3D models
+        ):
+            # depth-sharded (sequence-parallel) video serving: clips shard
+            # over the frame axis; per-shard compute runs the fused banded
+            # kernels on halo-extended blocks when supported, else the XLA
+            # halo forward (incl. residual-block variants). The route to
+            # native-resolution clips whose codes exceed one chip's HBM.
+            from cdlnet_tpu.core.pad import unpad_3d
+            from cdlnet_tpu.core.preprocess import pre_process_3d
+            from cdlnet_tpu.dist.halo import sharded_lista_3d_forward
+            from cdlnet_tpu.dist.halo_fused import (
+                fused_depth_shard_supported,
+                sharded_lista_3d_fused_forward,
+            )
+
+            ndepth = mesh.shape["depth"]
+            data_ax = "data" if "data" in mesh.shape else None
+
+            def depth_fwd(p, y, sig):
+                ypc, prm, _ = pre_process_3d(y, model.s)
+                D, H, W = ypc.shape[2:]
+                if y.shape[2] % (ndepth * model.s):
+                    return None  # ragged clip depth: caller's plain path
+                if fused_depth_shard_supported(model, D, H, W, ndepth):
+                    xp, _ = sharded_lista_3d_fused_forward(
+                        model, p, ypc, sig, mesh=mesh, batch_axis=data_ax)
+                else:
+                    xp, _ = sharded_lista_3d_forward(
+                        model, p, ypc + prm[0], sig, mesh=mesh,
+                        depth_axis="depth", batch_axis=data_ax)
+                    return jax.lax.optimization_barrier(unpad_3d(xp, prm[1]))
+                from cdlnet_tpu.core.preprocess import post_process_3d
+
+                return post_process_3d(xp, prm)
+
+        if mesh is not None and "data" in mesh.shape:
             # multi-chip serving: params replicated, inputs sharded on the
             # batch dim over the mesh's "data" axis. XLA-backend models are
             # partitioned by GSPMD from the shardings; backend="pallas"
@@ -145,6 +199,10 @@ class Denoiser:
         else:
 
             def fwd_impl(p, y, s):
+                if depth_fwd is not None and y.ndim == 5:
+                    out = depth_fwd(p, y, s)  # trace-time dispatch
+                    if out is not None:
+                        return out
                 if smf is not None and y.shape[0] % ndata == 0:
                     return smf(p, y, s)
                 return _xhat(run_model.apply(p, y, s, return_z=False))

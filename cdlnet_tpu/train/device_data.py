@@ -1,0 +1,169 @@
+"""Device-resident training corpora: batch assembly INSIDE the jitted step.
+
+The reference's training protocol (train.py:62-107 + data.py:12-50) draws
+RandomCrop(128)+flip batches on the host every step. On this runtime that
+loop pays far more than the compute: the fused flagship train step benches
+at ~4.4 ms inside a scanned dispatch, but the real fit loop measured
+~35 ms/step — per-step dispatch over the tunneled device (~2 ms protocol
+each), host-side crop/flip assembly on a 1-core host, and the Python loop
+itself. The fix is structural: stage the (small) training corpus on device
+ONCE — CBSD432 is ~66 MB fp32 — and run many steps per dispatch inside a
+jitted lax.scan whose body samples the batch on device:
+
+  per epoch: a device permutation of image indices (without-replacement
+  epochs, mirroring the loader's shuffle), then per step: gather the B
+  images, uniform crop offsets within each image's true bounds, 0.5-prob
+  H/V flips, then the usual noise->forward->update step. Same protocol in
+  distribution as the reference loader; the RNG stream differs (as it
+  already does vs torch).
+
+Images of mixed sizes are staged zero-padded to the corpus max with their
+true sizes carried; crops never read padding (offsets are bounded by the
+true size). Mixed orientations (e.g. BSD's 481x321 / 321x481) are staged
+transposed-to-landscape with a per-image flag, and the crop is transposed
+back on the way out — a 128^2 crop of x^T transposed equals a crop of x,
+so the sample distribution is unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class DeviceImageCorpus:
+    """Stage a 2D image dataset on device; sample crop batches under jit."""
+
+    def __init__(self, images, crop: int, batch: int):
+        """images: list of (C, H, W) float32 arrays in [0, 1]."""
+        self.crop = int(crop)
+        self.batch = int(batch)
+        C = images[0].shape[0]
+        stage = []
+        sizes = []
+        transposed = []
+        for im in images:
+            _, H, W = im.shape
+            t = H > W  # stage landscape
+            if t:
+                im = im.transpose(0, 2, 1)
+                H, W = W, H
+            if H < crop or W < crop:
+                raise ValueError(f"image {im.shape} smaller than crop {crop}")
+            stage.append(im)
+            sizes.append((H, W))
+            transposed.append(t)
+        Hm = max(h for h, _ in sizes)
+        Wm = max(w for _, w in sizes)
+        padded = np.zeros((len(stage), C, Hm, Wm), np.float32)
+        for i, im in enumerate(stage):
+            padded[i, :, : im.shape[1], : im.shape[2]] = im
+        self.n = len(stage)
+        self.images = jnp.asarray(padded)
+        self.sizes = jnp.asarray(np.asarray(sizes, np.int32))
+        self.transposed = jnp.asarray(np.asarray(transposed, np.bool_))
+        self.steps_per_epoch = self.n // self.batch  # drop_last semantics
+
+    def epoch_perm(self, key):
+        return jax.random.permutation(key, self.n)
+
+    def sample(self, key, idx):
+        """Assemble one (B, C, crop, crop) batch for image indices idx."""
+        c = self.crop
+        kh, kw, kf1, kf2 = jax.random.split(key, 4)
+        hw = self.sizes[idx]  # (B, 2)
+        u1 = jax.random.uniform(kh, (self.batch,))
+        u2 = jax.random.uniform(kw, (self.batch,))
+        oh = (u1 * (hw[:, 0] - c + 1)).astype(jnp.int32)
+        ow = (u2 * (hw[:, 1] - c + 1)).astype(jnp.int32)
+        fh = jax.random.bernoulli(kf1, 0.5, (self.batch,))
+        fv = jax.random.bernoulli(kf2, 0.5, (self.batch,))
+        imgs = self.images[idx]  # (B, C, Hm, Wm) gather
+        tr = self.transposed[idx]
+
+        def one(im, oh_, ow_, fh_, fv_, tr_):
+            x = lax.dynamic_slice(
+                im, (0, oh_, ow_), (im.shape[0], c, c))
+            # transposed-staged image: crop of x^T -> transpose back
+            x = jnp.where(tr_, jnp.swapaxes(x, 1, 2), x)
+            x = jnp.where(fh_, x[:, :, ::-1], x)
+            x = jnp.where(fv_, x[:, ::-1, :], x)
+            return x
+
+        return jax.vmap(one)(imgs, oh, ow, fh, fv, tr)
+
+
+def corpus_from_loader(loader, workload: str):
+    """Build a DeviceImageCorpus from a fit train loader when the workload
+    qualifies (2D image training with crop+augment on a plain DataLoader).
+    Returns None when the loader shape does not fit the fast path."""
+    from cdlnet_tpu.data.images import ImageDataset
+    from cdlnet_tpu.data.loader import DataLoader
+
+    if workload != "2d" or not isinstance(loader, DataLoader):
+        return None
+    ds = loader.dataset
+    if not isinstance(ds, ImageDataset):
+        return None
+    if ds.crop_size is None or not ds.augment or not loader.drop_last:
+        return None
+    if len(ds) < loader.batch_size:
+        return None
+    try:
+        return DeviceImageCorpus(ds.images, ds.crop_size, loader.batch_size)
+    except ValueError:
+        return None
+
+
+def make_epoch_runner(corpus: DeviceImageCorpus, train_step, stateful: bool):
+    """One jitted dispatch per training epoch: scan the train step over the
+    epoch's permutation-ordered device-assembled batches. Returns
+    run(params, [state,] opt_state, key) -> (params, [state,] opt_state,
+    losses (steps,))."""
+    B = corpus.batch
+    nsteps = corpus.steps_per_epoch
+
+    if stateful:
+
+        @jax.jit
+        def run(params, state, opt_state, key):
+            kperm, kscan = jax.random.split(key)
+            perm = corpus.epoch_perm(kperm)
+
+            def body(carry, ks):
+                params, state, opt_state, i = carry
+                idx = lax.dynamic_slice(perm, (i * B,), (B,))
+                kb, kstep = jax.random.split(ks)
+                batch = corpus.sample(kb, idx)
+                params, state, opt_state, loss = train_step(
+                    params, state, opt_state, batch, kstep)
+                return (params, state, opt_state, i + 1), loss
+
+            (params, state, opt_state, _), losses = lax.scan(
+                body, (params, state, opt_state, 0),
+                jax.random.split(kscan, nsteps))
+            return params, state, opt_state, losses
+
+        return run
+
+    @jax.jit
+    def run(params, opt_state, key):
+        kperm, kscan = jax.random.split(key)
+        perm = corpus.epoch_perm(kperm)
+
+        def body(carry, ks):
+            params, opt_state, i = carry
+            idx = lax.dynamic_slice(perm, (i * B,), (B,))
+            kb, kstep = jax.random.split(ks)
+            batch = corpus.sample(kb, idx)
+            params, opt_state, loss = train_step(
+                params, opt_state, batch, kstep)
+            return (params, opt_state, i + 1), loss
+
+        (params, opt_state, _), losses = lax.scan(
+            body, (params, opt_state, 0), jax.random.split(kscan, nsteps))
+        return params, opt_state, losses
+
+    return run

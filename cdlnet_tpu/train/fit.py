@@ -174,8 +174,70 @@ def make_train_step(model, opt, *, workload="2d", noise_std=(25, 25), demosaic=F
     nstd = tuple(noise_std) if isinstance(noise_std, (list, tuple)) else noise_std
 
     fwd = _model_forward
-    if (
+    has_depth = (
         mesh is not None
+        and "depth" in getattr(mesh, "shape", {})
+        and mesh.shape["depth"] > 1
+    )
+    if has_depth and not stateful and is3d:
+        # depth-sharded (sequence-parallel) 3D training — the documented
+        # route to native-resolution clips that OOM a single chip
+        # (BASELINE.md). Per-shard compute runs the fused banded Pallas
+        # kernels on halo-extended local blocks when they apply
+        # (dist/halo_fused.py, exact per its module docstring), else the
+        # XLA halo-exchange forward (dist/halo.py). Masked (JDD) 3D input
+        # keeps the unsharded-model forward (GSPMD partitions it over the
+        # data axis only) — the reference's 3D bayer mask is degenerate
+        # (utils.py:21-27) so this path is practically unreachable.
+        import dataclasses
+
+        from cdlnet_tpu.core.preprocess import post_process_3d, pre_process_3d
+        from cdlnet_tpu.dist.halo import sharded_lista_3d_forward
+        from cdlnet_tpu.dist.halo_fused import (
+            fused_depth_shard_supported,
+            sharded_fused_3d_train_forward,
+            sharded_lista_3d_fused_forward,
+        )
+        from cdlnet_tpu.kernels.lista2d import hist_dtype
+
+        ndepth = mesh.shape["depth"]
+        batch_axis = "data" if "data" in mesh.shape else None
+        xla_model = dataclasses.replace(model, backend="xla")
+
+        def fwd(mdl, params, y, sigma, mask, state=None, train=False):
+            # trace-time dispatch (shapes are static under jit)
+            if mask is not None or y.shape[2] % (ndepth * model.s):
+                return _model_forward(
+                    xla_model, params, y, sigma, mask, state=state, train=train
+                )
+            ypc, prm, _ = pre_process_3d(y, model.s)
+            D, H, W = ypc.shape[2:]
+            if fused_depth_shard_supported(model, D, H, W, ndepth, train=train):
+                if train:
+                    xp = sharded_fused_3d_train_forward(
+                        model, params, ypc, sigma, mesh=mesh,
+                        batch_axis=batch_axis, z_dtype=hist_dtype(),
+                    )
+                else:
+                    xp, _ = sharded_lista_3d_fused_forward(
+                        model, params, ypc, sigma, mesh=mesh,
+                        batch_axis=batch_axis,
+                    )
+                return post_process_3d(xp, prm), None
+            # XLA halo fallback (residual blocks, unsupported bands):
+            # its local fn computes the global mean itself, so feed the
+            # padded-but-not-centered input
+            xhat, _ = sharded_lista_3d_forward(
+                model, params, ypc + prm[0], sigma, mesh=mesh,
+                depth_axis="depth", batch_axis=batch_axis,
+            )
+            from cdlnet_tpu.core.pad import unpad_3d
+
+            return jax.lax.optimization_barrier(unpad_3d(xhat, prm[1])), None
+
+    elif (
+        mesh is not None
+        and "data" in getattr(mesh, "shape", {})
         and not stateful
         and getattr(model, "backend", None) == "pallas"
     ):
@@ -319,6 +381,7 @@ def _fit_impl(
     ckpt_format="npz",  # "npz" | "orbax" (async, preemption-safe)
     mesh=None,  # dict mesh spec (e.g. {"data": -1}) or jax.sharding.Mesh
     max_backtracks=10,  # consecutive backtracks before the policy disarms
+    device_scan="auto",  # True | False | "auto": one dispatch per epoch
 ):
     """Fit model to data. Returns (params, opt_state, history).
 
@@ -326,7 +389,20 @@ def _fit_impl(
     replicated, every batch is sharded on dim 0 across the mesh's "data"
     axis, and XLA inserts the gradient all-reduce over ICI from the
     shardings (SURVEY.md §2.5). Batch sizes must be divisible by the data
-    axis size. The reference is single-device (train.py:15-16).
+    axis size. A "depth" axis additionally shards 3D clips over the frame
+    dimension (sequence parallelism — dist/halo_fused.py). The reference
+    is single-device (train.py:15-16).
+
+    device_scan: stage the training corpus on device and run each training
+    epoch as ONE jitted lax.scan dispatch with on-device batch assembly
+    (random crop + flips + noise inside the step — train/device_data.py).
+    Removes the per-step dispatch + host-assembly overhead that dominates
+    the loop on this runtime (~35 -> ~5 ms/step at the flagship 2D config).
+    "auto" enables it for single-device 2D image training when the corpus
+    is stageable; epoch PSNR bookkeeping, StepLR, backtracking, and
+    checkpoint cadence are unchanged (epoch-granular as in the reference).
+    The batch RNG stream differs from the host loader's (as the host
+    loader's already differs from torch's).
     """
     os.makedirs(save_dir, exist_ok=True)
     ckpt_ext = ".orbax" if ckpt_format == "orbax" else ""
@@ -356,12 +432,28 @@ def _fit_impl(
         if isinstance(mesh, dict):
             mesh = make_mesh(mesh)
         repl = replicate_sharding(mesh)
-        bsh = batch_sharding(mesh)
+        bsh = batch_sharding(mesh) if "data" in mesh.shape else repl
+        ndepth = mesh.shape.get("depth", 1)
+        if ndepth > 1:
+            if workload not in ("3d", "mri"):
+                raise ValueError(
+                    'mesh axis "depth" requires a 3D workload (CDLNetVideo)'
+                )
+            # clips shard over (data x depth): batch dim 0, frame dim 2
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            bsh = NamedSharding(
+                mesh,
+                PartitionSpec(
+                    "data" if "data" in mesh.shape else None,
+                    None, "depth", None, None,
+                ),
+            )
         params = jax.device_put(params, repl)
         if state is not None:
             state = jax.device_put(state, repl)
         opt_state = jax.device_put(opt_state, repl)
-        ndata = mesh.shape["data"]
+        ndata = mesh.shape.get("data", 1)
 
         def shard_batch(b):
             b = jnp.asarray(b)
@@ -369,6 +461,11 @@ def _fit_impl(
                 raise ValueError(
                     f"batch size {b.shape[0]} not divisible by data-parallel "
                     f"axis size {ndata} — adjust train.loaders.batch_size"
+                )
+            if ndepth > 1 and b.ndim == 5 and b.shape[2] % ndepth:
+                raise ValueError(
+                    f"clip depth {b.shape[2]} not divisible by depth axis "
+                    f"size {ndepth} — adjust train.loaders.depth"
                 )
             return jax.device_put(b, bsh)
     if not isinstance(noise_std, (list, tuple)):
@@ -386,6 +483,23 @@ def _fit_impl(
         mcsure=False, loss_type="mse", project=project, stateful=stateful,
         mesh=mesh,
     )
+
+    epoch_runner = None
+    if device_scan and mesh is None and os.environ.get(
+            "CDLNET_DEVICE_SCAN", "1") != "0":
+        from cdlnet_tpu.train.device_data import (
+            corpus_from_loader,
+            make_epoch_runner,
+        )
+
+        corpus = corpus_from_loader(loaders.get("train"), workload)
+        if corpus is not None:
+            epoch_runner = make_epoch_runner(corpus, train_step, stateful)
+        elif device_scan is True:
+            raise ValueError(
+                "device_scan=True but the train loader is not stageable "
+                "(needs a 2D ImageDataset loader with crop+augment+drop_last)"
+            )
 
     ckpt0 = os.path.join(save_dir, "0.ckpt" + ckpt_ext)
     save_ckpt(ckpt0, _bundle(params, state), 0, opt_state, get_lr(opt_state))
@@ -419,29 +533,51 @@ def _fit_impl(
             # the host every step (~28 ms over a tunneled backend) and kill
             # the async-dispatch overlap between device compute and host
             # batch assembly; convert once per phase instead
-            for batch in device_prefetch(loaders[phase]):
+            if phase == "train" and epoch_runner is not None:
+                # whole epoch in ONE dispatch: scanned steps over
+                # device-assembled batches (see device_scan docstring)
                 key, sub = jax.random.split(key)
-                if shard_batch is not None and phase == "train":
-                    batch = shard_batch(batch)
-                with trace_span(f"{phase}_step"):
-                    if phase == "train":
-                        if stateful:
-                            params, state, opt_state, loss = train_step(
-                                params, state, opt_state, batch, sub
-                            )
-                        else:
-                            params, opt_state, loss = train_step(params, opt_state, batch, sub)
-                    else:
-                        loss = (
-                            eval_step(params, state, batch, sub)
-                            if stateful
-                            else eval_step(params, batch, sub)
+                with trace_span("train_epoch_scan"):
+                    if stateful:
+                        params, state, opt_state, step_losses = epoch_runner(
+                            params, state, opt_state, sub
                         )
-                    losses.append(loss)
+                    else:
+                        params, opt_state, step_losses = epoch_runner(
+                            params, opt_state, sub
+                        )
+                losses.append(step_losses)
+            else:
+                for batch in device_prefetch(loaders[phase]):
+                    key, sub = jax.random.split(key)
+                    if shard_batch is not None and phase == "train":
+                        batch = shard_batch(batch)
+                    with trace_span(f"{phase}_step"):
+                        if phase == "train":
+                            if stateful:
+                                params, state, opt_state, loss = train_step(
+                                    params, state, opt_state, batch, sub
+                                )
+                            else:
+                                params, opt_state, loss = train_step(params, opt_state, batch, sub)
+                        else:
+                            loss = (
+                                eval_step(params, state, batch, sub)
+                                if stateful
+                                else eval_step(params, batch, sub)
+                            )
+                        losses.append(loss)
             if tracing:
                 stop_trace()
             vals = (
-                [float(v) for v in jax.device_get(jnp.stack(losses))]
+                [
+                    float(v)
+                    for v in jax.device_get(
+                        jnp.concatenate(
+                            [jnp.reshape(l, (-1,)) for l in losses]
+                        )
+                    )
+                ]
                 if losses
                 else []
             )

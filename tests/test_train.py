@@ -411,3 +411,65 @@ def test_npz_ckpt_write_is_atomic(tmp_path):
     tmpl = {"w": np.zeros((4, 8), np.float32)}
     _, _, epoch, _ = load_ckpt(path, tmpl)
     assert epoch == 1
+
+
+def test_fit_device_scan_epoch_runner(tmp_path):
+    """device_scan: each training epoch runs as one scanned dispatch with
+    on-device crop/flip batch assembly (train/device_data.py); training
+    improves, artifacts match the host-loop protocol (steps/epoch, txt,
+    checkpoints), and projection holds."""
+    from cdlnet_tpu.data.images import ImageDataset
+    from cdlnet_tpu.data.loader import ThreadSafeRng
+
+    rng = np.random.default_rng(0)
+    images = []
+    for i in range(8):
+        im = rng.uniform(0.2, 0.8, (1, 40, 48)).astype(np.float32)
+        if i % 2:
+            im = np.ascontiguousarray(im.transpose(0, 2, 1))
+        images.append(im)
+    ds = ImageDataset.__new__(ImageDataset)
+    ds.image_paths = [str(i) for i in range(8)]
+    ds.images = images
+    ds.root_dirs = []
+    ds.crop_size = 32
+    ds.augment = True
+    ds.rng = ThreadSafeRng(0)
+    loaders = {
+        "train": DataLoader(ds, batch_size=2, shuffle=True, drop_last=True),
+        "val": make_loaders(n=2)["val"],
+        "test": make_loaders(n=2)["test"],
+    }
+
+    model = CDLNet(K=3, M=8, P=5, s=1, adaptive=True)
+    params = model.init(jax.random.PRNGKey(0), init=True)
+    opt = make_optimizer(1e-3, clip_grad=0.05)
+    params, opt_state, history = fit(
+        model, params, opt, opt.init(params), loaders,
+        save_dir=str(tmp_path), epochs=5, noise_std=(20, 30),
+        val_freq=5, save_freq=1, verbose=False, device_scan=True,
+    )
+    train_psnrs = [p for e, ph, p in history if ph == "train"]
+    assert train_psnrs[-1] > train_psnrs[0], train_psnrs
+    norms = np.linalg.norm(np.asarray(params["A"]).reshape(3 * 8, -1), axis=1)
+    assert (norms <= 1 + 1e-4).all()
+    assert os.path.exists(tmp_path / "train.txt")
+    # metrics rows carry the host-loop step count (4 images / batch 2 -> 4
+    # steps with drop_last over 8 images)
+    import json
+
+    rows = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    train_rows = [r for r in rows if r.get("phase") == "train"]
+    assert train_rows and all(r["steps"] == 4 for r in train_rows)
+
+
+def test_fit_device_scan_true_requires_stageable_loader(tmp_path):
+    model = CDLNet(K=2, M=4, P=3, s=1)
+    params = model.init(jax.random.PRNGKey(0), init=False)
+    opt = make_optimizer(1e-3)
+    with pytest.raises(ValueError, match="device_scan"):
+        fit(
+            model, params, opt, opt.init(params), make_loaders(),
+            save_dir=str(tmp_path), epochs=1, verbose=False,
+            device_scan=True,
+        )

@@ -72,14 +72,87 @@ def bench_case(name, D, backends=("xla", "pallas"), R=5):
         )
 
 
+def bench_train(name, backends=("xla", "pallas"), R=5, H=640, W=368):
+    """Native-resolution CSR TRAINING step (VERDICT r3 #7): the argscsr
+    recurrence loss (2-frame alternating / 3-frame bidirectional,
+    traincsr.py:192-217/:247-273) on analyzemri's own 640x368 frames.
+    The fused reverse kernels are gated to 128^2 (and the banded CSR prox
+    path is inference-only), so backend="pallas" training at this size
+    routes to the XLA path — this records that boundary honestly."""
+    import jax
+    import jax.numpy as jnp
+
+    from cdlnet_tpu.models import build_model
+    from cdlnet_tpu.train.fit_csr import make_csr_train_step
+    from cdlnet_tpu.train.optim import make_optimizer
+
+    mtype = "CDLNet_CSR" if name == "csr" else "CDLNet_CSRf2"
+    nframes = 2 if name == "csr" else 3
+    batch = jax.random.uniform(
+        jax.random.PRNGKey(1), (1, 1, nframes, H, W), jnp.float32)
+
+    zero = jnp.zeros(())
+    float(zero + 0)
+    rtts = []
+    for _ in range(5):
+        t0 = time.time()
+        float(zero + 1)
+        rtts.append(time.time() - t0)
+    rtt = sorted(rtts)[len(rtts) // 2]
+
+    for backend in backends:
+        model = build_model(mtype, dict(MARGS, backend=backend))
+        params = model.init(jax.random.PRNGKey(0), init=False)
+        for k in params:
+            params[k] = (
+                params[k] * 0.02 if k[0] in "AB"
+                else jnp.abs(params[k]) * 0.02 + 1e-3
+            )
+        opt = make_optimizer(1e-4, clip_grad=1.0)
+        step, _ = make_csr_train_step(model, opt, noise_std=(20, 30))
+
+        @jax.jit
+        def run(p, o, b, key):
+            def body(carry, k):
+                p, o = carry
+                p, o, loss = step.__wrapped__(p, o, b, k)
+                return (p, o), loss
+            (p, o), losses = jax.lax.scan(
+                body, (p, o), jax.random.split(key, R))
+            return jnp.sum(losses)
+
+        o0 = opt.init(params)
+        try:
+            for _ in range(2):
+                float(run(params, o0, batch, jax.random.PRNGKey(2)))
+        except Exception as e:  # noqa: BLE001 — record the OOM boundary
+            print(f"{name:6s} TRAIN backend={backend:6s} FAILED: "
+                  f"{type(e).__name__}: {str(e)[:120]}")
+            continue
+        times = []
+        for _ in range(5):
+            t0 = time.time()
+            float(run(params, o0, batch, jax.random.PRNGKey(3)))
+            times.append((time.time() - t0 - rtt) / R)
+        dt = sorted(times)[len(times) // 2]
+        print(
+            f"{name:6s} TRAIN backend={backend:6s} {dt * 1e3:8.1f} ms/step "
+            f"({nframes}x{H}x{W} frames, full recurrence loss)"
+        )
+
+
 def main():
     from cdlnet_tpu.utils import setup_compilation_cache
 
     setup_compilation_cache()
-    args = [a for a in sys.argv[1:] if not a.isdigit()]
+    args = [a for a in sys.argv[1:] if not a.isdigit() and a != "train"]
     D = next((int(a) for a in sys.argv[1:] if a.isdigit()), 8)
+    train = "train" in sys.argv[1:]
     for n in args or ["csr", "csrf2"]:
-        bench_case(n, D)
+        if train:
+            bench_train(n)
+        else:
+            bench_case(n, D)
 
 
 if __name__ == "__main__":
