@@ -69,30 +69,44 @@ class DeviceImageCorpus:
     def epoch_perm(self, key):
         return jax.random.permutation(key, self.n)
 
-    def sample(self, key, idx):
-        """Assemble one (B, C, crop, crop) batch for image indices idx."""
+    def sample(self, key, idx, images=None, sizes=None, transposed=None):
+        """Assemble one (B, C, crop, crop) batch for image indices idx.
+
+        The corpus arrays are passed as ARGUMENTS by the epoch runner (not
+        read from self) so the jitted program is parameterized by them —
+        closing over a ~250 MB jnp array embeds it in the HLO as a literal
+        constant, which defeats the persistent compilation cache and
+        re-uploads the corpus on every fit() call (measured: ~1.5 s/step
+        end-to-end vs ~5 ms with argument passing).
+
+        Per-sample crops are UNROLLED lax.dynamic_slice calls (B is small
+        and static): a vmap'd dynamic_slice lowers to a gather, and TPU
+        gathers on the spatial dims are orders of magnitude slower than B
+        offset-addressed slices (measured: the gather formulation cost
+        ~1.2 s/step at the flagship config; the unrolled slices are
+        negligible next to the 4.4 ms train step)."""
         c = self.crop
         kh, kw, kf1, kf2 = jax.random.split(key, 4)
-        hw = self.sizes[idx]  # (B, 2)
+        hw = sizes[idx]  # (B, 2)
         u1 = jax.random.uniform(kh, (self.batch,))
         u2 = jax.random.uniform(kw, (self.batch,))
         oh = (u1 * (hw[:, 0] - c + 1)).astype(jnp.int32)
         ow = (u2 * (hw[:, 1] - c + 1)).astype(jnp.int32)
         fh = jax.random.bernoulli(kf1, 0.5, (self.batch,))
         fv = jax.random.bernoulli(kf2, 0.5, (self.batch,))
-        imgs = self.images[idx]  # (B, C, Hm, Wm) gather
-        tr = self.transposed[idx]
+        tr = transposed[idx]
 
-        def one(im, oh_, ow_, fh_, fv_, tr_):
+        C = images.shape[1]
+        crops = []
+        for i in range(self.batch):
             x = lax.dynamic_slice(
-                im, (0, oh_, ow_), (im.shape[0], c, c))
+                images, (idx[i], 0, oh[i], ow[i]), (1, C, c, c))[0]
             # transposed-staged image: crop of x^T -> transpose back
-            x = jnp.where(tr_, jnp.swapaxes(x, 1, 2), x)
-            x = jnp.where(fh_, x[:, :, ::-1], x)
-            x = jnp.where(fv_, x[:, ::-1, :], x)
-            return x
-
-        return jax.vmap(one)(imgs, oh, ow, fh, fv, tr)
+            x = jnp.where(tr[i], jnp.swapaxes(x, 1, 2), x)
+            x = jnp.where(fh[i], x[:, :, ::-1], x)
+            x = jnp.where(fv[i], x[:, ::-1, :], x)
+            crops.append(x)
+        return jnp.stack(crops)
 
 
 def corpus_from_loader(loader, workload: str):
@@ -121,14 +135,18 @@ def make_epoch_runner(corpus: DeviceImageCorpus, train_step, stateful: bool):
     """One jitted dispatch per training epoch: scan the train step over the
     epoch's permutation-ordered device-assembled batches. Returns
     run(params, [state,] opt_state, key) -> (params, [state,] opt_state,
-    losses (steps,))."""
+    losses (steps,)).
+
+    The corpus arrays ride as jit ARGUMENTS (see sample()'s docstring) —
+    they live on device, so per-call passing is free, and the compiled
+    program is corpus-independent (persistent-cache friendly)."""
     B = corpus.batch
     nsteps = corpus.steps_per_epoch
 
     if stateful:
 
         @jax.jit
-        def run(params, state, opt_state, key):
+        def run_impl(params, state, opt_state, key, images, sizes, tr):
             kperm, kscan = jax.random.split(key)
             perm = corpus.epoch_perm(kperm)
 
@@ -136,7 +154,7 @@ def make_epoch_runner(corpus: DeviceImageCorpus, train_step, stateful: bool):
                 params, state, opt_state, i = carry
                 idx = lax.dynamic_slice(perm, (i * B,), (B,))
                 kb, kstep = jax.random.split(ks)
-                batch = corpus.sample(kb, idx)
+                batch = corpus.sample(kb, idx, images, sizes, tr)
                 params, state, opt_state, loss = train_step(
                     params, state, opt_state, batch, kstep)
                 return (params, state, opt_state, i + 1), loss
@@ -146,10 +164,14 @@ def make_epoch_runner(corpus: DeviceImageCorpus, train_step, stateful: bool):
                 jax.random.split(kscan, nsteps))
             return params, state, opt_state, losses
 
+        def run(params, state, opt_state, key):
+            return run_impl(params, state, opt_state, key, corpus.images,
+                            corpus.sizes, corpus.transposed)
+
         return run
 
     @jax.jit
-    def run(params, opt_state, key):
+    def run_impl(params, opt_state, key, images, sizes, tr):
         kperm, kscan = jax.random.split(key)
         perm = corpus.epoch_perm(kperm)
 
@@ -157,7 +179,7 @@ def make_epoch_runner(corpus: DeviceImageCorpus, train_step, stateful: bool):
             params, opt_state, i = carry
             idx = lax.dynamic_slice(perm, (i * B,), (B,))
             kb, kstep = jax.random.split(ks)
-            batch = corpus.sample(kb, idx)
+            batch = corpus.sample(kb, idx, images, sizes, tr)
             params, opt_state, loss = train_step(
                 params, opt_state, batch, kstep)
             return (params, opt_state, i + 1), loss
@@ -165,5 +187,9 @@ def make_epoch_runner(corpus: DeviceImageCorpus, train_step, stateful: bool):
         (params, opt_state, _), losses = lax.scan(
             body, (params, opt_state, 0), jax.random.split(kscan, nsteps))
         return params, opt_state, losses
+
+    def run(params, opt_state, key):
+        return run_impl(params, opt_state, key, corpus.images, corpus.sizes,
+                        corpus.transposed)
 
     return run

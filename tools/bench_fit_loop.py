@@ -83,24 +83,24 @@ def run(device_scan, epochs, images):
     steps = len(loaders["train"])
 
     with tempfile.TemporaryDirectory() as td:
-        # warm-up epoch compiles everything; then timed epochs
-        t0 = time.time()
-        params, opt_state, _ = fit(
-            model, params, opt, opt_state, loaders, save_dir=td,
-            epochs=1, noise_std=(20, 30), val_freq=10**9,
-            backtrack_thresh=None, verbose=False,
-            device_scan=device_scan, save_freq=10**9,
-        )
-        warm = time.time() - t0
-        t0 = time.time()
-        params, opt_state, _ = fit(
-            model, params, opt, opt_state, loaders, save_dir=td,
-            epochs=epochs, noise_std=(20, 30), val_freq=10**9,
-            backtrack_thresh=None, verbose=False,
-            device_scan=device_scan, save_freq=10**9,
-        )
-        wall = time.time() - t0
-    per_epoch = wall / epochs
+        # two-length difference: each fit() call pays one retrace +
+        # compilation-cache load; (wall(1+N) - wall(1)) / N cancels it and
+        # yields the steady-state epoch cost
+        def one(n):
+            nonlocal params, opt_state
+            t0 = time.time()
+            params, opt_state, _ = fit(
+                model, params, opt, opt_state, loaders, save_dir=td,
+                epochs=n, noise_std=(20, 30), val_freq=10**9,
+                backtrack_thresh=None, verbose=False,
+                device_scan=device_scan, save_freq=10**9,
+            )
+            return time.time() - t0
+
+        warm = one(1)  # compile (cold or persistent-cache load)
+        w_short = one(1)
+        w_long = one(1 + epochs)
+    per_epoch = (w_long - w_short) / epochs
     return warm, per_epoch, per_epoch / steps * 1e3, steps
 
 
