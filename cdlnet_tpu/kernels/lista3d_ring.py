@@ -127,27 +127,46 @@ def _ring_bytes3(M, Cp, Qd, Qh, Qw, Bh, Wc, Hh, nb, dlo, z_bytes=2,
     return n
 
 
-def _padded_wc(Wc, G):
-    """Code width after zero-column padding for halo-sliver alignment.
+def _padded_wc(Wc, G, pc_min=0):
+    """Code width after zero-column padding.
 
-    When Wc admits no 128-aligned sliver height below the largest band
-    (odd Wc: gcd(Wc, 128) == 1 forces hs == Bh), pad the code grid to a
-    multiple of 16 columns — then hs = 8 * 2^k always aligns. The pad
-    columns are EXACT: the vm/vme masks zero them on every r and z (the
-    same mechanism that already reproduces the conv's zero padding for
-    ragged band rows), so real columns see zeros beyond the true width —
-    identical to the conv's own zero padding — and outputs are cropped.
-    Costs (Wcp - Wc)/Wc extra compute (1.2% at DAVIS-native Wc=427).
+    Two reasons to pad, both exact (the vm/vme masks zero pad columns on
+    every r and z — the same mechanism that already reproduces the conv's
+    zero padding for ragged band rows — so real columns see zeros beyond
+    the true width, identical to the conv's own zero padding; outputs are
+    cropped):
+
+    1. halo-sliver alignment: when Wc admits no 128-aligned sliver height
+       below the largest band (odd Wc: gcd(Wc, 128) == 1 forces hs == Bh),
+       a multiple of 16 columns makes hs = 8 * 2^k align.
+    2. pc_min >= the largest in-plane W tap offset makes the per-tap
+       COLUMN MASKS redundant (r4): a tap shifted past a row edge then
+       reads a zero pad column (its own row's tail, or the previous row's
+       tail for negative shifts) instead of wrapping to real data — which
+       is exactly what the scol/acol masks were zeroing. The kernels then
+       skip ~2 * Qd * Qh * Qw mask multiplies per grid step, a measured
+       share of the VPU-issue wall (tools/probe_ring_wall.py).
+
+    Costs (Wcp - Wc)/Wc extra compute (1.2% at DAVIS-native Wc=427; 4.3%
+    at fastMRI Wc=184).
     """
-    if Wc % 16 and _sliver_rows(128, G, Wc) == 128:
-        return -(-Wc // 16) * 16
+    need_align = Wc % 16 and _sliver_rows(128, G, Wc) == 128
+    if need_align or pc_min > 0:
+        return -(-(Wc + pc_min) // 16) * 16
     return Wc
+
+
+def _w_pad_min(wlo, Qw):
+    """Largest in-plane W tap offset (analysis [wlo, wlo+Qw-1], synthesis
+    [-(Qw-1)-wlo, -wlo]) — the pad-column count that retires the column
+    masks (see _padded_wc)."""
+    return max(abs(wlo), abs(wlo + Qw - 1), abs(-(Qw - 1) - wlo))
 
 
 def _pick_band_ring(M, C, P, s, Dc, Hc, Wc, z_bytes=2, use_mask=False):
     P_, pads, Qd, Qh, Qw, dlo, hlo, wlo, Hh = _geometry3(P, s)
     Cp = C * s**3
-    Wc = _padded_wc(Wc, 2 * Hh)
+    Wc = _padded_wc(Wc, 2 * Hh, pc_min=_w_pad_min(wlo, Qw))
     for Bh in (128, 64, 32, 16, 8):
         if Bh < 2 * Hh:
             continue  # halo slices need G=2*Hh rows inside a band
@@ -204,7 +223,7 @@ def _haloed_value(zu, zc, zd, b, nb, G, Wc, Bh, Lpad):
 
 
 def _syn_from_ring(zring, e, B2m_ref, scol_ref, *, Qd, Qh, Qw, Cp, Wc,
-                   Bh, Hh, dlo, wlo, hlo, lat1, Rz, Dc):
+                   Bh, Hh, dlo, wlo, hlo, lat1, Rz, Dc, colmask=True):
     """r[e - lat1] on Bh+2*Hh extended rows from the z slab ring:
     (B_k z)[d] summed over depth taps, one merged MXU dot per tap."""
     from jax.experimental.pallas import tpu as pltpu
@@ -233,7 +252,10 @@ def _syn_from_ring(zring, e, B2m_ref, scol_ref, *, Qd, Qh, Qw, Cp, Wc,
                     pltpu.roll(out[t * Cp : (t + 1) * Cp], (-off) % Lwz, 1)
                     if off % Lwz else out[t * Cp : (t + 1) * Cp]
                 )
-                pj += rolled[:, lo2 : lo2 + Lwr] * scol_ref[ri][None, :]
+                sl = rolled[:, lo2 : lo2 + Lwr]
+                # colmask=False: zero pad columns make the wraparound
+                # reads the masks were zeroing read zeros instead
+                pj += sl * scol_ref[ri][None, :] if colmask else sl
         valid = jnp.logical_and(dsl >= 0, dsl < Dc)
         # SELECT, don't multiply: warmup slots hold uninitialized VMEM
         part += jnp.where(valid, pj, 0.0)
@@ -242,7 +264,8 @@ def _syn_from_ring(zring, e, B2m_ref, scol_ref, *, Qd, Qh, Qw, Cp, Wc,
 
 def _ana_from_ring(rring, zring, e, A2m_ref, tau_ref, acol_ref, vm,
                    stack_ref, *, Qd, Qh, Qw, Cp, Wc, Bh, Hh, dlo, wlo,
-                   hlo, lat1, lat2, Rz, Rr, Dc, first, z_dtype):
+                   hlo, lat1, lat2, Rz, Rr, Dc, first, z_dtype,
+                   colmask=True):
     """z_new[e - lat1 - lat2] = ST(z_old - A_k r, tau_k) from the r slab
     ring (slabs already row-haloed — no band views)."""
     from jax.experimental.pallas import tpu as pltpu
@@ -265,10 +288,10 @@ def _ana_from_ring(rring, zring, e, A2m_ref, tau_ref, acol_ref, vm,
             rowed = roll(rh, (hlo + qi) * Wc)
             for ri in range(Qw):
                 t = (j * Qh + qi) * Qw + ri
-                stack_ref[t * Cp : (t + 1) * Cp] = (
-                    roll(rowed, wlo + ri)[:, lo : lo + Lb]
-                    * acol_ref[ri][None, :]
-                ).astype(stack_ref.dtype)
+                v = roll(rowed, wlo + ri)[:, lo : lo + Lb]
+                if colmask:
+                    v = v * acol_ref[ri][None, :]
+                stack_ref[t * Cp : (t + 1) * Cp] = v.astype(stack_ref.dtype)
 
     u = jax.lax.dot_general(
         A2m_ref[:], stack_ref[:], (((1,), (0,)), ((), ())),
@@ -289,13 +312,13 @@ def _kernel_mid(zu_ref, zc_ref, zd_ref, y2e_ref, m2e_ref, B2m_ref,
                 A2m_ref, tau_ref, scol_ref, acol_ref, vme_ref, vm_ref,
                 zout_ref, zring, rring, stack_ref, *, Qd, Qh, Qw, Cp,
                 Wc, Bh, Hh, dlo, hlo, wlo, lat1, lat2, Rz, Rr, Dc,
-                use_mask, z_dtype):
+                use_mask, z_dtype, colmask=True):
     e = pl.program_id(2)
     b = pl.program_id(1)
     nb = pl.num_programs(1)
     G = 2 * Hh
     geo = dict(Qd=Qd, Qh=Qh, Qw=Qw, Cp=Cp, Wc=Wc, Bh=Bh, Hh=Hh,
-               dlo=dlo, wlo=wlo, hlo=hlo)
+               dlo=dlo, wlo=wlo, hlo=hlo, colmask=colmask)
 
     slot = lax.rem(e, Rz)
     zring[slot] = _haloed_value(
@@ -318,11 +341,11 @@ def _kernel_mid(zu_ref, zc_ref, zd_ref, y2e_ref, m2e_ref, B2m_ref,
 
 def _kernel_first(y2e_ref, A2m_ref, tau_ref, acol_ref, vme_ref, vm_ref,
                   zout_ref, rring, stack_ref, *, Qd, Qh, Qw, Cp, Wc, Bh,
-                  Hh, dlo, hlo, wlo, lat2, Rr, Dc, z_dtype):
+                  Hh, dlo, hlo, wlo, lat2, Rr, Dc, z_dtype, colmask=True):
     """k = 0: z = ST(A0 y2, tau0) — r ring is fed -y2 directly."""
     e = pl.program_id(2)
     geo = dict(Qd=Qd, Qh=Qh, Qw=Qw, Cp=Cp, Wc=Wc, Bh=Bh, Hh=Hh,
-               dlo=dlo, wlo=wlo, hlo=hlo)
+               dlo=dlo, wlo=wlo, hlo=hlo, colmask=colmask)
     rring[lax.rem(e, Rr)] = _lanepad(
         -(vme_ref[0, 0] * y2e_ref[0, 0, 0]), rring.shape[-1])
     zout_ref[0, 0, 0] = _ana_from_ring(
@@ -333,7 +356,7 @@ def _kernel_first(y2e_ref, A2m_ref, tau_ref, acol_ref, vme_ref, vm_ref,
 
 def _kernel_last(zu_ref, zc_ref, zd_ref, B2m_ref, scol_ref, vm_ref,
                  xout_ref, zring, *, Qd, Qh, Qw, Cp, Wc, Bh, Hh, dlo,
-                 hlo, wlo, lat1, Rz, Dc):
+                 hlo, wlo, lat1, Rz, Dc, colmask=True):
     """x = D z (no y subtraction, no mask — model/net.py:209)."""
     e = pl.program_id(2)
     b = pl.program_id(1)
@@ -347,7 +370,8 @@ def _kernel_last(zu_ref, zc_ref, zd_ref, B2m_ref, scol_ref, vm_ref,
         Bh, zring.shape[-1])
     part = _syn_from_ring(
         zring, e, B2m_ref, scol_ref, Qd=Qd, Qh=Qh, Qw=Qw, Cp=Cp, Wc=Wc,
-        Bh=Bh, Hh=Hh, dlo=dlo, wlo=wlo, hlo=hlo, lat1=lat1, Rz=Rz, Dc=Dc)
+        Bh=Bh, Hh=Hh, dlo=dlo, wlo=wlo, hlo=hlo, lat1=lat1, Rz=Rz, Dc=Dc,
+        colmask=colmask)
     xout_ref[0, 0, 0] = vm_ref[0, 0] * part[:, lo : lo + Lb]
 
 
@@ -363,8 +387,10 @@ def lista3d_ring(yp, A, B, t, c, stride=1, mask=None, return_z=False,
     s = stride
     P, pads, Qd, Qh, Qw, dlo, hlo, wlo, Hh = _geometry3(A.shape[-3:], s)
     Dc, Hc, Wc = D // s, H // s, W // s
-    Wct = Wc  # true code width; Wc below may carry sliver-alignment pad
-    Wc = _padded_wc(Wc, 2 * Hh)
+    Wct = Wc  # true code width; Wc below carries alignment/mask-retiring pad
+    pc_min = _w_pad_min(wlo, Qw)
+    Wc = _padded_wc(Wc, 2 * Hh, pc_min=pc_min)
+    colmask = (Wc - Wct) < pc_min  # pads retire the column masks (r4)
     Cp = C * s**3
     T = Qd * Qh * Qw
     Mp = -(-M // 8) * 8
@@ -430,7 +456,7 @@ def lista3d_ring(yp, A, B, t, c, stride=1, mask=None, return_z=False,
         .reshape(nb, 1, Lwr).astype(np.float32))
 
     geom = dict(Qd=Qd, Qh=Qh, Qw=Qw, Cp=Cp, Wc=Wc, Bh=Bh, Hh=Hh,
-                dlo=dlo, hlo=hlo, wlo=wlo)
+                dlo=dlo, hlo=hlo, wlo=wlo, colmask=colmask)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     cparams = pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024)
 

@@ -36,7 +36,11 @@ def timeit(fn, args, R=4, rounds=5):
     @jax.jit
     def run(*a):
         def body(c, _):
-            out = fn(*a)[0]
+            # thread the carry into the input so XLA cannot hoist the
+            # loop-invariant clip evaluation out of the scan (CLAUDE.md:
+            # R "iterations" otherwise time ONE evaluation)
+            yp = a[0] + c * 1e-20
+            out = fn(yp, *a[1:])[0]
             return c + 0 * jnp.mean(out), jnp.mean(out)
 
         _, outs = jax.lax.scan(body, jnp.zeros(()), None, length=R)
