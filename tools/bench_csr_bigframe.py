@@ -148,9 +148,11 @@ def main():
     args = [a for a in sys.argv[1:] if not a.isdigit() and a != "train"]
     D = next((int(a) for a in sys.argv[1:] if a.isdigit()), 8)
     train = "train" in sys.argv[1:]
+    dims = [int(a) for a in sys.argv[1:] if a.isdigit()]
     for n in args or ["csr", "csrf2"]:
         if train:
-            bench_train(n)
+            bench_train(n, H=dims[0] if dims else 640,
+                        W=dims[1] if len(dims) > 1 else 368)
         else:
             bench_case(n, D)
 
