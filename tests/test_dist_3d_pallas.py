@@ -125,3 +125,35 @@ def test_dp_shard_map_3d_banded_forward_matches_single(monkeypatch):
     )
     got = jax.jit(lambda p, yv: fwd(p, yv, 25.0))(params, ypc)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_dp_shard_map_mri_geometry_banded_matches_single(monkeypatch):
+    """The (9,9,5) fastMRI tap geometry (the alignment class that once
+    failed only on hardware) under shard_map over the batch."""
+    _force_interpret_3d(monkeypatch)
+    monkeypatch.setenv("CDLNET_LISTA3D_RING", "0")
+    from cdlnet_tpu.dist.sharding import shard_map_forward
+    from cdlnet_tpu.kernels.lista3d_tiled import lista3d_tiled
+
+    model = build_model(
+        "CDLNetVideo",
+        {"K": 2, "M": 8, "P": (9, 9, 5), "s": 2, "C": 1, "adaptive": True,
+         "depth": 8, "backend": "pallas"})
+    params = _params(model)
+    y = jax.random.uniform(jax.random.PRNGKey(3), (2, 1, 8, 32, 48))
+    ypc = y - jnp.mean(y, axis=(1, 2, 3, 4), keepdims=True)
+
+    ref, _ = lista3d_tiled(ypc, params["A"], params["B"], params["t"],
+                           jnp.full((2,), 25.0 / 255.0), stride=2,
+                           interpret=True)
+    mesh = make_mesh({"data": 2}, devices=jax.devices()[:2])
+    fwd = shard_map_forward(
+        mesh,
+        lambda p, yl, sg, m: lista3d_tiled(
+            yl, p["A"], p["B"], p["t"],
+            jnp.broadcast_to(jnp.asarray(sg, jnp.float32) / 255.0,
+                             (yl.shape[0],)),
+            stride=2, interpret=True)[0],
+    )
+    got = jax.jit(lambda p, yv: fwd(p, yv, 25.0))(params, ypc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)

@@ -473,3 +473,41 @@ def test_fit_device_scan_true_requires_stageable_loader(tmp_path):
             save_dir=str(tmp_path), epochs=1, verbose=False,
             device_scan=True,
         )
+
+
+def test_fit_device_scan_stateful_dncnn(tmp_path):
+    """device_scan with a BatchNorm family: the stateful epoch runner
+    threads BN running stats through the scanned steps."""
+    from cdlnet_tpu.data.images import ImageDataset
+    from cdlnet_tpu.data.loader import ThreadSafeRng
+    from cdlnet_tpu.models import DnCNN
+
+    rng = np.random.default_rng(1)
+    images = [rng.uniform(0.2, 0.8, (1, 40, 40)).astype(np.float32)
+              for _ in range(4)]
+    ds = ImageDataset.__new__(ImageDataset)
+    ds.image_paths = [str(i) for i in range(4)]
+    ds.images = images
+    ds.root_dirs = []
+    ds.crop_size = 32
+    ds.augment = True
+    ds.rng = ThreadSafeRng(0)
+    loaders = {
+        "train": DataLoader(ds, batch_size=2, shuffle=True, drop_last=True),
+        "val": make_loaders(n=2)["val"],
+        "test": make_loaders(n=2)["test"],
+    }
+
+    model = DnCNN(K=4, M=8)
+    bundle = model.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(1e-3, clip_grad=0.05)
+    params0 = bundle[0] if isinstance(bundle, tuple) else bundle
+    out, _, history = fit(
+        model, bundle, opt, opt.init(params0), loaders,
+        save_dir=str(tmp_path), epochs=3, noise_std=25,
+        val_freq=3, verbose=False, device_scan=True, project=False,
+    )
+    params, state = out
+    # BN running stats moved off their init values (train mode updated them)
+    assert not np.allclose(np.asarray(state["bn_var"]), 1.0)
+    assert all(np.isfinite(p) for _, _, p in history)
