@@ -147,13 +147,24 @@ def _padded_wc(Wc, G, pc_min=0):
        skip ~2 * Qd * Qh * Qw mask multiplies per grid step, a measured
        share of the VPU-issue wall (tools/probe_ring_wall.py).
 
+    3. a 128-MULTIPLE width makes every row-shift roll offset a multiple
+       of 128 lanes, which Mosaic lowers as vreg renumbering instead of
+       intra-vreg rotates — measured 1.37x at DAVIS-native (432 -> 512,
+       despite +18.5% element cost) and 1.04x at 240x432; fastMRI's
+       184 -> 256 (+33%) LOSES (0.71x), so the 128-multiple is taken only
+       when its overhead over the 16-multiple choice is <= 20%.
+
     Costs (Wcp - Wc)/Wc extra compute (1.2% at DAVIS-native Wc=427; 4.3%
-    at fastMRI Wc=184).
+    at fastMRI Wc=184) for the 16-multiple pad.
     """
     need_align = Wc % 16 and _sliver_rows(128, G, Wc) == 128
-    if need_align or pc_min > 0:
-        return -(-(Wc + pc_min) // 16) * 16
-    return Wc
+    if not (need_align or pc_min > 0):
+        return Wc
+    base = -(-(Wc + pc_min) // 16) * 16
+    c128 = -(-(Wc + pc_min) // 128) * 128
+    if c128 > base and (c128 - base) / base <= 0.20:
+        return c128
+    return base
 
 
 def _w_pad_min(wlo, Qw):

@@ -1443,15 +1443,18 @@ def test_sliver_rows_alignment_invariants():
 
 
 def test_ring_padded_wc():
-    """Odd code widths (DAVIS-native Wc=427) pad to a multiple of 16 so an
-    aligned sliver exists; widths that already admit one stay unpadded."""
+    """Column padding policy: multiple-of-16 for sliver alignment and
+    mask retirement, upgraded to a 128-multiple when its overhead over the
+    16-multiple choice is <=20% (aligned roll offsets — measured 1.37x at
+    DAVIS-native despite the extra columns, 0.71x at fastMRI's +33%)."""
     from cdlnet_tpu.kernels.lista3d_ring import _padded_wc
 
-    assert _padded_wc(427, 6) == 432   # DAVIS-native: no aligned hs -> pad
-    assert _padded_wc(216, 6) == 216   # hs=16 aligns -> no pad
-    assert _padded_wc(184, 8) == 184   # fastMRI-native: hs=16 aligns
-    assert _padded_wc(64, 6) == 64     # power-of-2 widths align at hs=8
-    assert _padded_wc(27, 4) == 32
+    assert _padded_wc(427, 6) == 512   # DAVIS-native: 432 -> 512 (+18.5%)
+    assert _padded_wc(216, 6) == 216   # no pad requested, stays
+    assert _padded_wc(216, 6, pc_min=1) == 256   # 224 -> 256 (+14%)
+    assert _padded_wc(184, 8, pc_min=2) == 192   # 256 would be +33%: stays
+    assert _padded_wc(64, 6, pc_min=1) == 80     # 128 would be +60%: stays
+    assert _padded_wc(27, 4, pc_min=1) == 32
 
 
 def test_ring3d_odd_width_stride2_matches_scan_interpret():
