@@ -60,7 +60,14 @@ path; the model wraps calls nondifferentiable.
 
 Hardware validation (2026-08-19, fp32 carry, s=2 P=(7,7,5) M=16 K=3
 8x128x128): bit-identical to the long-validated lista3d_tiled on the
-real chip (max |ring - tiled| = 0.0 on x AND z). Do NOT gate hardware
+real chip (max |ring - tiled| = 0.0 on x AND z). r4 caveat: widths whose
+pad lands on a 128 multiple take the lane-class tap path, whose
+accumulation ORDER differs — hardware parity vs the banded pair is then
+scattered fp32 reassociation amplified at soft-threshold boundaries
+(measured 8x64x854 / Wc 427->512: median column-max 1.2e-7, max ~1e-3 on
+~1.3% of pixels at ST flips, NOT localized at buffer edges), within the
+family's bf16-carry operating tolerance; interpret tests pin the lane
+path exactly against the XLA scan. Do NOT gate hardware
 parity of these kernels against the XLA scan with random *unnormalized*
 weights: such iterations are expansive (spectral radius of I - AB > 1),
 so the TPU-XLA scan itself lands 1e-1..2e-1 max from a CPU-fp32 run and
@@ -123,6 +130,7 @@ def _ring_bytes3(M, Cp, Qd, Qh, Qw, Bh, Wc, Hh, nb, dlo, z_bytes=2,
         + Mp * T * Cp * z_bytes            # A2m bank
         + 2 * Qw * (Lwr + Lb) * 4          # scol/acol masks
         + 2 * nb * (Lwr + Lb) * 4          # vm masks (full VMEM)
+        + 2 * Qw * Cp * Lwr * 4            # lane-class accumulators/copies
     )
     return n
 
@@ -244,6 +252,45 @@ def _syn_from_ring(zring, e, B2m_ref, scol_ref, *, Qd, Qh, Qw, Cp, Wc,
     Lwz = (Bh + 2 * G) * Wc
     lo2 = Hh * Wc  # (G - Hh) rows: ext-row halo margin inside the slab
     dr = e - lat1
+
+    if not colmask and Wc % 128 == 0:
+        # Lane-class restructure (r4): with pad columns retiring the masks
+        # AND a 128-multiple width, the per-tap output shift splits into a
+        # row part (a multiple of Wc -> an ALIGNED value slice, ~free) and
+        # a tiny lane part shared by the ri class — so instead of Qd*Qh*Qw
+        # rolls per grid step, accumulate one (Cp, Lwr) buffer per lane
+        # class across all taps and apply ONE roll per class at the end
+        # (2 rolls/step at Qw=3). End-of-buffer wraps land on pad-column
+        # output positions, zeroed by the vme mask at the r store — exact.
+        classes = sorted({ri - (Qw - 1) - wlo for ri in range(Qw)})
+        pc = {c: jnp.zeros((Cp, Lwr), jnp.float32) for c in classes}
+        for j in range(Qd):
+            sd = j - (Qd - 1) - dlo
+            dsl = dr + sd
+            slot = lax.rem(e + (8 * Rz - lat1 + sd), Rz)
+            zh = zring[slot][:, :Lwz].astype(jnp.float32)
+            out = jax.lax.dot_general(
+                B2m_ref[j], zh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Qh*Qw*Cp, Lwz)
+            valid = jnp.logical_and(dsl >= 0, dsl < Dc)
+            for qi in range(Qh):
+                rowoff = (qi - (Qh - 1) - hlo) * Wc
+                for ri in range(Qw):
+                    t = qi * Qw + ri
+                    c = ri - (Qw - 1) - wlo
+                    sl = out[t * Cp : (t + 1) * Cp,
+                             lo2 + rowoff : lo2 + rowoff + Lwr]
+                    # SELECT, don't multiply: warmup slots hold
+                    # uninitialized VMEM and 0*NaN poisons
+                    pc[c] = pc[c] + jnp.where(valid, sl, 0.0)
+        part = jnp.zeros((Cp, Lwr), jnp.float32)
+        for c in classes:
+            part += (
+                pltpu.roll(pc[c], (-c) % Lwr, 1) if c % Lwr else pc[c]
+            )
+        return part
+
     part = jnp.zeros((Cp, Lwr), jnp.float32)
     for j in range(Qd):
         sd = j - (Qd - 1) - dlo
@@ -290,11 +337,27 @@ def _ana_from_ring(rring, zring, e, A2m_ref, tau_ref, acol_ref, vm,
     def roll(buf, off):
         return pltpu.roll(buf, (-off) % Lwr, 1) if off % Lwr else buf
 
+    lane_path = not colmask and Wc % 128 == 0
     for j in range(Qd):
         dd = dz + dlo + j
         slot = lax.rem(e + (8 * Rr - lat1 - lat2 + dlo + j), Rr)
         valid = jnp.logical_and(dd >= 0, dd < Dc)
         rh = jnp.where(valid, rring[slot][:, :Lwr], 0.0)
+        if lane_path:
+            # lane-class restructure (see _syn_from_ring): pre-shift rh
+            # once per lane class (2 rolls/depth tap), then every
+            # (qi, ri) tap is an ALIGNED value slice of the right class
+            rh_cls = {
+                c: roll(rh, c) for c in sorted({wlo + ri for ri in range(Qw)})
+            }
+            for qi in range(Qh):
+                start = lo + (hlo + qi) * Wc
+                for ri in range(Qw):
+                    t = (j * Qh + qi) * Qw + ri
+                    v = rh_cls[wlo + ri][:, start : start + Lb]
+                    stack_ref[t * Cp : (t + 1) * Cp] = v.astype(
+                        stack_ref.dtype)
+            continue
         for qi in range(Qh):
             rowed = roll(rh, (hlo + qi) * Wc)
             for ri in range(Qw):

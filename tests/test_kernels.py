@@ -1476,3 +1476,25 @@ def test_ring3d_odd_width_stride2_matches_scan_interpret():
                         z_dtype=jnp.float32, interpret=True, band=8)
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-4)
     np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref), atol=1e-4)
+
+
+def test_ring3d_lane_class_path_matches_scan_interpret():
+    """A width whose pad lands on a 128 MULTIPLE (Wc=127 -> 128) takes the
+    r4 lane-class restructure (aligned tap slices + one roll per lane
+    class) — must match the XLA scan exactly (fp32 carry)."""
+    from cdlnet_tpu.kernels.lista3d_ring import _padded_wc, lista3d_ring
+
+    s, P, C, M, K = 2, (5, 5, 3), 1, 8, 3
+    assert _padded_wc(127, 4, pc_min=1) == 128  # lane path triggers
+    shape = (1, C, 8, 48, 254)  # W=254 -> Wc=127
+    yp, A, B, t = _mk3d(s, P, C, M, K, shape)
+    c = jnp.asarray([0.15]).reshape(1, 1, 1, 1, 1)
+    z_ref = lista_3d(yp, A, B, t, c, stride=s)
+    pads = tuple(p // 2 for p in P)
+    x_ref = conv_transpose3d(
+        z_ref, B[0], stride=s, padding=pads, output_padding=s - 1
+    )
+    x, z = lista3d_ring(yp, A, B, t, c, stride=s, return_z=True,
+                        z_dtype=jnp.float32, interpret=True, band=8)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref), atol=1e-4)
