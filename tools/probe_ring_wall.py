@@ -26,8 +26,6 @@ from __future__ import annotations
 import sys
 import time
 
-import numpy as np
-
 
 def timeit(fn, args, R=4, rounds=5):
     import jax
@@ -75,7 +73,6 @@ def main():
     from jax.experimental.pallas import tpu as pltpu
 
     import cdlnet_tpu.kernels.lista3d_ring as ring
-    import cdlnet_tpu.kernels.lista2d as k2d
 
     D, H, W = 16, 480, 854
     M, K, s, P = 169, 30, 2, (7, 7, 5)
