@@ -113,7 +113,8 @@ def main():
 
     def _ana_nostack(rring, zring, e, A2m_ref, tau_ref, acol_ref, vm,
                      stack_ref, *, Qd, Qh, Qw, Cp, Wc, Bh, Hh, dlo, wlo,
-                     hlo, lat1, lat2, Rz, Rr, Dc, first, z_dtype):
+                     hlo, lat1, lat2, Rz, Rr, Dc, first, z_dtype,
+                     colmask=True):
         G = 2 * Hh
         Lb = Bh * Wc
         u = jax.lax.dot_general(
@@ -143,7 +144,7 @@ def main():
     real_syn = ring._syn_from_ring
 
     def _syn_notail(zring, e, B2m_ref, scol_ref, *, Qd, Qh, Qw, Cp, Wc,
-                    Bh, Hh, dlo, wlo, hlo, lat1, Rz, Dc):
+                    Bh, Hh, dlo, wlo, hlo, lat1, Rz, Dc, colmask=True):
         G = 2 * Hh
         Lwr = (Bh + 2 * Hh) * Wc
         Lwz = (Bh + 2 * G) * Wc
