@@ -285,13 +285,16 @@ def import_opt_state(model, opt_sd: dict, opt_state, params):
     adam = adam._replace(count=count, mu=_jnpify(mu), nu=_jnpify(nu))
     inner = tuple(adam if jj == j else s for jj, s in enumerate(inj.inner_state))
     group = opt_sd["param_groups"][0]
-    inj.hyperparams["learning_rate"] = jnp.asarray(group["lr"], jnp.float32)
+    # copy-on-write: hyperparams is the caller's dict — mutating it in place
+    # would corrupt the pre-import opt_state the caller may keep as fallback
+    hp = dict(inj.hyperparams)
+    hp["learning_rate"] = jnp.asarray(group["lr"], jnp.float32)
     if "betas" in group:
-        inj.hyperparams["b1"] = jnp.asarray(group["betas"][0], jnp.float32)
-        inj.hyperparams["b2"] = jnp.asarray(group["betas"][1], jnp.float32)
+        hp["b1"] = jnp.asarray(group["betas"][0], jnp.float32)
+        hp["b2"] = jnp.asarray(group["betas"][1], jnp.float32)
     if "eps" in group:
-        inj.hyperparams["eps"] = jnp.asarray(group["eps"], jnp.float32)
-    inj = inj._replace(count=count, inner_state=inner)
+        hp["eps"] = jnp.asarray(group["eps"], jnp.float32)
+    inj = inj._replace(count=count, inner_state=inner, hyperparams=hp)
     return tuple(inj if ii == i else s for ii, s in enumerate(opt_state))
 
 

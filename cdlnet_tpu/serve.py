@@ -112,6 +112,16 @@ class Denoiser:
         depth_fwd = None
         ndata = 1
         run_model = model  # what the plain (non-shard_map) forward runs
+        if mesh is not None and getattr(model, "backend", None) == "pallas":
+            # ANY multi-device jit refuses to compile a Mosaic kernel outside
+            # shard_map — including the depth-only mesh's ragged-clip
+            # fallthrough (depth_fwd -> None -> plain apply). The plain-path
+            # model is therefore demoted whenever a mesh exists, not only on
+            # data meshes; pallas still runs where it's wired (shard_map /
+            # halo_fused routes below).
+            import dataclasses
+
+            run_model = dataclasses.replace(model, backend="xla")
         if (
             mesh is not None
             and mesh.shape.get("depth", 1) > 1
@@ -164,9 +174,6 @@ class Denoiser:
 
             ndata = mesh.shape["data"]
             if getattr(model, "backend", None) == "pallas":
-                import dataclasses
-
-                run_model = dataclasses.replace(model, backend="xla")
                 if self._is_csr:
                     smf = shard_map_forward(
                         mesh, lambda p, y, s, m: model.apply(p, y, sigma=s)[0]

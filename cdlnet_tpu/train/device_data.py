@@ -121,7 +121,10 @@ def corpus_from_loader(loader, workload: str):
     ds = loader.dataset
     if not isinstance(ds, ImageDataset):
         return None
-    if ds.crop_size is None or not ds.augment or not loader.drop_last:
+    # the epoch runner always draws a fresh per-epoch permutation, so a
+    # shuffle=False loader (deterministic epoch order) must keep the host loop
+    if ds.crop_size is None or not ds.augment or not loader.drop_last \
+            or not loader.shuffle:
         return None
     if len(ds) < loader.batch_size:
         return None

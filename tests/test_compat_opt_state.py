@@ -98,10 +98,11 @@ def test_adam_update_matches_torch():
     from cdlnet_tpu.compat.torch_ckpt import _leaf_set
 
     for tp, a in zip(tparams, order):
-        if a[1] is None:
-            _leaf_set(synced, a, tp.detach().numpy())
-        else:
-            _leaf_set(synced, a, tp.detach().numpy())
+        # COPY: tensor.numpy() is a live view, and jnp.asarray on CPU may
+        # alias numpy buffers zero-copy — the later topt.step() would then
+        # mutate our synced tree in place (observed as a flaky ~lr-sized
+        # divergence on an alignment-dependent subset of leaves)
+        _leaf_set(synced, a, np.array(tp.detach().numpy()))
     synced = jax.tree_util.tree_map(jnp.asarray, synced)
 
     # step N+1 on both sides with the same gradient

@@ -442,3 +442,28 @@ def test_serve_mesh_csr_video_batch(monkeypatch):
     ref = d_one.denoise_video(clips, sigma=25)
     got = d_mesh.denoise_video(clips, sigma=25)
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_serve_depth_only_mesh_ragged_clip_demotes_to_xla():
+    """Depth-only mesh ({'depth': N}, no 'data' axis) + a clip whose depth
+    is NOT divisible by ndepth*s: depth_fwd declines and the plain path must
+    run a backend-DEMOTED model — a pallas apply inside the multi-device jit
+    is a trace-time Mosaic error the OOM fallback cannot catch (regression:
+    the demotion used to live only in the 'data'-mesh branch)."""
+    from cdlnet_tpu.serve import Denoiser
+
+    model = CDLNetVideo(K=2, M=4, P=(3, 3, 3), s=2, adaptive=True,
+                        backend="pallas")
+    params = model.init(jax.random.PRNGKey(0), init=True)
+    rng = np.random.default_rng(7)
+    # depth 6: 6 % (8 shards * s=2) != 0 -> ragged, plain-path fallthrough
+    clip = rng.uniform(0, 1, (1, 1, 6, 32, 32)).astype(np.float32)
+    import dataclasses
+
+    d_one = Denoiser(dataclasses.replace(model, backend="xla"), params,
+                     bucket=16)
+    d_mesh = Denoiser(model, params, bucket=16, mesh={"depth": 8})
+    ref = d_one.denoise_video(clip, sigma=25)
+    got = d_mesh.denoise_video(clip, sigma=25)
+    # the ragged path must land on the demoted-XLA plain forward -> exact
+    np.testing.assert_allclose(got, ref, atol=1e-6)

@@ -511,3 +511,26 @@ def test_fit_device_scan_stateful_dncnn(tmp_path):
     # BN running stats moved off their init values (train mode updated them)
     assert not np.allclose(np.asarray(state["bn_var"]), 1.0)
     assert all(np.isfinite(p) for _, _, p in history)
+
+
+def test_corpus_from_loader_rejects_unshuffled_loader():
+    """A shuffle=False train loader (deterministic epoch order) must keep the
+    host loop: the epoch runner always draws a fresh per-epoch permutation,
+    which would silently change the training protocol."""
+    from cdlnet_tpu.data.images import ImageDataset
+    from cdlnet_tpu.data.loader import ThreadSafeRng
+    from cdlnet_tpu.train.device_data import corpus_from_loader
+
+    rng = np.random.default_rng(0)
+    ds = ImageDataset.__new__(ImageDataset)
+    ds.image_paths = [str(i) for i in range(4)]
+    ds.images = [rng.uniform(0, 1, (1, 40, 40)).astype(np.float32)
+                 for _ in range(4)]
+    ds.root_dirs = []
+    ds.crop_size = 32
+    ds.augment = True
+    ds.rng = ThreadSafeRng(0)
+    shuffled = DataLoader(ds, batch_size=2, shuffle=True, drop_last=True)
+    ordered = DataLoader(ds, batch_size=2, shuffle=False, drop_last=True)
+    assert corpus_from_loader(shuffled, "2d") is not None
+    assert corpus_from_loader(ordered, "2d") is None
