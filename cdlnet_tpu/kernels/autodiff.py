@@ -461,6 +461,88 @@ def _tiled3d_bwd(stride, interpret, res, gx):
 _tiled3d.defvjp(_tiled3d_fwd, _tiled3d_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _ring3d(yp, A, B, t, c, mask, stride, interpret):
+    from cdlnet_tpu.kernels.lista3d_ring import lista3d_ring
+
+    x, _ = lista3d_ring(yp, A, B, t, c, stride=stride, mask=mask,
+                        return_z=False, interpret=interpret)
+    return x
+
+
+def _ring3d_fwd(yp, A, B, t, c, mask, stride, interpret):
+    from cdlnet_tpu.kernels.lista2d import hist_dtype
+    from cdlnet_tpu.kernels.lista3d_ring import lista3d_ring
+    from cdlnet_tpu.kernels.lista3d_ring_bwd import pick_band_ring_train
+
+    K, M = A.shape[0], A.shape[1]
+    C = yp.shape[1]
+    D, H, W = yp.shape[-3], yp.shape[-2], yp.shape[-1]
+    hb = jnp.dtype(hist_dtype()).itemsize
+    # the band is picked JOINTLY with the reverse (histories arrive banded
+    # at it); gating happened in the caller (lista3d_bigframe_train_path)
+    Bh = pick_band_ring_train(M, C, A.shape[-3:], stride,
+                              D // stride, H // stride, W // stride,
+                              hist_bytes=hb, use_mask=mask is not None)
+    x, _, (z_hist, r_hist) = lista3d_ring(
+        yp, A, B, t, c, stride=stride, mask=mask, return_z=False,
+        z_dtype=hist_dtype(), interpret=interpret, return_hists=True,
+        band=Bh,
+    )
+    return x, (yp, A, B, t, c, mask, z_hist, r_hist)
+
+
+def _ring3d_bwd(stride, interpret, res, gx):
+    from cdlnet_tpu.kernels.lista3d_ring_bwd import lista3d_ring_fused_bwd
+
+    yp, A, B, t, c, mask, z_hist, r_hist = res
+    dA, dB, dt = lista3d_ring_fused_bwd(
+        gx, yp, A, B, t, c, mask, z_hist, r_hist, stride=stride,
+        interpret=interpret,
+    )
+    dc = jnp.zeros_like(jnp.asarray(c))
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return (jnp.zeros_like(yp), dA, dB, dt, dc, dmask)
+
+
+_ring3d.defvjp(_ring3d_fwd, _ring3d_bwd)
+
+
+def lista3d_ring_diff(yp, A, B, t, c, stride=1, mask=None, interpret=False):
+    """Depth-ring big-frame 3D fused forward (kernels/lista3d_ring),
+    differentiable: the forward collects z/r histories ring-style
+    (r on extended rows), the backward is the merged ring reverse
+    (kernels/lista3d_ring_bwd) — dv read through a VMEM slab ring instead
+    of the banded pair's per-tap band views. Callers gate on
+    lista3d_bigframe_train_path. Returns xphat."""
+    return _ring3d(yp, A, B, t, jnp.asarray(c), mask, stride, interpret)
+
+
+def lista3d_bigframe_train_path(M, C, P, s, K, D, H, W, use_mask=False):
+    """Which big-frame fused 3D TRAINING path applies: "ring" (merged
+    ring reverse — the fast one), "tiled" (banded pair reverse), or None
+    (XLA gradient). The ONE routing decision shared by the model's
+    _pallas_path and the diff wrappers. CDLNET_LISTA3D_RING=0 opts the
+    ring out (same switch as inference); CDLNET_LISTA3D_RING_BWD=0 opts
+    out only the ring REVERSE (banded training keeps running)."""
+    import os
+
+    from cdlnet_tpu.kernels.lista3d_ring_bwd import (
+        lista3d_ring_bwd_supported,
+    )
+
+    hb = jnp.dtype(hist3d_dtype()).itemsize
+    if (os.environ.get("CDLNET_LISTA3D_RING", "1") != "0"
+            and os.environ.get("CDLNET_LISTA3D_RING_BWD", "1") != "0"
+            and lista3d_ring_bwd_supported(M, C, P, s, K, D, H, W,
+                                           hist_bytes=hb,
+                                           use_mask=use_mask)):
+        return "ring"
+    if lista3d_tiled_train_supported(M, C, P, s, K, D, H, W):
+        return "tiled"
+    return None
+
+
 def lista3d_tiled_diff(yp, A, B, t, c, stride=1, mask=None, interpret=False):
     """Banded big-frame 3D fused forward (kernels/lista3d_tiled),
     differentiable. When the banded reverse kernels fit

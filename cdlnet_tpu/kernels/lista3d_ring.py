@@ -219,6 +219,39 @@ def _lanepad(x, Lpad):
         [x, jnp.zeros((x.shape[0], Lpad - x.shape[-1]), x.dtype)], axis=1)
 
 
+def ext_bands(x5, Bh, nb, Hh, Hc, Wc, Wct):
+    """(N, ch, Dc, Hc, Wct) -> (N, Dc, nb, ch, (Bh+2*Hh)*Wc): overlapping
+    Hh-row-haloed bands at the ring's padded code width, out-of-image rows
+    and pad columns zero. Shared by the forward (y2e/m2e) and the ring
+    reverse (g0e and its y2e/m2e rebuilds) so layouts cannot drift."""
+    N, ch, Dc = x5.shape[0], x5.shape[1], x5.shape[2]
+    Er = Bh + 2 * Hh
+    Hcp = nb * Bh
+    x5 = jnp.pad(
+        x5, ((0, 0), (0, 0), (0, 0), (Hh, Hh + Hcp - Hc), (0, Wc - Wct)))
+    idx = np.arange(nb)[:, None] * Bh + np.arange(Er)[None, :]
+    xb = x5[:, :, :, idx, :]              # (N, ch, Dc, nb, Er, Wc)
+    return xb.transpose(0, 2, 3, 1, 4, 5).reshape(N, Dc, nb, ch, Er * Wc)
+
+
+def ring_masks(Bh, nb, Hh, Hc, Wc, Wct):
+    """(vm (nb,1,Lb), vme (nb,1,Lwr)) numpy row/column validity masks:
+    rows past the true image height and columns past the true code width
+    are zeroed — the mechanism that makes the zero-pad-column mask
+    retirement exact (see _padded_wc)."""
+    Er = Bh + 2 * Hh
+    Lb, Lwr = Bh * Wc, Er * Wc
+    colv = np.arange(Wc)[None, None, :] < Wct
+    grow = np.arange(nb * Bh).reshape(nb, Bh, 1)
+    vm = ((np.broadcast_to(grow < Hc, (nb, Bh, Wc)) & colv)
+          .reshape(nb, 1, Lb).astype(np.float32))
+    gext = (np.arange(nb)[:, None] * Bh
+            + np.arange(Er)[None, :] - Hh)[:, :, None]
+    vme = ((np.broadcast_to((gext >= 0) & (gext < Hc), (nb, Er, Wc)) & colv)
+           .reshape(nb, 1, Lwr).astype(np.float32))
+    return vm, vme
+
+
 def _haloed_value(zu, zc, zd, b, nb, G, Wc, Bh, Lpad):
     """(ch, Lpad) slab value: [G rows of band b-1 | band b | G rows of
     band b+1 | lane padding], out-of-image halos zeroed (= the conv's
@@ -386,7 +419,7 @@ def _kernel_mid(zu_ref, zc_ref, zd_ref, y2e_ref, m2e_ref, B2m_ref,
                 A2m_ref, tau_ref, scol_ref, acol_ref, vme_ref, vm_ref,
                 zout_ref, zring, rring, stack_ref, *, Qd, Qh, Qw, Cp,
                 Wc, Bh, Hh, dlo, hlo, wlo, lat1, lat2, Rz, Rr, Dc,
-                use_mask, z_dtype, colmask=True):
+                use_mask, z_dtype, colmask=True, rhist_ref=None):
     e = pl.program_id(2)
     b = pl.program_id(1)
     nb = pl.num_programs(1)
@@ -407,6 +440,19 @@ def _kernel_mid(zu_ref, zc_ref, zd_ref, y2e_ref, m2e_ref, B2m_ref,
     rslot = lax.rem(e + (8 * Rr - lat1), Rr)
     rring[rslot] = _lanepad(r, rring.shape[-1])
 
+    if rhist_ref is not None:
+        # training history: stream r (EXTENDED rows, so the reverse's
+        # analysis-style stack builds need no band neighbors) to HBM.
+        # The output block's clamped map revisits block 0 through the
+        # warmup steps and block Dc-1 through the tail; the guarded store
+        # leaves the block buffer holding the last REAL r, which is what
+        # Mosaic copies out after the final visit.
+        dr = e - lat1
+
+        @pl.when(jnp.logical_and(dr >= 0, dr < Dc))
+        def _store_rhist():
+            rhist_ref[0, 0, 0] = r
+
     zout_ref[0, 0, 0] = _ana_from_ring(
         rring, zring, e, A2m_ref, tau_ref, acol_ref, vm_ref[0, 0],
         stack_ref, **geo, lat1=lat1, lat2=lat2, Rz=Rz, Rr=Rr, Dc=Dc,
@@ -426,6 +472,18 @@ def _kernel_first(y2e_ref, A2m_ref, tau_ref, acol_ref, vme_ref, vm_ref,
         rring, None, e, A2m_ref, tau_ref, acol_ref, vm_ref[0, 0],
         stack_ref, **geo, lat1=0, lat2=lat2, Rz=1, Rr=Rr, Dc=Dc,
         first=True, z_dtype=z_dtype)
+
+
+def _kernel_mid_hist(zu_ref, zc_ref, zd_ref, y2e_ref, m2e_ref, B2m_ref,
+                     A2m_ref, tau_ref, scol_ref, acol_ref, vme_ref,
+                     vm_ref, zout_ref, rhist_ref, zring, rring, stack_ref,
+                     **kw):
+    """Output-ref reordering shim: pallas passes outputs positionally
+    (zout, rhist) before scratch."""
+    _kernel_mid(zu_ref, zc_ref, zd_ref, y2e_ref, m2e_ref, B2m_ref,
+                A2m_ref, tau_ref, scol_ref, acol_ref, vme_ref, vm_ref,
+                zout_ref, zring, rring, stack_ref, rhist_ref=rhist_ref,
+                **kw)
 
 
 def _kernel_last(zu_ref, zc_ref, zd_ref, B2m_ref, scol_ref, vm_ref,
@@ -450,12 +508,26 @@ def _kernel_last(zu_ref, zc_ref, zd_ref, B2m_ref, scol_ref, vm_ref,
 
 
 def lista3d_ring(yp, A, B, t, c, stride=1, mask=None, return_z=False,
-                 z_dtype=jnp.bfloat16, interpret=False, band=None):
+                 z_dtype=jnp.bfloat16, interpret=False, band=None,
+                 return_hists=False):
     """Depth-ring fused 3D LISTA. Same contract as lista3d_tiled /
     lista3d_fused: (xphat (N,C,D,H,W) fp32, z (N,M,Dc,Hc,Wc) or None),
-    matching the XLA scan to the z_dtype carry tolerance."""
+    matching the XLA scan to the z_dtype carry tolerance.
+    CDLNET_PALLAS_INTERPRET=1 forces interpret mode (CPU-mesh tests and
+    the driver's virtual-device dryrun).
+
+    return_hists=True (training residuals for the ring reverse,
+    kernels/lista3d_ring_bwd) additionally returns (z_hist (K, N, Dc, nb,
+    Mp, Lb) in z_dtype, r_hist (K-1, N, Dc, nb, Cp, Lwr) fp32) — z as the
+    scan-stacked per-iteration outputs, r on EXTENDED (Bh+2*Hh) rows
+    streamed from the mid kernel (so the reverse's analysis-style stack
+    builds need no band-neighbor views). Lb/Lwr carry the ring's padded
+    code width (_padded_wc)."""
+    import os
+
     from jax.experimental.pallas import tpu as pltpu
 
+    interpret = interpret or os.environ.get("CDLNET_PALLAS_INTERPRET") == "1"
     N, C, D, H, W = yp.shape
     K, M = A.shape[0], A.shape[1]
     s = stride
@@ -489,14 +561,7 @@ def lista3d_ring(yp, A, B, t, c, stride=1, mask=None, return_z=False,
     B2m = prep_B2m_3d(B, s, pads).reshape(K, Qd, Qh * Qw * Cp, Mp)
 
     def to_ext_bands(x5):
-        # (N, Cp, Dc, Hc, Wc) -> (N, Dc, nb, Cp, Lwr): overlapping
-        # Hh-row-haloed bands, out-of-image rows zero
-        x5 = jnp.pad(
-            x5, ((0, 0), (0, 0), (0, 0), (Hh, Hh + Hcp - Hc),
-                 (0, Wc - Wct)))
-        idx = np.arange(nb)[:, None] * Bh + np.arange(Er)[None, :]
-        xb = x5[:, :, :, idx, :]          # (N, Cp, Dc, nb, Er, Wc)
-        return xb.transpose(0, 2, 3, 1, 4, 5).reshape(N, Dc, nb, Cp, Lwr)
+        return ext_bands(x5, Bh, nb, Hh, Hc, Wc, Wct)
 
     y2e = to_ext_bands(pp.space_to_depth(yp, s, 3))
     m2e = (
@@ -518,16 +583,8 @@ def lista3d_ring(yp, A, B, t, c, stride=1, mask=None, return_z=False,
     acol = jnp.asarray(_axis_masks([wlo + ri for ri in range(Qw)], Bh, Wc, 1))
     scol = jnp.asarray(
         _axis_masks([ri - (Qw - 1) - wlo for ri in range(Qw)], Er, Wc, 1))
-    colv = np.arange(Wc)[None, None, :] < Wct  # sliver-pad columns off
-    grow = np.arange(Hcp).reshape(nb, Bh, 1)
-    vm = jnp.asarray(
-        (np.broadcast_to(grow < Hc, (nb, Bh, Wc)) & colv)
-        .reshape(nb, 1, Lb).astype(np.float32))
-    gext = (np.arange(nb)[:, None] * Bh
-            + np.arange(Er)[None, :] - Hh)[:, :, None]
-    vme = jnp.asarray(
-        (np.broadcast_to((gext >= 0) & (gext < Hc), (nb, Er, Wc)) & colv)
-        .reshape(nb, 1, Lwr).astype(np.float32))
+    vm_np, vme_np = ring_masks(Bh, nb, Hh, Hc, Wc, Wct)
+    vm, vme = jnp.asarray(vm_np), jnp.asarray(vme_np)
 
     geom = dict(Qd=Qd, Qh=Qh, Qw=Qw, Cp=Cp, Wc=Wc, Bh=Bh, Hh=Hh,
                 dlo=dlo, hlo=hlo, wlo=wlo, colmask=colmask)
@@ -593,18 +650,34 @@ def lista3d_ring(yp, A, B, t, c, stride=1, mask=None, return_z=False,
         interpret=interpret,
     )(y2e, A2m[0], tau[:, 0].reshape(N, 1, Mp), acol, vme, vm)
 
-    mid = pl.pallas_call(
-        functools.partial(_kernel_mid, **geom, lat1=lat1, lat2=lat2,
+    mid_kern = (
+        functools.partial(_kernel_mid_hist, **geom, lat1=lat1, lat2=lat2,
                           Rz=Rz, Rr=Rr, Dc=Dc, use_mask=use_mask,
-                          z_dtype=z_dtype),
+                          z_dtype=z_dtype)
+        if return_hists
+        else functools.partial(_kernel_mid, **geom, lat1=lat1, lat2=lat2,
+                               Rz=Rz, Rr=Rr, Dc=Dc, use_mask=use_mask,
+                               z_dtype=z_dtype)
+    )
+    mid = pl.pallas_call(
+        mid_kern,
         grid=(N, nb, Dc + lat1 + lat2),
         in_specs=[zsliver(-1), zview(0), zsliver(1),
                   extview(Cp, lat1),
                   extview(Cp, lat1) if use_mask else dummyspec,
                   full, full, tauspec, full, full,
                   vmspec(Lwr), vmspec(Lb)],
-        out_specs=outspec(Mp, Lb, lat1 + lat2),
-        out_shape=zshape,
+        out_specs=(
+            [outspec(Mp, Lb, lat1 + lat2), outspec(Cp, Lwr, lat1)]
+            if return_hists
+            else outspec(Mp, Lb, lat1 + lat2)
+        ),
+        out_shape=(
+            [zshape,
+             jax.ShapeDtypeStruct((N, Dc, nb, Cp, Lwr), jnp.float32)]
+            if return_hists
+            else zshape
+        ),
         scratch_shapes=[pltpu.VMEM((Rz, Mp, _pad128(Lwz)), z_dtype),
                         pltpu.VMEM((Rr, Cp, _pad128(Lwr)), jnp.float32),
                         pltpu.VMEM((T * Cp, Lb), z_dtype)],
@@ -614,12 +687,17 @@ def lista3d_ring(yp, A, B, t, c, stride=1, mask=None, return_z=False,
 
     def body(z, xs):
         A2m_k, B2m_k, tau_k = xs
-        z = mid(z, z, z, y2e, m2e, B2m_k, A2m_k,
-                tau_k.reshape(N, 1, Mp), scol, acol, vme, vm)
-        return z, None
+        out = mid(z, z, z, y2e, m2e, B2m_k, A2m_k,
+                  tau_k.reshape(N, 1, Mp), scol, acol, vme, vm)
+        if return_hists:
+            z, r_ext = out
+            return z, (z, r_ext)
+        return out, None
 
+    z_first = z
+    hists = None
     if K > 1:
-        z, _ = lax.scan(
+        z, hists = lax.scan(
             body, z, (A2m[1:], B2m[1:], tau.transpose(1, 0, 2)[1:]))
 
     x2 = pl.pallas_call(
@@ -649,4 +727,13 @@ def lista3d_ring(yp, A, B, t, c, stride=1, mask=None, return_z=False,
         if return_z
         else None
     )
+    if return_hists:
+        if hists is None:  # K == 1: no mid iterations
+            z_hist = z_first[None]
+            r_hist = jnp.zeros((0, N, Dc, nb, Cp, Lwr), jnp.float32)
+        else:
+            zs, rs = hists
+            z_hist = jnp.concatenate([z_first[None], zs], axis=0)
+            r_hist = rs
+        return xphat, z_out, (z_hist, r_hist)
     return xphat, z_out

@@ -126,7 +126,7 @@ class CDLNetVideo:
             if params.get("residual") is not None:
                 return None
             from cdlnet_tpu.kernels.autodiff import (
-                lista3d_tiled_train_supported,
+                lista3d_bigframe_train_path,
                 lista3d_train_supported,
             )
 
@@ -134,12 +134,14 @@ class CDLNetVideo:
                 self.M, self.C, self.P, self.s, self.K, D, H, W
             ):
                 return "fused"
-            if lista3d_tiled_train_supported(
+            big = lista3d_bigframe_train_path(
                 self.M, self.C, self.P, self.s, self.K, D, H, W
-            ):
+            )
+            if big is not None:
                 # big-frame training (beyond the reference's 128^2-crop
-                # protocol): banded fused forward + banded reverse
-                return "tiled_train"
+                # protocol): ring-merged reverse where it fits, else the
+                # banded pair reverse (one routing site, autodiff)
+                return "ring_train" if big == "ring" else "tiled_train"
             return None
         if lista3d_fused_supported(
             self.M, self.C, self.P, self.s, self.K, D, H, W,
@@ -207,10 +209,15 @@ class CDLNetVideo:
                 _RETURN_Z_HINT,
             )(yp, params["A"], params["B"], params["t"], c)
             return post_process_3d(xphat, prm), z
-        if path == "tiled_train":
-            from cdlnet_tpu.kernels.autodiff import lista3d_tiled_diff
+        if path in ("ring_train", "tiled_train"):
+            from cdlnet_tpu.kernels.autodiff import (
+                lista3d_ring_diff,
+                lista3d_tiled_diff,
+            )
 
-            xphat = lista3d_tiled_diff(
+            diff_fn = (lista3d_ring_diff if path == "ring_train"
+                       else lista3d_tiled_diff)
+            xphat = diff_fn(
                 yp, params["A"], params["B"], params["t"], c,
                 stride=self.s, mask=mask,
             )

@@ -1068,7 +1068,8 @@ def test_video_train_gate_requires_bwd_fit(monkeypatch):
     monkeypatch.setattr(
         k3r, "lista3d_bwd_resident_supported", lambda *a, **kw: False)
     # ...with both whole-frame reverse gates closed, training falls to
-    # the banded fused forward+reverse (big-frame training path)...
+    # the big-frame fused paths (ring first, then banded)...
+    monkeypatch.setenv("CDLNET_LISTA3D_RING_BWD", "0")
     assert (m._pallas_path(params, yp, return_z=False, train=True)
             == "tiled_train")
     # ...and with that gate closed too, training routes to XLA
@@ -1239,9 +1240,11 @@ def test_tiled3d_train_gate_and_routing(monkeypatch):
     # toy shape: resident fused fits -> 'fused' outranks 'tiled_train'
     yp = jnp.zeros((1, 1, 8, 32, 32), jnp.float32)
     assert m._pallas_path(params, yp, return_z=False, train=True) == "fused"
-    # close the resident/scan reverse gates: training falls to tiled_train
+    # close the resident/scan reverse gates (and the ring reverse, which
+    # outranks banded): training falls to tiled_train
     monkeypatch.setattr(ad, "lista3d_train_supported",
                         lambda *a, **kw: False)
+    monkeypatch.setenv("CDLNET_LISTA3D_RING_BWD", "0")
     assert (m._pallas_path(params, yp, return_z=False, train=True)
             == "tiled_train")
 
