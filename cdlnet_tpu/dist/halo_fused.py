@@ -68,10 +68,7 @@ from cdlnet_tpu.ops import polyphase as pp
 from cdlnet_tpu.ops.conv import conv3d, conv_transpose3d
 
 
-def fused_depth_shard_supported(model, D, H, W, n_depth, *, train=False,
-                                mask=None) -> bool:
-    """Gate for the fused depth-sharded path. Falls back to the XLA halo
-    path (dist/halo.py) when False."""
+def _depth_shard_geometry_ok(model, D, H, W, n_depth, mask):
     if getattr(model, "backend", None) != "pallas":
         return False
     if getattr(model, "residual", False) or mask is not None:
@@ -86,10 +83,48 @@ def fused_depth_shard_supported(model, D, H, W, n_depth, *, train=False,
         # a kept frame's read cone would cross into beyond-global fake
         # frames of the extended window (only possible for tiny clips)
         return False
+    return True
+
+
+def fused_depth_shard_supported(model, D, H, W, n_depth, *, train=False,
+                                mask=None) -> bool:
+    """Gate for the fused depth-sharded path (banded OR ring kernels).
+    Falls back to the XLA halo path (dist/halo.py) when False."""
+    if not _depth_shard_geometry_ok(model, D, H, W, n_depth, mask):
+        return False
+    s = model.s
+    Qd = _geometry3(model.P, s)[2]
+    hz = Qd - 1
+    Dzl = D // s // n_depth
     # training runs the fp32 adjoint kernels on the same band — gate at 4B
     z_bytes = 4 if train else 2
+    if not train and ring_depth_shard_supported(model, D, H, W, n_depth,
+                                                mask=mask):
+        return True
     return _pick_band3(model.M, model.C, model.P, s, Dzl + 2 * hz,
                        H // s, W // s, z_bytes=z_bytes) is not None
+
+
+def ring_depth_shard_supported(model, D, H, W, n_depth, *, mask=None,
+                               z_bytes=2) -> bool:
+    """True when the depth-sharded forward can run the ring kernels
+    (kernels/lista3d_ring — 1.5-1.8x the banded pair at native res) on
+    the halo-extended local windows. CDLNET_LISTA3D_RING=0 opts out
+    (the same switch as single-device routing)."""
+    import os
+
+    from cdlnet_tpu.kernels.lista3d_ring import _pick_band_ring
+
+    if os.environ.get("CDLNET_LISTA3D_RING", "1") == "0":
+        return False
+    if not _depth_shard_geometry_ok(model, D, H, W, n_depth, mask):
+        return False
+    s = model.s
+    Qd = _geometry3(model.P, s)[2]
+    hz = Qd - 1
+    Dzl = D // s // n_depth
+    return _pick_band_ring(model.M, model.C, model.P, s, Dzl + 2 * hz,
+                           H // s, W // s, z_bytes=z_bytes) is not None
 
 
 def _lo_index(axis_name: str, n: int, hz: int):
@@ -187,6 +222,8 @@ def sharded_lista_3d_fused_forward(model, params, y, sigma=None, *,
     bspec = batch_axis
     in_spec = P(bspec, None, depth_axis, None, None)
     tau_spec = P(bspec, None, None)
+    use_ring = ring_depth_shard_supported(
+        model, D, H, W, nD, z_bytes=jnp.dtype(z_dtype).itemsize)
 
     def local_fn(A2m, B2m, tau_l, ypl):
         Nl, _, Dl = ypl.shape[0], ypl.shape[1], ypl.shape[2]
@@ -222,9 +259,55 @@ def sharded_lista_3d_fused_forward(model, params, y, sigma=None, *,
             return xp, zk
         return xp, xp[:1, :1, :1, :1, :1] * 0.0  # placeholder, cropped away
 
+    def local_fn_ring(A2m, B2m, tau_l, ypl):
+        # ring kernels on the same halo-extended local windows: the
+        # exactness argument is UNCHANGED (one ring iteration's reach is
+        # the same z[d +- (Qd-1)] cone — it fuses the SAME iteration's
+        # synthesis+analysis), so hz = Qd-1 halo frames still cover every
+        # kept output's dependency cone
+        from cdlnet_tpu.kernels.lista3d_ring import make_ring3_ops
+
+        Nl, _, Dl = ypl.shape[0], ypl.shape[1], ypl.shape[2]
+        P_, pads_, Qd, Qh, Qw, dlo, hlo, wlo, Hh = _geometry3(model.P, s)
+        hz = Qd - 1
+        Dzl = Dl // s
+        Dce = Dzl + 2 * hz
+        rops = make_ring3_ops(
+            Nl, C, Dce, H // s, W // s, model.M, model.P, s,
+            z_dtype=z_dtype, interpret=interpret, use_mask=False)
+        lo = _lo_index(depth_axis, nD, hz)
+        ext = functools.partial(_extend, lo=lo, hz=hz, axis_name=depth_axis)
+        crop = functools.partial(_crop, lo=lo, Dzl=Dzl)
+
+        B2m_r = B2m.reshape(K, Qd, -1, Mp)
+        y2 = rops["to_ext_bands"](pp.space_to_depth(ypl, s, 3))
+        y2e = ext(y2)
+        m2e = jnp.zeros((Nl, 1, 1, 1, 1), jnp.float32)
+
+        z = rops["first"](y2e, A2m[0], tau_l[:, 0])
+
+        def body(z, xs):
+            A2m_k, B2m_k, tau_k = xs
+            z = ext(crop(z))  # refresh halos with neighbors' kept frames
+            z = rops["mid"](z, y2e, m2e, B2m_k, A2m_k, tau_k)
+            return z, None
+
+        z, _ = lax.scan(
+            body, z, (A2m[1:], B2m_r[1:], tau_l.transpose(1, 0, 2)[1:]))
+
+        z = ext(crop(z))
+        x2 = rops["last"](z, B2m_r[0])
+        x5 = rops["from_bands"](crop(x2), Cp)
+        xp = pp.depth_to_space(x5, s, 3, C)
+        if return_z:
+            zk = rops["from_bands"](
+                crop(z).astype(jnp.float32), Mp)[:, :model.M]
+            return xp, zk
+        return xp, xp[:1, :1, :1, :1, :1] * 0.0  # placeholder, cropped away
+
     param_spec = P()
     fn = shard_map(
-        local_fn,
+        local_fn_ring if use_ring else local_fn,
         mesh=mesh,
         in_specs=(param_spec, param_spec, tau_spec, in_spec),
         out_specs=(in_spec, in_spec),

@@ -507,35 +507,37 @@ def _kernel_last(zu_ref, zc_ref, zd_ref, B2m_ref, scol_ref, vm_ref,
     xout_ref[0, 0, 0] = vm_ref[0, 0] * part[:, lo : lo + Lb]
 
 
-def lista3d_ring(yp, A, B, t, c, stride=1, mask=None, return_z=False,
-                 z_dtype=jnp.bfloat16, interpret=False, band=None,
-                 return_hists=False):
-    """Depth-ring fused 3D LISTA. Same contract as lista3d_tiled /
-    lista3d_fused: (xphat (N,C,D,H,W) fp32, z (N,M,Dc,Hc,Wc) or None),
-    matching the XLA scan to the z_dtype carry tolerance.
-    CDLNET_PALLAS_INTERPRET=1 forces interpret mode (CPU-mesh tests and
-    the driver's virtual-device dryrun).
+def make_ring3_ops(N, C, Dc, Hc, Wct, M, P, s, *, z_dtype=jnp.bfloat16,
+                   interpret=False, band=None, use_mask=False,
+                   return_hists=False):
+    """Per-iteration depth-ring kernel closures + geometry.
 
-    return_hists=True (training residuals for the ring reverse,
-    kernels/lista3d_ring_bwd) additionally returns (z_hist (K, N, Dc, nb,
-    Mp, Lb) in z_dtype, r_hist (K-1, N, Dc, nb, Cp, Lwr) fp32) — z as the
-    scan-stacked per-iteration outputs, r on EXTENDED (Bh+2*Hh) rows
-    streamed from the mid kernel (so the reverse's analysis-style stack
-    builds need no band-neighbor views). Lb/Lwr carry the ring's padded
-    code width (_padded_wc)."""
+    Factored out of lista3d_ring so the depth-sharded path
+    (dist/halo_fused.py) can run the SAME hardware-validated ring kernels
+    on halo-extended local blocks — the kernels are unmodified; only Dc
+    (the depth grid extent) differs per caller. Returns a dict with:
+      first(y2e, A2m0, tau0) -> z                  (N, Dc, nb, Mp, Lb)
+      mid(z, y2e, m2e, B2m_k, A2m_k, tau_k) -> z   (or (z, r_ext) with
+                                                    return_hists)
+      last(z, B2m0) -> x2                          (N, Dc, nb, Cp, Lb) f32
+      to_ext_bands / from_bands, and the static geometry (padded Wc etc.).
+    tau* is (N, Mp); A2m_k (Mp, T*Cp) in z_dtype; B2m_k (Qd, Qh*Qw*Cp, Mp).
+
+    CDLNET_PALLAS_INTERPRET=1 forces interpret mode (CPU-mesh tests and
+    the driver's virtual-device dryrun run the sharded path through here).
+    Masks are kept as NUMPY and converted inside each call: the builder
+    may be constructed in one trace and its closures invoked in another
+    (the depth-sharded custom-VJP backward) — jnp constants would leak
+    tracers (same rationale as make_banded3_ops).
+    """
     import os
 
     from jax.experimental.pallas import tpu as pltpu
 
     interpret = interpret or os.environ.get("CDLNET_PALLAS_INTERPRET") == "1"
-    N, C, D, H, W = yp.shape
-    K, M = A.shape[0], A.shape[1]
-    s = stride
-    P, pads, Qd, Qh, Qw, dlo, hlo, wlo, Hh = _geometry3(A.shape[-3:], s)
-    Dc, Hc, Wc = D // s, H // s, W // s
-    Wct = Wc  # true code width; Wc below carries alignment/mask-retiring pad
+    P, pads, Qd, Qh, Qw, dlo, hlo, wlo, Hh = _geometry3(P, s)
     pc_min = _w_pad_min(wlo, Qw)
-    Wc = _padded_wc(Wc, 2 * Hh, pc_min=pc_min)
+    Wc = _padded_wc(Wct, 2 * Hh, pc_min=pc_min)
     colmask = (Wc - Wct) < pc_min  # pads retire the column masks (r4)
     Cp = C * s**3
     T = Qd * Qh * Qw
@@ -545,9 +547,8 @@ def lista3d_ring(yp, A, B, t, c, stride=1, mask=None, return_z=False,
     Rz = max(lat1 + dhi, lat1 + lat2) + 1
     Rr = lat2 - dlo + 1
     zb = jnp.dtype(z_dtype).itemsize
-    use_mask = mask is not None
     Bh = band if band is not None else _pick_band_ring(
-        M, C, P, s, Dc, Hc, Wc, z_bytes=zb, use_mask=use_mask)
+        M, C, P, s, Dc, Hc, Wct, z_bytes=zb, use_mask=use_mask)
     assert Bh is not None, "caller must gate on lista3d_ring_supported"
     assert Bh >= G, f"band {Bh} must cover the {G}-row halo"
     Hcp = -(-Hc // Bh) * Bh
@@ -557,34 +558,10 @@ def lista3d_ring(yp, A, B, t, c, stride=1, mask=None, return_z=False,
     Lwr = Er * Wc
     Lwz = (Bh + 2 * G) * Wc
 
-    A2m = prep_A2m_3d(A, s, pads).astype(z_dtype)          # (K, Mp, T*Cp)
-    B2m = prep_B2m_3d(B, s, pads).reshape(K, Qd, Qh * Qw * Cp, Mp)
-
-    def to_ext_bands(x5):
-        return ext_bands(x5, Bh, nb, Hh, Hc, Wc, Wct)
-
-    y2e = to_ext_bands(pp.space_to_depth(yp, s, 3))
-    m2e = (
-        to_ext_bands(pp.space_to_depth(jnp.broadcast_to(mask, yp.shape), s, 3))
-        if use_mask
-        else jnp.zeros((N, 1, 1, 1, 1), yp.dtype)
-    )
-
-    c_arr = jnp.asarray(c, jnp.float32).reshape(-1)
-    if c_arr.size == 1:
-        c_arr = jnp.broadcast_to(c_arr, (N,))
-    tau = (
-        t[None, :, 0, :, 0, 0, 0].astype(jnp.float32)
-        + c_arr[:, None, None] * t[None, :, 1, :, 0, 0, 0]
-    )  # (N, K, M)
-    if Mp != M:
-        tau = jnp.pad(tau, ((0, 0), (0, 0), (0, Mp - M)))
-
-    acol = jnp.asarray(_axis_masks([wlo + ri for ri in range(Qw)], Bh, Wc, 1))
-    scol = jnp.asarray(
+    acol = np.asarray(_axis_masks([wlo + ri for ri in range(Qw)], Bh, Wc, 1))
+    scol = np.asarray(
         _axis_masks([ri - (Qw - 1) - wlo for ri in range(Qw)], Er, Wc, 1))
     vm_np, vme_np = ring_masks(Bh, nb, Hh, Hc, Wc, Wct)
-    vm, vme = jnp.asarray(vm_np), jnp.asarray(vme_np)
 
     geom = dict(Qd=Qd, Qh=Qh, Qw=Qw, Cp=Cp, Wc=Wc, Bh=Bh, Hh=Hh,
                 dlo=dlo, hlo=hlo, wlo=wlo, colmask=colmask)
@@ -635,8 +612,7 @@ def lista3d_ring(yp, A, B, t, c, stride=1, mask=None, return_z=False,
 
     zshape = jax.ShapeDtypeStruct((N, Dc, nb, Mp, Lb), z_dtype)
 
-    # k = 0
-    z = pl.pallas_call(
+    first_call = pl.pallas_call(
         functools.partial(_kernel_first, **geom, lat2=lat2, Rr=Rr, Dc=Dc,
                           z_dtype=z_dtype),
         grid=(N, nb, Dc + lat2),
@@ -648,7 +624,7 @@ def lista3d_ring(yp, A, B, t, c, stride=1, mask=None, return_z=False,
                         pltpu.VMEM((T * Cp, Lb), z_dtype)],
         compiler_params=cparams,
         interpret=interpret,
-    )(y2e, A2m[0], tau[:, 0].reshape(N, 1, Mp), acol, vme, vm)
+    )
 
     mid_kern = (
         functools.partial(_kernel_mid_hist, **geom, lat1=lat1, lat2=lat2,
@@ -659,7 +635,7 @@ def lista3d_ring(yp, A, B, t, c, stride=1, mask=None, return_z=False,
                                Rz=Rz, Rr=Rr, Dc=Dc, use_mask=use_mask,
                                z_dtype=z_dtype)
     )
-    mid = pl.pallas_call(
+    mid_call = pl.pallas_call(
         mid_kern,
         grid=(N, nb, Dc + lat1 + lat2),
         in_specs=[zsliver(-1), zview(0), zsliver(1),
@@ -685,10 +661,114 @@ def lista3d_ring(yp, A, B, t, c, stride=1, mask=None, return_z=False,
         interpret=interpret,
     )
 
+    last_call = pl.pallas_call(
+        functools.partial(_kernel_last, **geom, lat1=lat1, Rz=Rz, Dc=Dc),
+        grid=(N, nb, Dc + lat1),
+        in_specs=[zsliver(-1), zview(0), zsliver(1),
+                  full, full, vmspec(Lb)],
+        out_specs=outspec(Cp, Lb, lat1),
+        out_shape=jax.ShapeDtypeStruct((N, Dc, nb, Cp, Lb), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Rz, Mp, _pad128(Lwz)), z_dtype)],
+        compiler_params=cparams,
+        interpret=interpret,
+    )
+
+    def first(y2e, A2m0, tau0):
+        return first_call(y2e, A2m0, tau0.reshape(N, 1, Mp),
+                          jnp.asarray(acol), jnp.asarray(vme_np),
+                          jnp.asarray(vm_np))
+
+    def mid(z, y2e, m2e, B2m_k, A2m_k, tau_k):
+        return mid_call(z, z, z, y2e, m2e, B2m_k, A2m_k,
+                        tau_k.reshape(N, 1, Mp), jnp.asarray(scol),
+                        jnp.asarray(acol), jnp.asarray(vme_np),
+                        jnp.asarray(vm_np))
+
+    def last(z, B2m0):
+        return last_call(z, z, z, B2m0, jnp.asarray(scol),
+                         jnp.asarray(vm_np))
+
+    def to_ext_bands(x5):
+        return ext_bands(x5, Bh, nb, Hh, Hc, Wc, Wct)
+
+    def from_bands(xb, ch):
+        # (N, Dc', nb, ch, Lb) -> (N, ch, Dc', Hc, Wct)
+        n, dc = xb.shape[0], xb.shape[1]
+        return (
+            xb.reshape(n, dc, nb, ch, Bh, Wc)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, dc, ch, Hcp, Wc)[:, :, :, :Hc, :Wct]
+            .transpose(0, 2, 1, 3, 4)
+        )
+
+    return dict(
+        first=first, mid=mid, last=last,
+        to_ext_bands=to_ext_bands, from_bands=from_bands,
+        pads=pads, Qd=Qd, Qh=Qh, Qw=Qw, Hh=Hh, Cp=Cp, T=T, Mp=Mp,
+        Bh=Bh, nb=nb, Lb=Lb, Lwr=Lwr, Hcp=Hcp, Wc=Wc, Wct=Wct,
+        dlo=dlo, hlo=hlo, wlo=wlo, hz=Qd - 1,
+    )
+
+
+def lista3d_ring(yp, A, B, t, c, stride=1, mask=None, return_z=False,
+                 z_dtype=jnp.bfloat16, interpret=False, band=None,
+                 return_hists=False):
+    """Depth-ring fused 3D LISTA. Same contract as lista3d_tiled /
+    lista3d_fused: (xphat (N,C,D,H,W) fp32, z (N,M,Dc,Hc,Wc) or None),
+    matching the XLA scan to the z_dtype carry tolerance.
+    CDLNET_PALLAS_INTERPRET=1 forces interpret mode (CPU-mesh tests and
+    the driver's virtual-device dryrun).
+
+    return_hists=True (training residuals for the ring reverse,
+    kernels/lista3d_ring_bwd) additionally returns (z_hist (K, N, Dc, nb,
+    Mp, Lb) in z_dtype, r_hist (K-1, N, Dc, nb, Cp, Lwr) fp32) — z as the
+    scan-stacked per-iteration outputs, r on EXTENDED (Bh+2*Hh) rows
+    streamed from the mid kernel (so the reverse's analysis-style stack
+    builds need no band-neighbor views). Lb/Lwr carry the ring's padded
+    code width (_padded_wc)."""
+    N, C, D, H, W = yp.shape
+    K, M = A.shape[0], A.shape[1]
+    s = stride
+    Dc, Hc, Wct = D // s, H // s, W // s
+    use_mask = mask is not None
+
+    ops = make_ring3_ops(
+        N, C, Dc, Hc, Wct, M, A.shape[-3:], s, z_dtype=z_dtype,
+        interpret=interpret, band=band, use_mask=use_mask,
+        return_hists=return_hists,
+    )
+    pads = ops["pads"]
+    Qd, Mp, Cp, Lwr = ops["Qd"], ops["Mp"], ops["Cp"], ops["Lwr"]
+    Qh, Qw = ops["Qh"], ops["Qw"]
+    N_, Dc_, nb = N, Dc, ops["nb"]
+
+    A2m = prep_A2m_3d(A, s, pads).astype(z_dtype)          # (K, Mp, T*Cp)
+    B2m = prep_B2m_3d(B, s, pads).reshape(K, Qd, Qh * Qw * Cp, Mp)
+
+    y2e = ops["to_ext_bands"](pp.space_to_depth(yp, s, 3))
+    m2e = (
+        ops["to_ext_bands"](
+            pp.space_to_depth(jnp.broadcast_to(mask, yp.shape), s, 3))
+        if use_mask
+        else jnp.zeros((N, 1, 1, 1, 1), yp.dtype)
+    )
+
+    c_arr = jnp.asarray(c, jnp.float32).reshape(-1)
+    if c_arr.size == 1:
+        c_arr = jnp.broadcast_to(c_arr, (N,))
+    tau = (
+        t[None, :, 0, :, 0, 0, 0].astype(jnp.float32)
+        + c_arr[:, None, None] * t[None, :, 1, :, 0, 0, 0]
+    )  # (N, K, M)
+    if Mp != M:
+        tau = jnp.pad(tau, ((0, 0), (0, 0), (0, Mp - M)))
+
+    # k = 0
+    z = ops["first"](y2e, A2m[0], tau[:, 0])
+
     def body(z, xs):
         A2m_k, B2m_k, tau_k = xs
-        out = mid(z, z, z, y2e, m2e, B2m_k, A2m_k,
-                  tau_k.reshape(N, 1, Mp), scol, acol, vme, vm)
+        out = ops["mid"](z, y2e, m2e, B2m_k, A2m_k, tau_k)
         if return_hists:
             z, r_ext = out
             return z, (z, r_ext)
@@ -700,30 +780,11 @@ def lista3d_ring(yp, A, B, t, c, stride=1, mask=None, return_z=False,
         z, hists = lax.scan(
             body, z, (A2m[1:], B2m[1:], tau.transpose(1, 0, 2)[1:]))
 
-    x2 = pl.pallas_call(
-        functools.partial(_kernel_last, **geom, lat1=lat1, Rz=Rz, Dc=Dc),
-        grid=(N, nb, Dc + lat1),
-        in_specs=[zsliver(-1), zview(0), zsliver(1),
-                  full, full, vmspec(Lb)],
-        out_specs=outspec(Cp, Lb, lat1),
-        out_shape=jax.ShapeDtypeStruct((N, Dc, nb, Cp, Lb), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((Rz, Mp, _pad128(Lwz)), z_dtype)],
-        compiler_params=cparams,
-        interpret=interpret,
-    )(z, z, z, B2m[0], scol, vm)
-
-    x5 = (
-        x2.reshape(N, Dc, nb, Cp, Bh, Wc)
-        .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(N, Dc, Cp, Hcp, Wc)[:, :, :, :Hc, :Wct]
-        .transpose(0, 2, 1, 3, 4)
-    )
+    x2 = ops["last"](z, B2m[0])
+    x5 = ops["from_bands"](x2, Cp)
     xphat = pp.depth_to_space(x5, s, 3, C)
     z_out = (
-        z.astype(jnp.float32)
-        .reshape(N, Dc, nb, Mp, Bh, Wc)[:, :, :, :M]
-        .transpose(0, 3, 1, 2, 4, 5)
-        .reshape(N, M, Dc, Hcp, Wc)[:, :, :, :Hc, :Wct]
+        ops["from_bands"](z.astype(jnp.float32), Mp)[:, :M]
         if return_z
         else None
     )

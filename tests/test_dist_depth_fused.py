@@ -252,3 +252,54 @@ def test_serve_depth_mesh_matches_xla():
     r1 = Denoiser(xres, pres, bucket=16)._run(clip, 25.0)
     r2 = Denoiser(mres, pres, bucket=16, mesh={"depth": 8})._run(clip, 25.0)
     np.testing.assert_allclose(r2, r1, atol=1e-5)
+
+
+def test_eval_ring_route_taken_and_matches(monkeypatch):
+    """r5: the depth-sharded forward auto-routes to the RING kernels
+    (make_ring3_ops on halo-extended windows) where supported; outputs
+    match the single-device ring AND the banded kernel; the env switch
+    falls back to banded."""
+    import cdlnet_tpu.kernels.lista3d_ring as kr
+    from cdlnet_tpu.dist import halo_fused as hf
+    from cdlnet_tpu.kernels.lista3d_ring import lista3d_ring
+    from cdlnet_tpu.kernels.lista3d_tiled import lista3d_tiled
+
+    model = build_model("CDLNetVideo", {**CFG, "backend": "pallas"})
+    params = _params(model)
+    N, C, D, H, W = 2, 1, 16, 32, 48
+    y = jax.random.uniform(jax.random.PRNGKey(3), (N, C, D, H, W))
+    ypc = y - jnp.mean(y)
+    assert hf.ring_depth_shard_supported(model, D, H, W, 4)
+
+    called = {}
+    orig = kr.make_ring3_ops
+
+    def spy(*a, **kw):
+        called["ring"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(kr, "make_ring3_ops", spy)
+    mesh = make_mesh({"data": 2, "depth": 4})
+    xs, zs = hf.sharded_lista_3d_fused_forward(
+        model, params, ypc, 25.0, mesh=mesh, batch_axis="data",
+        return_z=True, interpret=True)
+    assert called.get("ring"), "sharded forward did not take the ring route"
+
+    xr, zr = lista3d_ring(
+        ypc, params["A"], params["B"], params["t"],
+        jnp.full((N,), 25.0 / 255.0), stride=2, return_z=True,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xr), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(zs), np.asarray(zr), atol=1e-6)
+
+    # env opt-out: banded local path, still exact vs the banded kernel
+    monkeypatch.setenv("CDLNET_LISTA3D_RING", "0")
+    called.clear()
+    xb, _ = hf.sharded_lista_3d_fused_forward(
+        model, params, ypc, 25.0, mesh=mesh, batch_axis="data",
+        interpret=True)
+    assert not called.get("ring")
+    xtb, _ = lista3d_tiled(
+        ypc, params["A"], params["B"], params["t"],
+        jnp.full((N,), 25.0 / 255.0), stride=2, interpret=True)
+    assert float(jnp.abs(xb - xtb).max()) == 0.0
