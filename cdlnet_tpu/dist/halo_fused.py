@@ -127,6 +127,37 @@ def ring_depth_shard_supported(model, D, H, W, n_depth, *, mask=None,
                            H // s, W // s, z_bytes=z_bytes) is not None
 
 
+def ring_depth_shard_train_supported(model, D, H, W, n_depth, *, mask=None,
+                                     hist_bytes=None) -> bool:
+    """True when depth-sharded TRAINING can run the merged ring reverse
+    (kernels/lista3d_ring_bwd) per shard: the backward's merged kernel has
+    a 2*(Qd-1)-frame cotangent reach per iteration (ds + dz stages fused,
+    no exchange point between them), so it needs +-2*hz windows — gated
+    separately from the forward's +-hz. CDLNET_LISTA3D_RING=0 /
+    CDLNET_LISTA3D_RING_BWD=0 opt out (same switches as single-device)."""
+    import os
+
+    from cdlnet_tpu.kernels.autodiff import hist3d_dtype
+    from cdlnet_tpu.kernels.lista3d_ring_bwd import pick_band_ring_train
+
+    if (os.environ.get("CDLNET_LISTA3D_RING", "1") == "0"
+            or os.environ.get("CDLNET_LISTA3D_RING_BWD", "1") == "0"):
+        return False
+    if not _depth_shard_geometry_ok(model, D, H, W, n_depth, mask):
+        return False
+    s = model.s
+    Qd = _geometry3(model.P, s)[2]
+    hz2 = 2 * (Qd - 1)
+    Dzl = D // s // n_depth
+    if hz2 > (n_depth - 1) * Dzl:
+        return False
+    if hist_bytes is None:
+        hist_bytes = jnp.dtype(hist3d_dtype()).itemsize
+    return pick_band_ring_train(
+        model.M, model.C, model.P, s, Dzl + 2 * hz2, H // s, W // s,
+        hist_bytes=hist_bytes) is not None
+
+
 def _lo_index(axis_name: str, n: int, hz: int):
     """Frames of halo BELOW a shard's kept block in its extended window:
     0 for the first shard (kernel zero-pad == clip boundary), 2*hz for the
@@ -516,6 +547,209 @@ def make_sharded_fused_3d_train(model, mesh: Mesh, depth_axis: str,
     return local_train
 
 
+def make_sharded_ring_3d_train(model, mesh: Mesh, depth_axis: str,
+                               interpret: bool = False,
+                               z_dtype=jnp.bfloat16):
+    """Depth-sharded ring TRAINING: the history-collecting ring forward on
+    +-hz windows, the merged ring reverse (kernels/lista3d_ring_bwd) on
+    +-2*hz windows, with a TRANSPOSE-exchange consolidating the running
+    cotangent dv between reverse iterations.
+
+    Why +-2*hz and a transpose-exchange: one merged reverse iteration
+    spreads cotangent 2*(Qd-1) frames (ds reach Qd-1 composed with the dz
+    stage's Qd-1 — there is no exchange point between the fused stages),
+    so each shard computes its PARTIAL cotangents on a +-2hz window from
+    its kept dv, and the linear_transpose of the forward's extend routes
+    every window position's partial back to its owner and sums. Each
+    (output, input) gradient term is counted exactly once — the owner of
+    the nonzero dv entry computes it — so dA/dB/dtau partial sums psum to
+    the exact single-device gradients (shard_map's transpose handles the
+    psum of the replicated weight cotangents).
+
+    The input cotangent dy2r comes from the reverse kernel's streamed ds
+    outputs: r = vme*(part - y2e) and cot(r) = -stack-adj(A^T dv), so
+    dy2e = -vme*cot(r) = -ds per iteration; the k=0 analysis term (the
+    first kernel consumed r_0 = -y2, same sign) is produced by one extra
+    ds-stage call on dv_0.
+
+    Reference: gradients of model/net.py:121-227 under train3d.py:35-152;
+    the banded counterpart is make_sharded_fused_3d_train above.
+    """
+    from cdlnet_tpu.kernels.lista3d_ring import make_ring3_ops
+    from cdlnet_tpu.kernels.lista3d_ring_bwd import (
+        make_ring3_bwd_ops,
+        pick_band_ring_train,
+    )
+
+    s = model.s
+    nD = mesh.shape[depth_axis]
+    pads = model.pad
+    Mdl = model
+
+    def local_train(Aw, Bw, tau_l, ypl):
+        Nl, C, Dl, H, W = ypl.shape
+        K, M = Aw.shape[0], Aw.shape[1]
+        Mp = -(-M // 8) * 8
+        Cp = C * s**3
+        P_, pads_, Qd, Qh, Qw, dlo, hlo, wlo, Hh = _geometry3(Mdl.P, s)
+        hz = Qd - 1
+        hz2 = 2 * hz
+        Dzl = Dl // s
+        Dce = Dzl + 2 * hz
+        Dce2 = Dzl + 2 * hz2
+        Hc, Wct = H // s, W // s
+        hb = jnp.dtype(z_dtype).itemsize
+        Bh = pick_band_ring_train(M, C, Mdl.P, s, Dce2, Hc, Wct,
+                                  hist_bytes=hb)
+        fops = make_ring3_ops(
+            Nl, C, Dce, Hc, Wct, M, Mdl.P, s, z_dtype=z_dtype,
+            interpret=interpret, band=Bh, use_mask=False,
+            return_hists=True)
+        bops = make_ring3_bwd_ops(
+            Nl, C, Dce2, Hc, Wct, M, Mdl.P, s, band=Bh,
+            hist_dtype=z_dtype, use_mask=False, interpret=interpret,
+            with_ds=True)
+        nb, Lb, Lwr = fops["nb"], fops["Lb"], fops["Lwr"]
+
+        def lo_(h):
+            return _lo_index(depth_axis, nD, h)
+
+        def ext(x, lo, h):
+            return _extend(x, lo, h, axis_name=depth_axis)
+
+        def crop(x, lo):
+            return _crop(x, lo, Dzl)
+
+        def fwd_impl(Aw, Bw, tau_l, y2r):
+            A2m = prep_A2m_3d(Aw, s, pads).astype(z_dtype)
+            B2m = prep_B2m_3d(Bw, s, pads).reshape(K, Qd, -1, Mp)
+            lo = lo_(hz)
+            y2e = ext(y2r, lo, hz)
+            m2e = jnp.zeros((Nl, 1, 1, 1, 1), jnp.float32)
+            z = fops["first"](y2e, A2m[0], tau_l[:, 0])
+            z_first = crop(z, lo)
+
+            def body(z, xs):
+                A2m_k, B2m_k, tau_k = xs
+                z = ext(crop(z, lo), lo, hz)
+                z, r_ext = fops["mid"](z, y2e, m2e, B2m_k, A2m_k, tau_k)
+                return z, (crop(z, lo), crop(r_ext, lo))
+
+            z, (z_hist, r_hist) = lax.scan(
+                body, z, (A2m[1:], B2m[1:], tau_l.transpose(1, 0, 2)[1:]))
+            z_hist = jnp.concatenate([z_first[None], z_hist], axis=0)
+
+            ze = ext(crop(z, lo), lo, hz)
+            x2 = fops["last"](ze, B2m[0])
+            return crop(x2, lo), z_hist, r_hist
+
+        @jax.custom_vjp
+        def run(Aw, Bw, tau_l, y2r):
+            x2k, _, _ = fwd_impl(Aw, Bw, tau_l, y2r)
+            return x2k
+
+        def run_fwd(Aw, Bw, tau_l, y2r):
+            x2k, z_hist, r_hist = fwd_impl(Aw, Bw, tau_l, y2r)
+            return x2k, (Aw, Bw, y2r, z_hist, r_hist)
+
+        def run_bwd(res, dx2k):
+            # every traced value used here must come from res or be made
+            # locally (custom_vjp bwd must not close over fwd-trace arrays)
+            Aw, Bw, y2r, z_hist, r_hist = res
+            lo2 = lo_(hz2)
+            A2m, vjpA = jax.vjp(lambda w: prep_A2m_3d(w, s, pads), Aw)
+            B2m, vjpB = jax.vjp(lambda w: prep_B2m_3d(w, s, pads), Bw)
+            A_syn, B_ana = bops["prep_banks"](A2m, B2m)
+            m2e_ = jnp.zeros((Nl, 1, 1, 1, 1), jnp.float32)
+            cv0 = jnp.zeros((Nl, 1, 1), jnp.float32)
+            rfull = jnp.concatenate(
+                [-y2r.astype(jnp.float32)[None], r_hist], axis=0)
+
+            def embed2(x_kept):
+                canvas = jnp.zeros(
+                    (Nl, Dce2) + x_kept.shape[2:], x_kept.dtype)
+                return lax.dynamic_update_slice_in_dim(
+                    canvas, x_kept, lo2, 1)
+
+            def ext2(x_kept):
+                return ext(x_kept, lo2, hz2)
+
+            def ext2T(x_e, ch, L, dtype=jnp.float32):
+                like = jax.ShapeDtypeStruct(
+                    (Nl, Dzl, nb, ch, L), dtype)
+                (out,) = jax.linear_transpose(ext2, like)(x_e)
+                return out
+
+            # g0: kept x2 cotangent -> extended-row bands, embedded at lo2
+            g0_sp = fops["from_bands"](dx2k.astype(jnp.float32), Cp)
+            g0e = embed2(bops["to_ext_bands"](g0_sp))
+
+            dv, dA_last, dB_first, dt_last = bops["rb_init"](
+                g0e, ext2(rfull[K - 1]), ext2(z_hist[K - 1]),
+                B_ana[0], cv0)
+
+            dy2r = jnp.zeros(
+                (Nl, Dzl, nb, Cp, Lwr), jnp.float32)
+
+            def body(carry, xs):
+                dv, dy2r = carry
+                asyn_k, bana_k, zkm1, rkm1 = xs
+                # consolidate: route every window position's partial back
+                # to its owner, sum, re-seed zero-at-halo
+                dv_kept = ext2T(dv, Mp, Lb)
+                dv2, dAkm1, dBk, dtkm1, ds_e = bops["rb_mid"](
+                    embed2(dv_kept), m2e_, ext2(rkm1), ext2(zkm1),
+                    asyn_k, bana_k, cv0)
+                # dy2e = -ds: cot(r) = -stack-adj(A^T dv), and
+                # dy2e = -vme*cot(r) = +stack-adj(...) = -ds
+                dy2r = dy2r - ext2T(ds_e, Cp, Lwr)
+                dAkm1, dBk, dtkm1 = jax.lax.optimization_barrier(
+                    (dAkm1, dBk, dtkm1))
+                return (dv2, dy2r), (dAkm1, dBk, dtkm1)
+
+            if K > 1:
+                xs = (A_syn[:0:-1], B_ana[:0:-1],
+                      z_hist[K - 2::-1], rfull[K - 2::-1])
+                (dv, dy2r), (dAs, dBs, dts) = lax.scan(
+                    body, (dv, dy2r), xs)
+                dA2m = jnp.concatenate([dAs[::-1], dA_last[None]], axis=0)
+                dB_ana = jnp.concatenate([dB_first[None], dBs[::-1]],
+                                         axis=0)
+                dt01 = jnp.concatenate([dts[::-1], dt_last[None]], axis=0)
+            else:
+                dA2m = dA_last[None]
+                dB_ana = dB_first[None]
+                dt01 = dt_last[None]
+
+            # k = 0 input term: the first kernel consumed r_0 = -y2, so
+            # dy2e -= ds0 (opposite sign; one extra ds-stage call on dv_0)
+            dv0 = embed2(ext2T(dv, Mp, Lb))
+            _, _, _, _, ds0_e = bops["rb_mid"](
+                dv0, m2e_, ext2(rfull[0]), ext2(z_hist[0]),
+                A_syn[0], B_ana[0], cv0)
+            dy2r = dy2r - ext2T(ds0_e, Cp, Lwr)
+
+            dA2m = jnp.sum(dA2m, axis=1)  # (K, Mp, T*Cp)
+            dB2m = (
+                jnp.sum(dB_ana, axis=1)
+                .reshape(K, Mp, Qd, -1)[:, :, ::-1]  # un-reverse taps
+                .transpose(0, 2, 3, 1)
+            )
+            dA = vjpA(dA2m.astype(A2m.dtype))[0]
+            dB = vjpB(dB2m.astype(B2m.dtype))[0]
+            dtau = dt01[:, :, 0, :]  # (K, Nl, Mp): row = the tau cotangent
+            return dA, dB, dtau.transpose(1, 0, 2), dy2r.astype(y2r.dtype)
+
+        run.defvjp(run_fwd, run_bwd)
+
+        y2r = fops["to_ext_bands"](pp.space_to_depth(ypl, s, 3))
+        x2k = run(Aw, Bw, tau_l, y2r)
+        x5 = fops["from_bands"](x2k, Cp)
+        return pp.depth_to_space(x5, s, 3, C)
+
+    return local_train
+
+
 def sharded_fused_3d_train_forward(model, params, ypc, sigma, *, mesh: Mesh,
                                    depth_axis: str = "depth",
                                    batch_axis: str | None = None,
@@ -523,13 +757,22 @@ def sharded_fused_3d_train_forward(model, params, ypc, sigma, *, mesh: Mesh,
                                    z_dtype=jnp.bfloat16):
     """Differentiable depth-sharded forward on pre-processed input ypc
     (mean-subtracted, stride-divisible — run core.pre_process_3d upstream
-    and post_process_3d on the result). Returns xphat."""
+    and post_process_3d on the result). Returns xphat. Routes to the ring
+    kernels (forward + merged reverse) where they fit, else the banded
+    kernels + XLA weight-grad contractions."""
     from jax import shard_map
 
     N = ypc.shape[0]
+    D, H, W = ypc.shape[-3], ypc.shape[-2], ypc.shape[-1]
     tau = _tau_table(model, params, sigma, N)
-    local = make_sharded_fused_3d_train(
-        model, mesh, depth_axis, interpret=interpret, z_dtype=z_dtype)
+    nD = mesh.shape[depth_axis]
+    if ring_depth_shard_train_supported(
+            model, D, H, W, nD, hist_bytes=jnp.dtype(z_dtype).itemsize):
+        local = make_sharded_ring_3d_train(
+            model, mesh, depth_axis, interpret=interpret, z_dtype=z_dtype)
+    else:
+        local = make_sharded_fused_3d_train(
+            model, mesh, depth_axis, interpret=interpret, z_dtype=z_dtype)
 
     in_spec = P(batch_axis, None, depth_axis, None, None)
     tau_spec = P(batch_axis, None, None)

@@ -367,15 +367,23 @@ def _kernel_rb_init(*refs, Qd, Qh, Qw, Cp, Wc, Bh, Hh, dlo, hlo, wlo,
 
 
 def _kernel_rb_mid(*refs, Qd, Qh, Qw, Cp, Wc, Bh, Hh, dlo, hlo, wlo,
-                   lat1, lat2, Rz, Rr, Dc, use_mask, lane):
+                   lat1, lat2, Rz, Rr, Dc, use_mask, lane, with_ds=False):
     """One merged reverse iteration (module docstring): dv slab load,
     ds on extended rows into the ds ring, then the dz/grad stage at
-    e - lat1 - lat2."""
+    e - lat1 - lat2. with_ds additionally streams ds (the r_k cotangent,
+    = the per-iteration dy2 contribution) to HBM with a guarded store
+    under its clamped revisit map — the depth-sharded training path needs
+    it for the input cotangent."""
     i = 0
     dvu_ref, dvc_ref, dvd_ref, m2e_ref = refs[i : i + 4]; i += 4
     rv = refs[i : i + Qd]; i += Qd
-    (z_ref, asyn_ref, bana_ref, cv_ref, vme_ref, dvout_ref, dA_ref,
-     dB_ref, dt_ref, dvring, dsring, stack_ref) = refs[i:]
+    dsout_ref = None
+    if with_ds:
+        (z_ref, asyn_ref, bana_ref, cv_ref, vme_ref, dvout_ref, dA_ref,
+         dB_ref, dt_ref, dsout_ref, dvring, dsring, stack_ref) = refs[i:]
+    else:
+        (z_ref, asyn_ref, bana_ref, cv_ref, vme_ref, dvout_ref, dA_ref,
+         dB_ref, dt_ref, dvring, dsring, stack_ref) = refs[i:]
 
     e = pl.program_id(2)
     b = pl.program_id(1)
@@ -408,6 +416,13 @@ def _kernel_rb_mid(*refs, Qd, Qh, Qw, Cp, Wc, Bh, Hh, dlo, hlo, wlo,
     dsring[lax.rem(e + (8 * Rr - lat1), Rr)] = _lanepad(
         ds, dsring.shape[-1])
 
+    if dsout_ref is not None:
+        dr = e - lat1
+
+        @pl.when(jnp.logical_and(dr >= 0, dr < Dc))
+        def _store_ds():
+            dsout_ref[0, 0, 0] = ds
+
     # ---- dz / grads at dzd = e - lat1 - lat2 ---------------------------
     dzd = e - lat1 - lat2
     dz_valid = jnp.logical_and(dzd >= 0, dzd < Dc)
@@ -437,24 +452,29 @@ def _kernel_rb_mid(*refs, Qd, Qh, Qw, Cp, Wc, Bh, Hh, dlo, hlo, wlo,
                 dvout_ref, dA_ref, dB_ref, dt_ref, geo=geo, lane=lane)
 
 
-def lista3d_ring_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
-                           stride=1, interpret=False):
-    """Backward companion to lista3d_ring(..., return_hists=True).
+def make_ring3_bwd_ops(N, C, Dc, Hc, Wct, M, P, s, *, band,
+                       hist_dtype=jnp.float32, use_mask=False,
+                       interpret=False, with_ds=False):
+    """Per-iteration merged-reverse closures + geometry.
 
-    dxp: cotangent of xphat (N, C, D, H, W); z_hist (K, N, Dc, nb, Mp, Lb)
-    and r_hist (K-1, N, Dc, nb, Cp, Lwr) in the ring forward's padded
-    banded layout. Returns (dA, dB, dt) in torch weight layouts;
-    input/sigma/mask cotangents are zero by construction."""
+    Factored out of lista3d_ring_fused_bwd so the depth-sharded training
+    path (dist/halo_fused.py) can run the SAME reverse kernels on
+    halo-extended local windows with a transpose-exchange between
+    iterations. Returns a dict with:
+      rb_init(g0e, r_e, z_e, B_ana0, cv) -> (dv, dA, dB, dt)
+      rb_mid(dv, m2e, r_e, z_e, A_syn_k, B_ana_k, cv) -> (dv2, dA, dB, dt)
+    where g0e / r_e are extended-ROW (Cp, Lwr) banded arrays, z_e banded
+    (Mp, Lb) in hist_dtype, dv (N, Dc, nb, Mp, Lb) f32, dA/dB
+    (N, Mp, T*Cp) per-sample accumulator blocks, dt (N, 2, Mp) with
+    dt[:, 0] = the tau cotangent rows (dt[:, 1] = cv * that).
+
+    CDLNET_PALLAS_INTERPRET=1 forces interpret mode."""
     import os
 
     from jax.experimental.pallas import tpu as pltpu
 
     interpret = interpret or os.environ.get("CDLNET_PALLAS_INTERPRET") == "1"
-    N, C, D, H, W = yp.shape
-    K, M = A.shape[0], A.shape[1]
-    s = stride
-    P, pads, Qd, Qh, Qw, dlo, hlo, wlo, Hh = _geometry3(A.shape[-3:], s)
-    Dc, Hc, Wct = D // s, H // s, W // s
+    P, pads, Qd, Qh, Qw, dlo, hlo, wlo, Hh = _geometry3(P, s)
     pc_min = _w_pad_min(wlo, Qw)
     Wc = _padded_wc(Wct, 2 * Hh, pc_min=pc_min)
     lane = (Wc - Wct) >= pc_min and Wc % 128 == 0
@@ -465,59 +485,25 @@ def lista3d_ring_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
     lat1, lat2, dhi = _lats(dlo, Qd)
     Rz = max(lat1 + dhi, lat1 + lat2) + 1
     Rr = lat2 - dlo + 1
-    # band geometry comes off the histories (the joint training pick)
-    nb, Lb = z_hist.shape[3], z_hist.shape[-1]
-    Bh = Lb // Wc
-    assert Bh * Wc == Lb, "history band / padded-width mismatch"
-    assert Bh >= G, f"band {Bh} must cover the {G}-row halo"
+    Bh = band
+    assert Bh is not None and Bh >= G, f"band {Bh} must cover {G} halo rows"
+    Hcp = -(-Hc // Bh) * Bh
+    nb = Hcp // Bh
+    Lb = Bh * Wc
     Er = Bh + 2 * Hh
     Lwr = Er * Wc
-    assert r_hist.shape[-1] == Lwr, "r_hist not on extended rows"
-    use_mask = mask is not None
-
-    A2m, vjpA = jax.vjp(lambda Aw: prep_A2m_3d(Aw, s, pads), A)
-    B2m, vjpB = jax.vjp(lambda Bw: prep_B2m_3d(Bw, s, pads), B)
-    # banks pre-reversed along the depth-tap axis (j' = Qd-1-j; see the
-    # banded reverse's docstring): A in synthesis layout
-    # (K, Qd, Qh*Qw*Cp, Mp), B in analysis layout (K, Mp, T*Cp)
-    A_syn = (
-        A2m.astype(jnp.float32)
-        .reshape(K, Mp, Qd, Qh * Qw * Cp)
-        .transpose(0, 2, 3, 1)[:, ::-1]
-    )
-    B_ana = (
-        B2m.astype(jnp.float32)[:, ::-1]
-        .reshape(K, T * Cp, Mp)
-        .transpose(0, 2, 1)
-    )
-
-    def to_ext(x5):
-        return ext_bands(x5, Bh, nb, Hh, Hc, Wc, Wct)
-
-    y2e = to_ext(pp.space_to_depth(yp, s, 3))
-    g0e = to_ext(pp.space_to_depth(dxp, s, 3))
-    m2e = (
-        to_ext(pp.space_to_depth(jnp.broadcast_to(mask, yp.shape), s, 3))
-        if use_mask
-        else jnp.zeros((N, 1, 1, 1, 1), jnp.float32)
-    )
-    # rfull[k] IS r_k on extended rows (r_0 = -y2: the k=0 analysis
-    # consumed r = -y2, whose ext-band pads are already zero)
-    rfull = jnp.concatenate([-y2e[None], r_hist.astype(jnp.float32)], axis=0)
-
-    c_arr = jnp.asarray(c, jnp.float32).reshape(-1)
-    if c_arr.size == 1:
-        c_arr = jnp.broadcast_to(c_arr, (N,))
-    cv = c_arr.reshape(N, 1, 1)
+    Lwz = (Bh + 2 * G) * Wc
 
     _, vme_np = ring_masks(Bh, nb, Hh, Hc, Wc, Wct)
-    vme = jnp.asarray(vme_np)
 
     geom = dict(Qd=Qd, Qh=Qh, Qw=Qw, Cp=Cp, Wc=Wc, Bh=Bh, Hh=Hh,
                 dlo=dlo, hlo=hlo, wlo=wlo, lane=lane)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     cparams = pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024)
     hs = _sliver_rows(Bh, G, Wc)
+
+    def clip_(x):
+        return jnp.clip(x, 0, Dc - 1)
 
     def extv(ch, dmap):
         return pl.BlockSpec(
@@ -531,9 +517,6 @@ def lista3d_ring_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
             lambda n, b, e, dmap=dmap: (n, dmap(e), b, 0, 0),
             memory_space=pltpu.VMEM)
 
-    def clip_(x):
-        return jnp.clip(x, 0, Dc - 1)
-
     cvspec = pl.BlockSpec((1, 1, 1), lambda n, b, e: (n, 0, 0),
                           memory_space=pltpu.VMEM)
     accspec = lambda r0, r1: pl.BlockSpec(
@@ -545,13 +528,12 @@ def lista3d_ring_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
     ]
     dv_shape = jax.ShapeDtypeStruct((N, Dc, nb, Mp, Lb), jnp.float32)
 
-    # ---- init: adjoint of x2 = D z_{K-1} ------------------------------
     init_specs = (
         [extv(Cp, lambda e, j=j: clip_(e + dlo + j)) for j in range(Qd)]
         + [extv(Cp, lambda e, j=j: clip_(e + dlo + j)) for j in range(Qd)]
         + [centerv(Mp, Lb, lambda e: e), full, cvspec]
     )
-    dv, dA_last, dB_first, dt_last = pl.pallas_call(
+    init_call = pl.pallas_call(
         functools.partial(_kernel_rb_init, **geom, Dc=Dc),
         grid=(N, nb, Dc),
         in_specs=init_specs,
@@ -562,9 +544,8 @@ def lista3d_ring_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
         scratch_shapes=[pltpu.VMEM((T * Cp, Lb), jnp.float32)],
         compiler_params=cparams,
         interpret=interpret,
-    )(*([g0e] * Qd), *([rfull[K - 1]] * Qd), z_hist[K - 1], B_ana[0], cv)
+    )
 
-    # ---- mid: one merged reverse iteration per scan step ---------------
     def dvsliver(db):
         idx = Bh // hs - 1 if db < 0 else 0
         return pl.BlockSpec(
@@ -582,7 +563,6 @@ def lista3d_ring_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
                              memory_space=pltpu.VMEM)
     vmespec = pl.BlockSpec((1, 1, Lwr), lambda n, b, e: (b, 0, 0),
                            memory_space=pltpu.VMEM)
-    Lwz = (Bh + 2 * G) * Wc
 
     mid_specs = (
         [dvsliver(-1), dvview, dvsliver(1),
@@ -592,15 +572,22 @@ def lista3d_ring_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
         + [centerv(Mp, Lb, lambda e: clip_(e - lat1 - lat2)),
            full, full, cvspec, vmespec]
     )
-    mid = pl.pallas_call(
+    mid_outs = [centerv(Mp, Lb, lambda e: clip_(e - lat1 - lat2)),
+                accspec(Mp, T * Cp), accspec(Mp, T * Cp),
+                accspec(2, Mp)]
+    mid_shapes = [dv_shape, *acc_shapes]
+    if with_ds:
+        mid_outs.append(extv(Cp, lambda e: clip_(e - lat1)))
+        mid_shapes.append(
+            jax.ShapeDtypeStruct((N, Dc, nb, Cp, Lwr), jnp.float32))
+    mid_call = pl.pallas_call(
         functools.partial(_kernel_rb_mid, **geom, lat1=lat1, lat2=lat2,
-                          Rz=Rz, Rr=Rr, Dc=Dc, use_mask=use_mask),
+                          Rz=Rz, Rr=Rr, Dc=Dc, use_mask=use_mask,
+                          with_ds=with_ds),
         grid=(N, nb, Dc + lat1 + lat2),
         in_specs=mid_specs,
-        out_specs=[centerv(Mp, Lb, lambda e: clip_(e - lat1 - lat2)),
-                   accspec(Mp, T * Cp), accspec(Mp, T * Cp),
-                   accspec(2, Mp)],
-        out_shape=[dv_shape, *acc_shapes],
+        out_specs=mid_outs,
+        out_shape=mid_shapes,
         scratch_shapes=[pltpu.VMEM((Rz, Mp, _pad128(Lwz)), jnp.float32),
                         pltpu.VMEM((Rr, Cp, _pad128(Lwr)), jnp.float32),
                         pltpu.VMEM((T * Cp, Lb), jnp.float32)],
@@ -608,10 +595,95 @@ def lista3d_ring_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
         interpret=interpret,
     )
 
+    def rb_init(g0e, r_e, z_e, B_ana0, cv):
+        return init_call(*([g0e] * Qd), *([r_e] * Qd), z_e, B_ana0, cv)
+
+    def rb_mid(dv, m2e, r_e, z_e, A_syn_k, B_ana_k, cv):
+        return mid_call(dv, dv, dv, m2e, *([r_e] * Qd), z_e, A_syn_k,
+                        B_ana_k, cv, jnp.asarray(vme_np))
+
+    def prep_banks(A2m, B2m):
+        """(K, Mp, T*Cp) / prep_B2m_3d output -> tap-reversed reverse
+        layouts: A_syn (K, Qd, Qh*Qw*Cp, Mp), B_ana (K, Mp, T*Cp)."""
+        A_syn = (
+            A2m.astype(jnp.float32)
+            .reshape(-1, Mp, Qd, Qh * Qw * Cp)
+            .transpose(0, 2, 3, 1)[:, ::-1]
+        )
+        B_ana = (
+            B2m.astype(jnp.float32)
+            .reshape(-1, Qd, Qh * Qw * Cp, Mp)[:, ::-1]
+            .reshape(-1, T * Cp, Mp)
+            .transpose(0, 2, 1)
+        )
+        return A_syn, B_ana
+
+    def to_ext_bands(x5):
+        return ext_bands(x5, Bh, nb, Hh, Hc, Wc, Wct)
+
+    return dict(
+        rb_init=rb_init, rb_mid=rb_mid, prep_banks=prep_banks,
+        to_ext_bands=to_ext_bands, pads=pads,
+        Qd=Qd, Qh=Qh, Qw=Qw, Hh=Hh, Cp=Cp, T=T, Mp=Mp, Bh=Bh, nb=nb,
+        Lb=Lb, Lwr=Lwr, Wc=Wc, Wct=Wct, dlo=dlo, hz=Qd - 1,
+    )
+
+
+def lista3d_ring_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
+                           stride=1, interpret=False):
+    """Backward companion to lista3d_ring(..., return_hists=True).
+
+    dxp: cotangent of xphat (N, C, D, H, W); z_hist (K, N, Dc, nb, Mp, Lb)
+    and r_hist (K-1, N, Dc, nb, Cp, Lwr) in the ring forward's padded
+    banded layout. Returns (dA, dB, dt) in torch weight layouts;
+    input/sigma/mask cotangents are zero by construction."""
+    N, C, D, H, W = yp.shape
+    K, M = A.shape[0], A.shape[1]
+    s = stride
+    P, pads, Qd, Qh, Qw, dlo, hlo, wlo, Hh = _geometry3(A.shape[-3:], s)
+    Dc, Hc, Wct = D // s, H // s, W // s
+    Wc = _padded_wc(Wct, 2 * Hh, pc_min=_w_pad_min(wlo, Qw))
+    use_mask = mask is not None
+    # band geometry comes off the histories (the joint training pick)
+    nb, Lb = z_hist.shape[3], z_hist.shape[-1]
+    Bh = Lb // Wc
+    assert Bh * Wc == Lb, "history band / padded-width mismatch"
+
+    ops = make_ring3_bwd_ops(
+        N, C, Dc, Hc, Wct, M, P, s, band=Bh, hist_dtype=z_hist.dtype,
+        use_mask=use_mask, interpret=interpret)
+    Cp, T, Mp, Lwr = ops["Cp"], ops["T"], ops["Mp"], ops["Lwr"]
+    assert r_hist.shape[-1] == Lwr, "r_hist not on extended rows"
+
+    A2m, vjpA = jax.vjp(lambda Aw: prep_A2m_3d(Aw, s, pads), A)
+    B2m, vjpB = jax.vjp(lambda Bw: prep_B2m_3d(Bw, s, pads), B)
+    A_syn, B_ana = ops["prep_banks"](A2m, B2m)
+
+    y2e = ops["to_ext_bands"](pp.space_to_depth(yp, s, 3))
+    g0e = ops["to_ext_bands"](pp.space_to_depth(dxp, s, 3))
+    m2e = (
+        ops["to_ext_bands"](
+            pp.space_to_depth(jnp.broadcast_to(mask, yp.shape), s, 3))
+        if use_mask
+        else jnp.zeros((N, 1, 1, 1, 1), jnp.float32)
+    )
+    # rfull[k] IS r_k on extended rows (r_0 = -y2: the k=0 analysis
+    # consumed r = -y2, whose ext-band pads are already zero)
+    rfull = jnp.concatenate([-y2e[None], r_hist.astype(jnp.float32)], axis=0)
+
+    c_arr = jnp.asarray(c, jnp.float32).reshape(-1)
+    if c_arr.size == 1:
+        c_arr = jnp.broadcast_to(c_arr, (N,))
+    cv = c_arr.reshape(N, 1, 1)
+
+    # ---- init: adjoint of x2 = D z_{K-1} ------------------------------
+    dv, dA_last, dB_first, dt_last = ops["rb_init"](
+        g0e, rfull[K - 1], z_hist[K - 1], B_ana[0], cv)
+
     def body(dv, xs):
         asyn_k, bana_k, zkm1, rkm1 = xs
-        dv2, dAkm1, dBk, dtkm1 = mid(
-            dv, dv, dv, m2e, *([rkm1] * Qd), zkm1, asyn_k, bana_k, cv, vme)
+        dv2, dAkm1, dBk, dtkm1 = ops["rb_mid"](
+            dv, m2e, rkm1, zkm1, asyn_k, bana_k, cv)
         # keep the small grad outputs OUT of the fusion XLA builds around
         # the scan's dynamic-update-slices (scoped-vmem gotcha, CLAUDE.md)
         dAkm1, dBk, dtkm1 = jax.lax.optimization_barrier(

@@ -69,6 +69,18 @@ class DeviceImageCorpus:
     def epoch_perm(self, key):
         return jax.random.permutation(key, self.n)
 
+    def arrays(self):
+        """Device arrays the jitted epoch runner passes as ARGUMENTS (see
+        sample's docstring for why they must not be closed over)."""
+        return (self.images, self.sizes, self.transposed)
+
+    def place(self, sharding):
+        """Re-place the staged arrays (replicated over a mesh so the epoch
+        runner's multi-device jit accepts them)."""
+        self.images = jax.device_put(self.images, sharding)
+        self.sizes = jax.device_put(self.sizes, sharding)
+        self.transposed = jax.device_put(self.transposed, sharding)
+
     def sample(self, key, idx, images=None, sizes=None, transposed=None):
         """Assemble one (B, C, crop, crop) batch for image indices idx.
 
@@ -109,6 +121,166 @@ class DeviceImageCorpus:
         return jnp.stack(crops)
 
 
+class DeviceClipCorpus:
+    """Stage a video-clip dataset on device; sample clip batches under jit.
+
+    Mirrors VideoClipDataset's train protocol (data3d.py:46-141 semantics)
+    with device RNG:
+      - prob `aug_prob`: RANDOM-WALK crop over a wrap-around depth window
+        (crop offsets drift <= max_shift px/frame);
+      - else: consecutive window, 0.5-prob temporal reversal, prob
+        `crop_ratio` shared spatial crop, OTHERWISE the whole frame
+        resized to the crop size (jax.image.resize bilinear — the host
+        path uses PIL bilinear; distribution-equivalent, not bit-equal,
+        like the rest of the device RNG stream).
+    Videos are staged as one (V, C, F, H, W) array (frame counts padded to
+    the max, true counts carried; frame sizes must match across videos).
+    """
+
+    def __init__(self, videos, depth: int, crop: tuple, batch: int,
+                 crop_ratio: float, aug_prob: float, max_shift: int):
+        """videos: list of (C, F_i, H, W) float32 arrays in [0, 1]."""
+        self.depth = int(depth)
+        self.crop = tuple(crop)  # (cw, ch) — VideoClipDataset's image_size
+        self.batch = int(batch)
+        self.crop_ratio = float(crop_ratio)
+        self.aug_prob = float(aug_prob)
+        self.max_shift = int(max_shift)
+        C, _, H, W = videos[0].shape
+        if any(v.shape[0] != C or v.shape[2:] != (H, W) for v in videos):
+            raise ValueError("videos must share channel count and frame size")
+        cw, ch = self.crop
+        if cw > W or ch > H:
+            raise ValueError(f"crop {self.crop} larger than frames {(W, H)}")
+        if any(v.shape[1] < self.depth for v in videos):
+            raise ValueError(f"videos shorter than depth {self.depth}")
+        Fm = max(v.shape[1] for v in videos)
+        padded = np.zeros((len(videos), C, Fm, H, W), np.float32)
+        for i, v in enumerate(videos):
+            padded[i, :, : v.shape[1]] = v
+        self.n = len(videos)
+        self.videos = jnp.asarray(padded)
+        self.nframes = jnp.asarray(
+            np.asarray([v.shape[1] for v in videos], np.int32))
+        self.steps_per_epoch = self.n // self.batch
+        self.frame_hw = (H, W)
+
+    def epoch_perm(self, key):
+        return jax.random.permutation(key, self.n)
+
+    def arrays(self):
+        return (self.videos, self.nframes)
+
+    def place(self, sharding):
+        self.videos = jax.device_put(self.videos, sharding)
+        self.nframes = jax.device_put(self.nframes, sharding)
+
+    def sample(self, key, idx, videos=None, nframes=None):
+        """Assemble one (B, C, depth, ch, cw) batch for video indices idx.
+
+        Per-sample work is UNROLLED (B and depth are small and static):
+        vmap'd dynamic_slice lowers to a TPU gather (see
+        DeviceImageCorpus.sample). The resize branch is computed only when
+        frames exceed the crop size (both branches then run and a select
+        picks one — lax.cond under vmap would re-serialize)."""
+        D = self.depth
+        cw, ch = self.crop
+        H, W = self.frame_hw
+        B = self.batch
+        keys = jax.random.split(key, B)
+        C = videos.shape[1]
+        out = []
+        for i in range(B):
+            v = idx[i]
+            n = nframes[v]
+            k = jax.random.split(keys[i], 8)
+            walk = jax.random.uniform(k[0]) < self.aug_prob
+
+            # --- random-walk clip (wrap-around window) ----------------
+            start_w = jax.random.randint(k[1], (), 0, n)
+            x0 = jax.random.randint(k[2], (), 0, W - cw + 1)
+            y0 = jax.random.randint(k[3], (), 0, H - ch + 1)
+            steps = jax.random.randint(
+                k[4], (2, D), -self.max_shift, self.max_shift + 1)
+            xs = jnp.clip(x0 + jnp.cumsum(steps[0]), 0, W - cw)
+            ys = jnp.clip(y0 + jnp.cumsum(steps[1]), 0, H - ch)
+
+            # --- consecutive window -----------------------------------
+            start_c = jax.random.randint(k[5], (), 0, n - D + 1)
+            rev = jax.random.uniform(k[6]) < 0.5
+            do_crop = jax.random.uniform(k[7]) < self.crop_ratio
+            kx, ky = jax.random.split(jax.random.fold_in(keys[i], 99))
+            cx = jax.random.randint(kx, (), 0, W - cw + 1)
+            cy = jax.random.randint(ky, (), 0, H - ch + 1)
+
+            frames = []
+            for t in range(D):
+                tw = lax.rem(start_w + t, n)            # walk frame (wraps)
+                tc = start_c + jnp.where(rev, D - 1 - t, t)
+                fidx = jnp.where(walk, tw, tc)
+                ox = jnp.where(walk, xs[t], jnp.where(do_crop, cx, 0))
+                oy = jnp.where(walk, ys[t], jnp.where(do_crop, cy, 0))
+                frame = lax.dynamic_slice(
+                    videos, (v, 0, fidx, 0, 0), (1, C, 1, H, W)
+                )[0, :, 0]
+                cropped = lax.dynamic_slice(frame, (0, oy, ox), (C, ch, cw))
+                if (H, W) != (ch, cw):
+                    resized = jax.image.resize(frame, (C, ch, cw), "bilinear")
+                    cropped = jnp.where(
+                        jnp.logical_or(walk, do_crop), cropped, resized)
+                frames.append(cropped)
+            out.append(jnp.stack(frames, axis=1))  # (C, D, ch, cw)
+        return jnp.stack(out)
+
+
+def corpus_from_video_loader(loader):
+    """Build a DeviceClipCorpus from a fit train loader when the workload
+    qualifies (3D clip training on a VideoClipDataset with shuffle +
+    drop_last, uniform frame sizes, staged corpus under the size cap).
+    Returns None when the loader does not fit the fast path."""
+    import os
+
+    from cdlnet_tpu.data.images import _load_image
+    from cdlnet_tpu.data.loader import DataLoader
+    from cdlnet_tpu.data.video import VideoClipDataset
+
+    if not isinstance(loader, DataLoader):
+        return None
+    ds = loader.dataset
+    if not isinstance(ds, VideoClipDataset) or ds.test:
+        return None
+    if not loader.shuffle or not loader.drop_last:
+        return None
+    if len(ds) < loader.batch_size:
+        return None
+    # probe sizes before loading everything
+    cap_mb = float(os.environ.get("CDLNET_CORPUS_MAX_MB", "2048"))
+    files = [ds._frame_files(v) for v in ds.video_dirs]
+    if any(len(f) < ds.depth for f in files):
+        return None
+    first = _load_image(files[0][0], ds.load_color)
+    C, H, W = first.shape
+    total = sum(len(f) for f in files) * C * H * W * 4
+    if total > cap_mb * 1024 * 1024:
+        return None
+    videos = []
+    for i, fl in enumerate(files):
+        frames = [first if (i, j) == (0, 0) else _load_image(f, ds.load_color)
+                  for j, f in enumerate(fl)]
+        if any(fr.shape != (C, H, W) for fr in frames):
+            return None
+        videos.append(np.stack(frames, axis=1))
+    cw, ch = ds.image_size
+    if cw > W or ch > H:
+        return None
+    try:
+        return DeviceClipCorpus(
+            videos, ds.depth, ds.image_size, loader.batch_size,
+            ds.crop_ratio, ds.aug_prob, ds.max_shift)
+    except ValueError:
+        return None
+
+
 def corpus_from_loader(loader, workload: str):
     """Build a DeviceImageCorpus from a fit train loader when the workload
     qualifies (2D image training with crop+augment on a plain DataLoader).
@@ -116,6 +288,8 @@ def corpus_from_loader(loader, workload: str):
     from cdlnet_tpu.data.images import ImageDataset
     from cdlnet_tpu.data.loader import DataLoader
 
+    if workload == "3d":
+        return corpus_from_video_loader(loader)
     if workload != "2d" or not isinstance(loader, DataLoader):
         return None
     ds = loader.dataset
@@ -149,7 +323,7 @@ def make_epoch_runner(corpus: DeviceImageCorpus, train_step, stateful: bool):
     if stateful:
 
         @jax.jit
-        def run_impl(params, state, opt_state, key, images, sizes, tr):
+        def run_impl(params, state, opt_state, key, *arrs):
             kperm, kscan = jax.random.split(key)
             perm = corpus.epoch_perm(kperm)
 
@@ -157,7 +331,7 @@ def make_epoch_runner(corpus: DeviceImageCorpus, train_step, stateful: bool):
                 params, state, opt_state, i = carry
                 idx = lax.dynamic_slice(perm, (i * B,), (B,))
                 kb, kstep = jax.random.split(ks)
-                batch = corpus.sample(kb, idx, images, sizes, tr)
+                batch = corpus.sample(kb, idx, *arrs)
                 params, state, opt_state, loss = train_step(
                     params, state, opt_state, batch, kstep)
                 return (params, state, opt_state, i + 1), loss
@@ -168,13 +342,12 @@ def make_epoch_runner(corpus: DeviceImageCorpus, train_step, stateful: bool):
             return params, state, opt_state, losses
 
         def run(params, state, opt_state, key):
-            return run_impl(params, state, opt_state, key, corpus.images,
-                            corpus.sizes, corpus.transposed)
+            return run_impl(params, state, opt_state, key, *corpus.arrays())
 
         return run
 
     @jax.jit
-    def run_impl(params, opt_state, key, images, sizes, tr):
+    def run_impl(params, opt_state, key, *arrs):
         kperm, kscan = jax.random.split(key)
         perm = corpus.epoch_perm(kperm)
 
@@ -182,7 +355,7 @@ def make_epoch_runner(corpus: DeviceImageCorpus, train_step, stateful: bool):
             params, opt_state, i = carry
             idx = lax.dynamic_slice(perm, (i * B,), (B,))
             kb, kstep = jax.random.split(ks)
-            batch = corpus.sample(kb, idx, images, sizes, tr)
+            batch = corpus.sample(kb, idx, *arrs)
             params, opt_state, loss = train_step(
                 params, opt_state, batch, kstep)
             return (params, opt_state, i + 1), loss
@@ -192,7 +365,6 @@ def make_epoch_runner(corpus: DeviceImageCorpus, train_step, stateful: bool):
         return params, opt_state, losses
 
     def run(params, opt_state, key):
-        return run_impl(params, opt_state, key, corpus.images, corpus.sizes,
-                        corpus.transposed)
+        return run_impl(params, opt_state, key, *corpus.arrays())
 
     return run

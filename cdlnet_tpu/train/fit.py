@@ -485,8 +485,7 @@ def _fit_impl(
     )
 
     epoch_runner = None
-    if device_scan and mesh is None and os.environ.get(
-            "CDLNET_DEVICE_SCAN", "1") != "0":
+    if device_scan and os.environ.get("CDLNET_DEVICE_SCAN", "1") != "0":
         from cdlnet_tpu.train.device_data import (
             corpus_from_loader,
             make_epoch_runner,
@@ -494,11 +493,20 @@ def _fit_impl(
 
         corpus = corpus_from_loader(loaders.get("train"), workload)
         if corpus is not None:
+            if mesh is not None:
+                # the epoch runner is a multi-device jit under a mesh:
+                # replicate the staged corpus so batch assembly runs
+                # everywhere and the (shard_map'd / GSPMD) train step
+                # shards the assembled batch itself
+                from cdlnet_tpu.dist.sharding import replicate_sharding
+
+                corpus.place(replicate_sharding(mesh))
             epoch_runner = make_epoch_runner(corpus, train_step, stateful)
         elif device_scan is True:
             raise ValueError(
                 "device_scan=True but the train loader is not stageable "
-                "(needs a 2D ImageDataset loader with crop+augment+drop_last)"
+                "(needs a 2D image / 3D clip train loader with "
+                "crop+augment+shuffle+drop_last)"
             )
 
     ckpt0 = os.path.join(save_dir, "0.ckpt" + ckpt_ext)

@@ -303,3 +303,34 @@ def test_eval_ring_route_taken_and_matches(monkeypatch):
         ypc, params["A"], params["B"], params["t"],
         jnp.full((N,), 25.0 / 255.0), stride=2, interpret=True)
     assert float(jnp.abs(xb - xtb).max()) == 0.0
+
+
+def test_train_ring_route_taken(monkeypatch):
+    """r5: depth-sharded training routes to the merged ring reverse where
+    it fits; CDLNET_LISTA3D_RING_BWD=0 falls back to the banded+XLA-wgrad
+    local path (both already gradient-validated above)."""
+    import cdlnet_tpu.dist.halo_fused as hf
+
+    model = build_model("CDLNetVideo", {**CFG, "backend": "pallas"})
+    assert hf.ring_depth_shard_train_supported(model, 16, 32, 48, 4)
+    monkeypatch.setenv("CDLNET_LISTA3D_RING_BWD", "0")
+    assert not hf.ring_depth_shard_train_supported(model, 16, 32, 48, 4)
+
+    called = {}
+    orig = hf.make_sharded_ring_3d_train
+
+    def spy(*a, **kw):
+        called["ring"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.delenv("CDLNET_LISTA3D_RING_BWD")
+    monkeypatch.setattr(hf, "make_sharded_ring_3d_train", spy)
+    params = _params(model)
+    y = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 16, 32, 48))
+    ypc = y - jnp.mean(y, axis=(1, 2, 3, 4), keepdims=True)
+    mesh = make_mesh({"data": 2, "depth": 4})
+    xh = hf.sharded_fused_3d_train_forward(
+        model, params, ypc, 25.0, mesh=mesh, batch_axis="data",
+        interpret=True, z_dtype=jnp.float32)
+    assert called.get("ring")
+    assert np.isfinite(np.asarray(xh)).all()

@@ -534,3 +534,103 @@ def test_corpus_from_loader_rejects_unshuffled_loader():
     ordered = DataLoader(ds, batch_size=2, shuffle=False, drop_last=True)
     assert corpus_from_loader(shuffled, "2d") is not None
     assert corpus_from_loader(ordered, "2d") is None
+
+
+def _make_video_loaders(tmp_path, n_videos=4, depth=8, size=48, crop=32,
+                        bs=2):
+    from cdlnet_tpu.data.synthetic import gen_synthetic_video_dirs
+    from cdlnet_tpu.data.video import get_video_fit_loaders
+
+    root = gen_synthetic_video_dirs(
+        str(tmp_path / "vids"), n_videos=n_videos, depth=depth, size=size)
+    return get_video_fit_loaders(
+        trn_path_list=(os.path.join(root, "train"),),
+        val_path_list=(os.path.join(root, "val"),),
+        tst_path_list=(os.path.join(root, "test"),),
+        crop_size=crop, batch_size=(bs, 1, 1), depth=depth,
+    )
+
+
+def test_device_clip_corpus_sampling(tmp_path):
+    """DeviceClipCorpus: staged video sampling produces the loader's batch
+    shape, values come from the staged frames, and all three protocol
+    branches (random-walk / consecutive+crop / resize) produce valid
+    crops."""
+    from cdlnet_tpu.train.device_data import corpus_from_video_loader
+
+    loaders = _make_video_loaders(tmp_path, n_videos=4, depth=8, size=48,
+                                  crop=32, bs=2)
+    corpus = corpus_from_video_loader(loaders["train"])
+    assert corpus is not None
+    assert corpus.steps_per_epoch == 2
+    key = jax.random.PRNGKey(0)
+    idx = corpus.epoch_perm(key)[:2]
+    batch = corpus.sample(jax.random.PRNGKey(1), idx, *corpus.arrays())
+    assert batch.shape == (2, 1, 8, 32, 32)
+    b = np.asarray(batch)
+    assert np.isfinite(b).all() and b.min() >= 0.0 and b.max() <= 1.0
+    # different keys give different batches (augmentation active)
+    b2 = np.asarray(corpus.sample(jax.random.PRNGKey(2), idx,
+                                  *corpus.arrays()))
+    assert np.abs(b - b2).max() > 0
+
+    # a test loader (or unshuffled train loader) is rejected
+    assert corpus_from_video_loader(loaders["test"]) is None
+
+
+def test_fit_device_scan_video(tmp_path):
+    """device_scan=True on a 3D video workload: each training epoch is one
+    scanned dispatch over device-assembled clip batches; training improves
+    and the step count mirrors the host loop (drop_last over videos)."""
+    from cdlnet_tpu.models import CDLNetVideo
+
+    loaders = _make_video_loaders(tmp_path, n_videos=4, depth=8, size=48,
+                                  crop=32, bs=2)
+    model = CDLNetVideo(K=2, M=4, P=(3, 3, 3), s=2, adaptive=True)
+    params = model.init(jax.random.PRNGKey(0), init=True)
+    opt = make_optimizer(1e-3, clip_grad=0.05)
+    params, opt_state, history = fit(
+        model, params, opt, opt.init(params), loaders,
+        save_dir=str(tmp_path / "out"), epochs=4, noise_std=(20, 30),
+        val_freq=4, verbose=False, device_scan=True, workload="3d",
+    )
+    train_psnrs = [p for e, ph, p in history if ph == "train"]
+    assert train_psnrs[-1] > train_psnrs[0], train_psnrs
+    import json
+
+    rows = [json.loads(l) for l in open(tmp_path / "out" / "metrics.jsonl")]
+    train_rows = [r for r in rows if r.get("phase") == "train"]
+    assert train_rows and all(r["steps"] == 2 for r in train_rows)
+
+
+def test_fit_device_scan_under_dp_mesh(tmp_path):
+    """device_scan composes with a data-parallel mesh: the staged corpus
+    replicates over the mesh and the whole epoch (sharded train steps
+    included) runs as one multi-device dispatch."""
+    from cdlnet_tpu.data.images import ImageDataset
+    from cdlnet_tpu.data.loader import ThreadSafeRng
+
+    rng = np.random.default_rng(0)
+    ds = ImageDataset.__new__(ImageDataset)
+    ds.image_paths = [str(i) for i in range(16)]
+    ds.images = [rng.uniform(0.2, 0.8, (1, 40, 40)).astype(np.float32)
+                 for _ in range(16)]
+    ds.root_dirs = []
+    ds.crop_size = 32
+    ds.augment = True
+    ds.rng = ThreadSafeRng(0)
+    loaders = {
+        "train": DataLoader(ds, batch_size=8, shuffle=True, drop_last=True),
+        "val": make_loaders(n=2)["val"],
+        "test": make_loaders(n=2)["test"],
+    }
+    model = CDLNet(K=2, M=4, P=3, s=1, adaptive=True)
+    params = model.init(jax.random.PRNGKey(0), init=True)
+    opt = make_optimizer(1e-3, clip_grad=0.05)
+    params, opt_state, history = fit(
+        model, params, opt, opt.init(params), loaders,
+        save_dir=str(tmp_path), epochs=4, noise_std=(20, 30),
+        val_freq=4, verbose=False, device_scan=True, mesh={"data": -1},
+    )
+    train_psnrs = [p for e, ph, p in history if ph == "train"]
+    assert train_psnrs[-1] > train_psnrs[0], train_psnrs
