@@ -33,14 +33,41 @@ from cdlnet_tpu.utils import append_metric
 from cdlnet_tpu.train.optim import get_lr, set_lr
 
 
-def make_csr_train_step(model, opt, *, noise_std, project=False):
+def make_csr_train_step(model, opt, *, noise_std, project=False,
+                        remat="auto"):
     """Build the jitted CSR train/eval steps (2-frame alternating recurrence
     for CDLNet_CSR, 3-frame bidirectional for CDLNet_CSRf2 — reference
-    traincsr.py:192-217 / :247-273)."""
+    traincsr.py:192-217 / :247-273).
+
+    remat: rematerialize each of the 4-5 recurrence applies
+    (jax.checkpoint), so the backward holds ONE apply's residuals at a
+    time instead of all of them — the multi-apply residual volume is what
+    made native-resolution CSR training fail to COMPILE in both backends
+    (BASELINE r4, tools/bench_csr_bigframe.py). "auto" (default) remats
+    when a frame exceeds the reference's 128^2 crop protocol; True/False
+    force. Costs one extra forward per apply in the backward — at big
+    frames that trade is the difference between compiling and not."""
     nstd = tuple(noise_std) if isinstance(noise_std, (list, tuple)) else noise_std
     is_f2 = isinstance(model, CDLNetCSRf2)
 
+    def _apply_for(batch):
+        use_remat = remat if remat != "auto" else (
+            batch.shape[-2] * batch.shape[-1] > 128 * 128)
+        if not use_remat:
+            return model.apply
+
+        def inner(params, y, *ctx_and_sigma):
+            return model.apply(params, y, *ctx_and_sigma, train=True)
+
+        ck = jax.checkpoint(inner)
+
+        def apply(params, y, *ctx_and_sigma, train=True):
+            return ck(params, y, *ctx_and_sigma)
+
+        return apply
+
     def loss_fn(params, batch, key):
+        apply = _apply_for(batch)
         k1, k2, k3 = jax.random.split(key, 3)
         prev = batch[:, :, 0]
         curr = batch[:, :, 1]
@@ -50,20 +77,20 @@ def make_csr_train_step(model, opt, *, noise_std, project=False):
         if not is_f2:
             z_curr = None
             # round 1: first-frame bank, then recurrence
-            prev_d, z_prev = model.apply(params, prev_hat, z_curr, s1, train=True)
-            curr_d, z_curr = model.apply(params, curr_hat, z_prev, s2, train=True)
+            prev_d, z_prev = apply(params, prev_hat, z_curr, s1, train=True)
+            curr_d, z_curr = apply(params, curr_hat, z_prev, s2, train=True)
             # round 2: now both carry codes
-            prev_d, z_prev = model.apply(params, prev_hat, z_curr, s1, train=True)
-            curr_d, z_curr = model.apply(params, curr_hat, z_prev, s2, train=True)
+            prev_d, z_prev = apply(params, prev_hat, z_curr, s1, train=True)
+            curr_d, z_curr = apply(params, curr_hat, z_prev, s2, train=True)
             return jnp.mean((prev_d - prev) ** 2) + jnp.mean((curr_d - curr) ** 2)
 
         after = batch[:, :, 2]
         after_hat, s3 = awgn(k3, after, nstd)
-        prev_d, z_prev = model.apply(params, prev_hat, None, None, s1, train=True)
-        curr_d, z_curr = model.apply(params, curr_hat, z_prev, None, s2, train=True)
-        after_d, z_after = model.apply(params, after_hat, z_prev, None, s3, train=True)
-        curr_d, z_curr = model.apply(params, curr_hat, z_prev, z_after, s2, train=True)
-        prev_d, z_prev = model.apply(params, prev_hat, None, z_after, s1, train=True)
+        prev_d, z_prev = apply(params, prev_hat, None, None, s1, train=True)
+        curr_d, z_curr = apply(params, curr_hat, z_prev, None, s2, train=True)
+        after_d, z_after = apply(params, after_hat, z_prev, None, s3, train=True)
+        curr_d, z_curr = apply(params, curr_hat, z_prev, z_after, s2, train=True)
+        prev_d, z_prev = apply(params, prev_hat, None, z_after, s1, train=True)
         return (
             jnp.mean((prev_d - prev) ** 2)
             + jnp.mean((curr_d - curr) ** 2)

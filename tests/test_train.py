@@ -634,3 +634,70 @@ def test_fit_device_scan_under_dp_mesh(tmp_path):
     )
     train_psnrs = [p for e, ph, p in history if ph == "train"]
     assert train_psnrs[-1] > train_psnrs[0], train_psnrs
+
+
+def test_csr_remat_grads_match():
+    """remat=True (the big-frame compile route, BASELINE r4 boundary)
+    produces the same gradients as the plain recurrence step."""
+    from cdlnet_tpu.models.csr import CDLNetCSR
+    from cdlnet_tpu.train.fit_csr import make_csr_train_step
+
+    for cls in (CDLNetCSR, CDLNetCSRf2):
+        model = cls(K=2, M=4, P=3, s=1, adaptive=True)
+        params = model.init(jax.random.PRNGKey(0), init=True)
+        opt = make_optimizer(1e-3, clip_grad=None)
+        rng = np.random.default_rng(1)
+        batch = jnp.asarray(
+            np.clip(rng.random((2, 1, 3, 16, 16)), 0, 1).astype(np.float32))
+        key = jax.random.PRNGKey(2)
+        outs = {}
+        for remat in (False, True):
+            step, _ = make_csr_train_step(
+                model, opt, noise_std=(20, 30), remat=remat)
+            p2, _, loss = step(params, opt.init(params), batch, key)
+            outs[remat] = (float(loss), p2)
+        assert outs[False][0] == pytest.approx(outs[True][0], rel=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(outs[False][1]),
+                        jax.tree_util.tree_leaves(outs[True][1])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+
+def test_fit_csr_dp_mesh(tmp_path):
+    """fit_csr under a data-parallel mesh (VERDICT r4 #4's 8-CPU-mesh leg):
+    the frame recurrence trains with the batch sharded over the mesh and
+    matches the single-device run's loss trajectory."""
+    from cdlnet_tpu.models.csr import CDLNetCSR
+
+    model = CDLNetCSR(K=2, M=4, P=3, s=1, adaptive=True)
+    params = model.init(jax.random.PRNGKey(0), init=True)
+    opt = make_optimizer(1e-3, clip_grad=1.0)
+    rng = np.random.default_rng(0)
+    vols = [np.clip(rng.random((1, 2, 16, 16)), 0, 1).astype(np.float32)
+            for _ in range(8)]
+    ds = ArrayDataset(vols)
+
+    def loaders():
+        return {
+            "train": DataLoader(ds, batch_size=8, shuffle=True,
+                                drop_last=True, seed=3),
+            "val": DataLoader(ds, batch_size=1),
+            "test": DataLoader(ds, batch_size=1),
+        }
+
+    p1, _, h1 = fit_csr(
+        model, params, opt, opt.init(params), loaders(),
+        save_dir=str(tmp_path / "a"), epochs=2, noise_std=(20, 30),
+        val_freq=10, verbose=False, seed=5,
+    )
+    p2, _, h2 = fit_csr(
+        model, params, opt, opt.init(params), loaders(),
+        save_dir=str(tmp_path / "b"), epochs=2, noise_std=(20, 30),
+        val_freq=10, verbose=False, seed=5, mesh={"data": -1},
+    )
+    for (e1, ph1, v1), (e2, ph2, v2) in zip(h1, h2):
+        assert ph1 == ph2 and v1 == pytest.approx(v2, rel=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
