@@ -467,3 +467,77 @@ def test_serve_depth_only_mesh_ragged_clip_demotes_to_xla():
     got = d_mesh.denoise_video(clip, sigma=25)
     # the ragged path must land on the demoted-XLA plain forward -> exact
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_launch_pod_script_two_process(tmp_path):
+    """examples/launch_pod.sh runs end to end: two cooperating CPU
+    processes execute the script's python body (initialize_distributed ->
+    cli.train.main with a {'dist': {'mesh': {'data': -1}}} config) over a
+    localhost coordinator, and both ranks produce training artifacts —
+    the multi-host launcher's wiring (reference job.sbatch:1-12
+    counterpart) fails this test if it rots."""
+    import json
+    import os
+    import socket
+    import subprocess
+
+    from cdlnet_tpu.data.synthetic import gen_synthetic_image_dirs
+
+    root = gen_synthetic_image_dirs(str(tmp_path / "imgs"), n_images=4,
+                                    size=48)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo_root, "examples", "launch_pod.sh")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    args_files = []
+    for rank in (0, 1):
+        args = {
+            "type": "CDLNet",
+            "model": {"K": 2, "M": 4, "P": 3, "s": 1, "adaptive": True},
+            "paths": {"save": str(tmp_path / f"save{rank}"), "ckpt": None},
+            "dist": {"mesh": {"data": -1}},
+            "train": {
+                "loaders": {
+                    "trn_path_list": [root + "/train"],
+                    "val_path_list": [root + "/val"],
+                    "tst_path_list": [root + "/test"],
+                    "crop_size": 32, "batch_size": [2, 1, 1],
+                },
+                "opt": {"lr": 1e-3},
+                "sched": {"step_size": 1, "gamma": 0.95},
+                "fit": {"epochs": 1, "noise_std": 25, "val_freq": 5,
+                        "save_freq": 1},
+            },
+        }
+        f = tmp_path / f"args{rank}.json"
+        f.write_text(json.dumps(args))
+        args_files.append(str(f))
+
+    def env_for(rank):
+        env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+        env.update(
+            COORDINATOR_ADDRESS=f"localhost:{port}",
+            NUM_PROCESSES="2",
+            PROCESS_ID=str(rank),
+            JAX_PLATFORMS="cpu",
+            CDLNET_PLATFORM="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=1",
+            PYTHONPATH=repo_root + os.pathsep + os.environ.get(
+                "PYTHONPATH", ""),
+        )
+        return env
+
+    procs = [
+        subprocess.Popen(["bash", script, args_files[rank]],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, env=env_for(rank))
+        for rank in (0, 1)
+    ]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    for rank in (0, 1):
+        save = tmp_path / f"save{rank}"
+        assert (save / "train.txt").exists(), outs[rank]
+        assert (save / "args.json").exists(), outs[rank]
