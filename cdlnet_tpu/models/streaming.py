@@ -85,6 +85,60 @@ def _tile_starts(n, tile, step):
     return list(range(0, n - tile, step)) + [n - tile]
 
 
+def denoise_long_video_pipelined(model, params, clip, sigma=None,
+                                 chunk_depth=16, overlap=4,
+                                 max_in_flight=3):
+    """Host-side pipelined overlap-discard streaming: chunks transfer H2D,
+    compute, and read back CONCURRENTLY instead of one serialized
+    put-compute-fetch per clip.
+
+    `clip` is a host numpy (N, C, D, H, W); each chunk's H2D device_put
+    and forward are dispatched asynchronously, and results are fetched
+    lazily with up to `max_in_flight` chunks outstanding — so chunk i's
+    D2H readback and chunk i+1's H2D ride the wire while chunk i+1..i+k
+    compute. Wall time approaches max(transfer, compute) instead of their
+    sum — the difference is the whole gap on a transfer-bound link
+    (BASELINE r4: native-res serving measured 1.93 s wall against
+    144.7 ms device compute over the tunnel). Same chunk math as
+    denoise_long_video (identical kept-frame outputs)."""
+    import numpy as np
+
+    clip = np.asarray(clip, np.float32)
+    N, C, D, H, W = clip.shape
+    if D <= chunk_depth:
+        return np.asarray(
+            model.apply(params, jnp.asarray(clip), sigma,
+                        return_z=False)[0])
+    if chunk_depth <= 2 * overlap:
+        raise ValueError(
+            f"chunk_depth {chunk_depth} must exceed 2*overlap {2*overlap}")
+
+    step = chunk_depth - 2 * overlap
+    starts = list(range(0, D - chunk_depth, step)) + [D - chunk_depth]
+    fwd = _chunk_forward(model)
+
+    out = np.empty_like(clip)
+    inflight = []  # (t0, lo, hi, device result)
+    written = 0
+
+    def drain_one():
+        s0, l0, h0, x0 = inflight.pop(0)
+        out[:, :, s0 + l0 : s0 + h0] = np.asarray(x0[:, :, l0:h0])
+
+    for t0 in starts:
+        yc = jnp.asarray(clip[:, :, t0 : t0 + chunk_depth])  # async H2D
+        xc = fwd(params, yc, sigma, None)                    # async compute
+        lo = 0 if t0 == 0 else max(written - t0, overlap)
+        hi = chunk_depth if t0 == starts[-1] else chunk_depth - overlap
+        inflight.append((t0, lo, hi, xc))
+        written = t0 + hi
+        if len(inflight) > max_in_flight:
+            drain_one()
+    while inflight:
+        drain_one()
+    return out
+
+
 def denoise_video_tiled(model, params, y, sigma=None, mask=None,
                         chunk_depth=16, overlap=4,
                         tile_hw=None, overlap_hw=16):

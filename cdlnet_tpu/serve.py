@@ -375,7 +375,9 @@ class Denoiser:
                 )
             )
         elif chunk_depth is not None and clip.shape[2] > chunk_depth:
-            from cdlnet_tpu.models.streaming import denoise_long_video
+            from cdlnet_tpu.models.streaming import (
+                denoise_long_video_pipelined,
+            )
 
             spatial = clip.shape[3:]
             pads = [(_bucket(n, self.bucket) - n) for n in spatial]
@@ -383,11 +385,12 @@ class Denoiser:
                 clip = np.pad(
                     clip, [(0, 0)] * 3 + [(0, p) for p in pads], mode="reflect"
                 )
-            out = np.asarray(
-                denoise_long_video(
-                    self.model, self.params, jnp.asarray(clip), sigma,
-                    chunk_depth=chunk_depth, overlap=overlap,
-                )
+            # host-side pipelined chunks: H2D / compute / D2H overlap, so
+            # wall approaches max(transfer, compute) on a transfer-bound
+            # link (the r4 native-res row was the sum)
+            out = denoise_long_video_pipelined(
+                self.model, self.params, clip, sigma,
+                chunk_depth=chunk_depth, overlap=overlap,
             )[..., : spatial[0], : spatial[1]]
         else:
             out = self._run(clip, sigma)

@@ -105,3 +105,33 @@ def test_spatial_tiling_rejects_bad_overlap():
     with pytest.raises(ValueError, match="must exceed"):
         denoise_video_tiled(model, params, noisy, 25.0, chunk_depth=8,
                             tile_hw=32, overlap_hw=16)
+
+
+def test_pipelined_streaming_matches_sequential():
+    """denoise_long_video_pipelined (host-side overlapped chunks) produces
+    the SAME kept-frame outputs as the sequential on-device path."""
+    import numpy as np
+
+    from cdlnet_tpu.models import CDLNetVideo
+    from cdlnet_tpu.models.streaming import (
+        denoise_long_video,
+        denoise_long_video_pipelined,
+    )
+
+    model = CDLNetVideo(K=2, M=4, P=(3, 3, 3), s=2, adaptive=True)
+    params = model.init(jax.random.PRNGKey(0), init=True)
+    rng = np.random.default_rng(0)
+    clip = rng.uniform(0, 1, (1, 1, 24, 16, 16)).astype(np.float32)
+    ref = np.asarray(denoise_long_video(
+        model, params, jnp.asarray(clip), 25.0, chunk_depth=8, overlap=2))
+    got = denoise_long_video_pipelined(
+        model, params, clip, 25.0, chunk_depth=8, overlap=2,
+        max_in_flight=2)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+    # short clip: single whole-clip forward
+    short = clip[:, :, :8]
+    ref_s = np.asarray(model.apply(params, jnp.asarray(short), 25.0,
+                                   return_z=False)[0])
+    got_s = denoise_long_video_pipelined(model, params, short, 25.0,
+                                         chunk_depth=8, overlap=2)
+    np.testing.assert_allclose(got_s, ref_s, atol=1e-6)
