@@ -286,7 +286,10 @@ def _syn_from_ring(zring, e, B2m_ref, scol_ref, *, Qd, Qh, Qw, Cp, Wc,
     lo2 = Hh * Wc  # (G - Hh) rows: ext-row halo margin inside the slab
     dr = e - lat1
 
-    if not colmask and Wc % 128 == 0:
+    import os
+
+    if (not colmask and Wc % 128 == 0
+            and os.environ.get("CDLNET_RING_LANE", "1") != "0"):
         # Lane-class restructure (r4): with pad columns retiring the masks
         # AND a 128-multiple width, the per-tap output shift splits into a
         # row part (a multiple of Wc -> an ALIGNED value slice, ~free) and
@@ -370,7 +373,10 @@ def _ana_from_ring(rring, zring, e, A2m_ref, tau_ref, acol_ref, vm,
     def roll(buf, off):
         return pltpu.roll(buf, (-off) % Lwr, 1) if off % Lwr else buf
 
-    lane_path = not colmask and Wc % 128 == 0
+    import os
+
+    lane_path = (not colmask and Wc % 128 == 0
+                 and os.environ.get("CDLNET_RING_LANE", "1") != "0")
     for j in range(Qd):
         dd = dz + dlo + j
         slot = lax.rem(e + (8 * Rr - lat1 - lat2 + dlo + j), Rr)

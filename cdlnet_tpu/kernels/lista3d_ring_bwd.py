@@ -477,7 +477,11 @@ def make_ring3_bwd_ops(N, C, Dc, Hc, Wct, M, P, s, *, band,
     P, pads, Qd, Qh, Qw, dlo, hlo, wlo, Hh = _geometry3(P, s)
     pc_min = _w_pad_min(wlo, Qw)
     Wc = _padded_wc(Wct, 2 * Hh, pc_min=pc_min)
-    lane = (Wc - Wct) >= pc_min and Wc % 128 == 0
+    # CDLNET_RING_LANE=0: trace-time ablation knob (fresh traces only) —
+    # forces the per-tap-roll path at 128-multiple widths so hardware
+    # parity can isolate the lane-class accumulation order
+    lane = ((Wc - Wct) >= pc_min and Wc % 128 == 0
+            and os.environ.get("CDLNET_RING_LANE", "1") != "0")
     Cp = C * s**3
     T = Qd * Qh * Qw
     Mp = -(-M // 8) * 8
