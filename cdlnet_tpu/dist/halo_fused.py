@@ -604,7 +604,7 @@ def make_sharded_ring_3d_train(model, mesh: Mesh, depth_axis: str,
         fops = make_ring3_ops(
             Nl, C, Dce, Hc, Wct, M, Mdl.P, s, z_dtype=z_dtype,
             interpret=interpret, band=Bh, use_mask=False,
-            return_hists=True)
+            return_hists=True, w128=False)  # training pad (16-multiple)
         bops = make_ring3_bwd_ops(
             Nl, C, Dce2, Hc, Wct, M, Mdl.P, s, band=Bh,
             hist_dtype=z_dtype, use_mask=False, interpret=interpret,

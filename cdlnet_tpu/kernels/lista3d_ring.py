@@ -135,7 +135,7 @@ def _ring_bytes3(M, Cp, Qd, Qh, Qw, Bh, Wc, Hh, nb, dlo, z_bytes=2,
     return n
 
 
-def _padded_wc(Wc, G, pc_min=0):
+def _padded_wc(Wc, G, pc_min=0, w128=True):
     """Code width after zero-column padding.
 
     Two reasons to pad, both exact (the vm/vme masks zero pad columns on
@@ -170,7 +170,12 @@ def _padded_wc(Wc, G, pc_min=0):
         return Wc
     base = -(-(Wc + pc_min) // 16) * 16
     c128 = -(-(Wc + pc_min) // 128) * 128
-    if c128 > base and (c128 - base) / base <= 0.20:
+    # w128=False: TRAINING paths keep the 16-multiple pad — the reverse is
+    # MXU-heavy (weight-grad dots scale with element count), so the
+    # 128-multiple's aligned-roll win does not repay its +14-33% element
+    # cost there (measured r5: mri-half ring-bwd at Wcp 96->128 LOST to
+    # the banded reverse outright)
+    if w128 and c128 > base and (c128 - base) / base <= 0.20:
         return c128
     return base
 
@@ -515,7 +520,7 @@ def _kernel_last(zu_ref, zc_ref, zd_ref, B2m_ref, scol_ref, vm_ref,
 
 def make_ring3_ops(N, C, Dc, Hc, Wct, M, P, s, *, z_dtype=jnp.bfloat16,
                    interpret=False, band=None, use_mask=False,
-                   return_hists=False):
+                   return_hists=False, w128=True):
     """Per-iteration depth-ring kernel closures + geometry.
 
     Factored out of lista3d_ring so the depth-sharded path
@@ -543,7 +548,7 @@ def make_ring3_ops(N, C, Dc, Hc, Wct, M, P, s, *, z_dtype=jnp.bfloat16,
     interpret = interpret or os.environ.get("CDLNET_PALLAS_INTERPRET") == "1"
     P, pads, Qd, Qh, Qw, dlo, hlo, wlo, Hh = _geometry3(P, s)
     pc_min = _w_pad_min(wlo, Qw)
-    Wc = _padded_wc(Wct, 2 * Hh, pc_min=pc_min)
+    Wc = _padded_wc(Wct, 2 * Hh, pc_min=pc_min, w128=w128)
     colmask = (Wc - Wct) < pc_min  # pads retire the column masks (r4)
     Cp = C * s**3
     T = Qd * Qh * Qw
@@ -741,7 +746,7 @@ def lista3d_ring(yp, A, B, t, c, stride=1, mask=None, return_z=False,
     ops = make_ring3_ops(
         N, C, Dc, Hc, Wct, M, A.shape[-3:], s, z_dtype=z_dtype,
         interpret=interpret, band=band, use_mask=use_mask,
-        return_hists=return_hists,
+        return_hists=return_hists, w128=not return_hists,
     )
     pads = ops["pads"]
     Qd, Mp, Cp, Lwr = ops["Qd"], ops["Mp"], ops["Cp"], ops["Lwr"]

@@ -132,7 +132,12 @@ def pick_band_ring_train(M, C, P, s, Dc, Hc, Wc, hist_bytes=None,
         hist_bytes = jnp.dtype(hist_dtype()).itemsize
     P_, pads, Qd, Qh, Qw, dlo, hlo, wlo, Hh = _geometry3(P, s)
     Cp = C * s**3
-    Wc = _padded_wc(Wc, 2 * Hh, pc_min=_w_pad_min(wlo, Qw))
+    Wc = _padded_wc(Wc, 2 * Hh, pc_min=_w_pad_min(wlo, Qw), w128=False)
+    import os as _os
+
+    band_env = _os.environ.get("CDLNET_RING_BWD_BAND")
+    if band_env:
+        return int(band_env)
     for Bh in (128, 64, 32, 16, 8):
         if Bh < 2 * Hh:
             continue
@@ -455,6 +460,7 @@ def _kernel_rb_mid(*refs, Qd, Qh, Qw, Cp, Wc, Bh, Hh, dlo, hlo, wlo,
 def make_ring3_bwd_ops(N, C, Dc, Hc, Wct, M, P, s, *, band,
                        hist_dtype=jnp.float32, use_mask=False,
                        interpret=False, with_ds=False):
+    # training pads to the 16-multiple (w128=False; see _padded_wc)
     """Per-iteration merged-reverse closures + geometry.
 
     Factored out of lista3d_ring_fused_bwd so the depth-sharded training
@@ -476,7 +482,7 @@ def make_ring3_bwd_ops(N, C, Dc, Hc, Wct, M, P, s, *, band,
     interpret = interpret or os.environ.get("CDLNET_PALLAS_INTERPRET") == "1"
     P, pads, Qd, Qh, Qw, dlo, hlo, wlo, Hh = _geometry3(P, s)
     pc_min = _w_pad_min(wlo, Qw)
-    Wc = _padded_wc(Wct, 2 * Hh, pc_min=pc_min)
+    Wc = _padded_wc(Wct, 2 * Hh, pc_min=pc_min, w128=False)
     # CDLNET_RING_LANE=0: trace-time ablation knob (fresh traces only) —
     # forces the per-tap-roll path at 128-multiple widths so hardware
     # parity can isolate the lane-class accumulation order
@@ -646,7 +652,7 @@ def lista3d_ring_fused_bwd(dxp, yp, A, B, t, c, mask, z_hist, r_hist,
     s = stride
     P, pads, Qd, Qh, Qw, dlo, hlo, wlo, Hh = _geometry3(A.shape[-3:], s)
     Dc, Hc, Wct = D // s, H // s, W // s
-    Wc = _padded_wc(Wct, 2 * Hh, pc_min=_w_pad_min(wlo, Qw))
+    Wc = _padded_wc(Wct, 2 * Hh, pc_min=_w_pad_min(wlo, Qw), w128=False)
     use_mask = mask is not None
     # band geometry comes off the histories (the joint training pick)
     nb, Lb = z_hist.shape[3], z_hist.shape[-1]
