@@ -146,7 +146,12 @@ def ring_depth_shard_train_supported(model, D, H, W, n_depth, *, mask=None,
     if not _depth_shard_geometry_ok(model, D, H, W, n_depth, mask):
         return False
     s = model.s
-    Qd = _geometry3(model.P, s)[2]
+    P_, pads, Qd, Qh, Qw, dlo, hlo, wlo, Hh = _geometry3(model.P, s)
+    if Qd * Qh * Qw * model.C * s**3 > 512:
+        # same measured heuristic as the single-device routing
+        # (autodiff.lista3d_bigframe_train_path): the reverse is
+        # issue-bound on its tap-stack builds; large stacks favor banded
+        return False
     hz2 = 2 * (Qd - 1)
     Dzl = D // s // n_depth
     if hz2 > (n_depth - 1) * Dzl:

@@ -520,19 +520,31 @@ def lista3d_ring_diff(yp, A, B, t, c, stride=1, mask=None, interpret=False):
 
 def lista3d_bigframe_train_path(M, C, P, s, K, D, H, W, use_mask=False):
     """Which big-frame fused 3D TRAINING path applies: "ring" (merged
-    ring reverse — the fast one), "tiled" (banded pair reverse), or None
-    (XLA gradient). The ONE routing decision shared by the model's
-    _pallas_path and the diff wrappers. CDLNET_LISTA3D_RING=0 opts the
-    ring out (same switch as inference); CDLNET_LISTA3D_RING_BWD=0 opts
-    out only the ring REVERSE (banded training keeps running)."""
+    ring reverse), "tiled" (banded pair reverse), or None (XLA gradient).
+    The ONE routing decision shared by the model's _pallas_path and the
+    diff wrappers. CDLNET_LISTA3D_RING=0 opts the ring out (same switch
+    as inference); CDLNET_LISTA3D_RING_BWD=0 opts out only the ring
+    REVERSE (banded training keeps running).
+
+    Ring-vs-banded heuristic (measured r5, half-native on-chip): the
+    reverse is ISSUE-bound on its per-grid-step tap-stack builds, not
+    HBM-bound — the ring's dv-stream savings win modestly where the tap
+    stack is small ((7,7,5): T*Cp=384, 334->294 ms/step) but LOSE where
+    it is large ((9,9,5): T*Cp=600, 273->316 — the banded path's much
+    taller band amortizes the builds better than the ring's f32-dv-ring-
+    constrained band 32). Route ring only when T*Cp <= 512."""
     import os
 
     from cdlnet_tpu.kernels.lista3d_ring_bwd import (
         lista3d_ring_bwd_supported,
     )
+    from cdlnet_tpu.kernels.lista3d_tiled import _geometry3
 
     hb = jnp.dtype(hist3d_dtype()).itemsize
-    if (os.environ.get("CDLNET_LISTA3D_RING", "1") != "0"
+    P_, pads, Qd, Qh, Qw, dlo, hlo, wlo, Hh = _geometry3(P, s)
+    small_stack = Qd * Qh * Qw * C * s**3 <= 512
+    if (small_stack
+            and os.environ.get("CDLNET_LISTA3D_RING", "1") != "0"
             and os.environ.get("CDLNET_LISTA3D_RING_BWD", "1") != "0"
             and lista3d_ring_bwd_supported(M, C, P, s, K, D, H, W,
                                            hist_bytes=hb,
