@@ -243,29 +243,48 @@ def main():
         # 128-multiple padded width (VERDICT r4 #6): isolates the
         # lane-class accumulation ORDER on hardware, f32 carry, same
         # kernel otherwise. 248/2 = 124 -> Wcp = 128 (pc_min pad).
-        model = build_model("CDLNetVideo", dict(v3d, backend="xla"))
-        params = model.init(jax.random.PRNGKey(0), init=True)
-        y = img(1, 1, 16, 240, 248)
+        # TWO gates: at K=3 the per-iteration reorder must be pure
+        # reassociation (tight max, tiny pixel fraction past 1e-4); at
+        # the full K=30 only the MAX envelope is meaningful — per-step
+        # 1e-7-level reorders compound chaotically through 30 ST
+        # nonlinearities and SPREAD (measured: 36% of pixels past 1e-4 at
+        # K=30 while the max stays ~1.2e-3; at K=3 the spread collapses)
         from cdlnet_tpu.core.preprocess import pre_process_3d
 
-        ypc, prm, _ = pre_process_3d(y, model.s)
-        c = jnp.full((1,), 25.0 / 255.0)
-        outs = {}
-        for lane in ("1", "0"):
-            os.environ["CDLNET_RING_LANE"] = lane
-            try:
-                xp, _ = jax.jit(functools.partial(
-                    lista3d_ring, stride=model.s, return_z=False,
-                    z_dtype=jnp.float32,
-                ))(ypc, params["A"], params["B"], params["t"], c)
-                outs[lane] = np.asarray(xp)
-                float(np.sum(outs[lane][:1].astype(np.float64)))
-            finally:
-                os.environ.pop("CDLNET_RING_LANE", None)
-        rel = _rel(outs["1"], outs["0"])
-        assert np.isfinite(rel) and rel < 1e-3, f"rel {rel:.3e}"
-        return {"rel_lane_vs_rolls": f"{rel:.2e}",
-                "gate": "lane-class vs lane-disabled, f32 carry"}
+        out = {}
+        for K in (3, 30):
+            model = build_model(
+                "CDLNetVideo", dict(v3d, K=K, backend="xla"))
+            params = model.init(jax.random.PRNGKey(0), init=True)
+            y = img(1, 1, 16, 240, 248)
+            ypc, prm, _ = pre_process_3d(y, model.s)
+            c = jnp.full((1,), 25.0 / 255.0)
+            outs = {}
+            for lane in ("1", "0"):
+                os.environ["CDLNET_RING_LANE"] = lane
+                try:
+                    xp, _ = jax.jit(functools.partial(
+                        lista3d_ring, stride=model.s, return_z=False,
+                        z_dtype=jnp.float32,
+                    ))(ypc, params["A"], params["B"], params["t"], c)
+                    outs[lane] = np.asarray(xp)
+                    float(np.sum(outs[lane][:1].astype(np.float64)))
+                finally:
+                    os.environ.pop("CDLNET_RING_LANE", None)
+            rel = _rel(outs["1"], outs["0"])
+            d = (np.abs(outs["1"] - outs["0"])
+                 / max(np.abs(outs["0"]).max(), 1e-12))
+            frac = float((d > 1e-4).mean())
+            if K == 3:
+                assert rel < 1e-4, f"K=3 rel {rel:.3e} — structural"
+                assert frac < 0.01, f"K=3 {frac:.1%} past 1e-4 — structural"
+            else:
+                assert rel < 2e-3, f"K=30 rel {rel:.3e}"
+            out[f"K{K}_rel"] = f"{rel:.2e}"
+            out[f"K{K}_frac_past_1e-4"] = f"{frac:.2%}"
+        out["gate"] = ("lane vs lane-disabled, f32 carry: structure pinned"
+                       " at K=3; K=30 max at the compounding envelope")
+        return out
 
     rows.append(run_case("3d ring lane-class ablation 128-mult", ring_lane_ablation))
 
