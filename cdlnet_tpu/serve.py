@@ -376,6 +376,7 @@ class Denoiser:
             )
         elif chunk_depth is not None and clip.shape[2] > chunk_depth:
             from cdlnet_tpu.models.streaming import (
+                denoise_long_video,
                 denoise_long_video_pipelined,
             )
 
@@ -385,13 +386,25 @@ class Denoiser:
                 clip = np.pad(
                     clip, [(0, 0)] * 3 + [(0, p) for p in pads], mode="reflect"
                 )
-            # host-side pipelined chunks: H2D / compute / D2H overlap, so
-            # wall approaches max(transfer, compute) on a transfer-bound
-            # link (the r4 native-res row was the sum)
-            out = denoise_long_video_pipelined(
-                self.model, self.params, clip, sigma,
-                chunk_depth=chunk_depth, overlap=overlap,
-            )[..., : spatial[0], : spatial[1]]
+            # route by staging size: clips that fit device memory stage
+            # ONCE and chunk on device (one big H2D — fastest on links
+            # that serialize transfers with compute, measured r5: the
+            # axon tunnel runs chunked H2D/compute FIFO, so host-side
+            # chunk pipelining gained nothing there); clips too big to
+            # stage stream host-side with pipelined chunk transfers in
+            # fixed device memory
+            if clip.nbytes <= int(2e9):
+                out = np.asarray(
+                    denoise_long_video(
+                        self.model, self.params, jnp.asarray(clip), sigma,
+                        chunk_depth=chunk_depth, overlap=overlap,
+                    )
+                )[..., : spatial[0], : spatial[1]]
+            else:
+                out = denoise_long_video_pipelined(
+                    self.model, self.params, clip, sigma,
+                    chunk_depth=chunk_depth, overlap=overlap,
+                )[..., : spatial[0], : spatial[1]]
         else:
             out = self._run(clip, sigma)
         for _ in range(squeeze):

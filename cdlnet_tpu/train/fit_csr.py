@@ -44,15 +44,17 @@ def make_csr_train_step(model, opt, *, noise_std, project=False,
     time instead of all of them — the multi-apply residual volume is what
     made native-resolution CSR training fail to COMPILE in both backends
     (BASELINE r4, tools/bench_csr_bigframe.py). "auto" (default) remats
-    when a frame exceeds the reference's 128^2 crop protocol; True/False
-    force. Costs one extra forward per apply in the backward — at big
-    frames that trade is the difference between compiling and not."""
+    past ~100k pixels/frame — between the half-native 320x184 point that
+    compiles un-remat'd (and pays +21% for remat it doesn't need,
+    measured r5: 214.8 vs 177 ms/step) and the 640x368 native point that
+    cannot compile without it (978.5 ms/step WITH, r5). True/False
+    force."""
     nstd = tuple(noise_std) if isinstance(noise_std, (list, tuple)) else noise_std
     is_f2 = isinstance(model, CDLNetCSRf2)
 
     def _apply_for(batch):
         use_remat = remat if remat != "auto" else (
-            batch.shape[-2] * batch.shape[-1] > 128 * 128)
+            batch.shape[-2] * batch.shape[-1] > 100_000)
         if not use_remat:
             return model.apply
 
