@@ -172,6 +172,47 @@ def main():
           f"(syn roll/mask chains account for {(base - nosyn) * 1e3:6.1f} ms, "
           f"{100 * (base - nosyn) / base:4.1f}% of wall)")
 
+    # --- all-chains-removed composite: rolls gone AND the analysis stack
+    # build gone AND the synthesis tap tails gone, every dot and every
+    # slab/ring store intact. This is a LOWER BOUND on any tap-chain
+    # rewrite (sublane-major or otherwise): no layout change can do
+    # better than not doing the chains at all. If this floor sits above
+    # a throughput bar, that bar is unreachable by chain restructuring.
+    try:
+        pltpu.roll = lambda x, shift, axis=0: x
+        ring._ana_from_ring = _ana_nostack
+        ring._syn_from_ring = _syn_notail
+        nochain = timeit(run_ring, args, R=R)
+    finally:
+        pltpu.roll = real_roll
+        ring._ana_from_ring = real_ana
+        ring._syn_from_ring = real_syn
+    print(f"no-chains:     {nochain * 1e3:8.1f} ms/clip  "
+          f"({D / nochain:6.1f} frames/s FLOOR for any tap-chain rewrite)")
+
+    # --- no-dot: every dot_general replaced by a same-shape sublane
+    # slice + cast of the RHS (the output still materializes; only the
+    # MXU contraction is gone). Pins the MXU share of the wall. Patched
+    # at the jax.lax module attribute — the ring kernels are the only
+    # dot_general callsites inside the timed program.
+    real_dot = jax.lax.dot_general
+
+    def _fake_dot(lhs, rhs, dimension_numbers, precision=None,
+                  preferred_element_type=None, **kw):
+        a = lhs.shape[0]
+        assert dimension_numbers == (((1,), (0,)), ((), ()))
+        assert rhs.shape[0] >= a, (lhs.shape, rhs.shape)
+        return rhs[:a].astype(preferred_element_type or jnp.float32)
+
+    try:
+        jax.lax.dot_general = _fake_dot
+        nodot = timeit(run_ring, args, R=R)
+    finally:
+        jax.lax.dot_general = real_dot
+    print(f"no-dot:        {nodot * 1e3:8.1f} ms/clip  "
+          f"(MXU contractions account for {(base - nodot) * 1e3:6.1f} ms, "
+          f"{100 * (base - nodot) / base:4.1f}% of wall)")
+
 
 if __name__ == "__main__":
     main()
