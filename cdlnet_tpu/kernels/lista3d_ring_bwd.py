@@ -72,7 +72,7 @@ from jax.experimental import pallas as pl
 from cdlnet_tpu.kernels.lista3d import prep_A2m_3d, prep_B2m_3d
 from cdlnet_tpu.kernels.lista3d_ring import (
     _VMEM_BUDGET,
-    _haloed_value,
+    _store_haloed,
     _lanepad,
     _lats,
     _pad128,
@@ -407,9 +407,8 @@ def _kernel_rb_mid(*refs, Qd, Qh, Qw, Cp, Wc, Bh, Hh, dlo, hlo, wlo,
 
     # ---- load dv[e] slab into the ring -------------------------------
     slot = lax.rem(e, Rz)
-    dvring[slot] = _haloed_value(
-        dvu_ref[0, 0, 0], dvc_ref[0, 0, 0], dvd_ref[0, 0, 0], b, nb, G,
-        Wc, Bh, dvring.shape[-1])
+    _store_haloed(dvring, slot, dvu_ref[0, 0, 0], dvc_ref[0, 0, 0],
+                  dvd_ref[0, 0, 0], b, nb, G, Wc, Bh)
 
     # ---- ds[e - lat1] on extended rows into the ds ring ---------------
     part = _ds_from_ring(dvring, e, asyn_ref, Qd=Qd, Qh=Qh, Qw=Qw, Cp=Cp,
